@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL (same
+column names). KG oracles are generated from the SAME constants module as
+the fixture generator (graphiti_hf_ray/fixtures/pages.py), so they cannot
+drift from the Ray implementation.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,192 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from graphiti_hf_ray.fixtures import pages as _P
+from graphiti_hf_ray.functions.textstats import STOPWORDS as _STOPWORDS
+from graphiti_hf_ray.pipelines.queries import QUERIES as _QUERIES
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages → extract →
+    triples → canonicalize → bi-temporal edges. Returns the edges table."""
+    return _QUERIES["q22_kg_edges"]("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return dict(_QUERIES)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_stoplist() -> str:
+    return "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cte = _P.sql_canonical_cte()
+    pages_sub = _P.sql_pages()
+    sql = {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                   round(sum(l_discount) / count(*), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q02_top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q03_customer_order_stats": """
+            SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
+        "q04_region_rollup": """
+            SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "q05_part_types": """
+            SELECT p_type, count(*) AS n_parts, round(sum(p_retailprice) / count(*), 4) AS avg_retail
+            FROM part GROUP BY 1
+        """,
+        "q06_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "q07_latest_order": """
+            SELECT o_custkey, latest_orderkey FROM (
+                SELECT o_custkey, o_orderkey AS latest_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "q08_events_daily": """
+            SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "q09_events_pit": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+            FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+        """,
+        "q10_events_invalidate": """
+            SELECT event_id,
+                   lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_until
+            FROM events
+        """,
+        "q11_events_sessions": """
+            SELECT user_id, count(*) AS n_events,
+                   1 + coalesce(sum(CASE WHEN diff > 1800000000 THEN 1 ELSE 0 END), 0) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS diff
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "q12_dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "q13_doc_stats": """
+            SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(text, chr(32))) AS n_tokens,
+                   len(list_distinct(string_split(text, chr(32)))) AS n_uniq_tokens,
+                   md5(text) AS fingerprint
+            FROM documents
+        """,
+        "q14_doc_quality": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split(text, chr(32)),
+                                   x -> list_contains({_sql_stoplist()}, x))) AS n_stopwords,
+                   len(string_split(text, chr(32))) AS n_tokens,
+                   len(list_distinct(string_split(text, chr(32)))) AS n_uniq_tokens
+            FROM documents
+        """,
+        "q15_lang_dist": "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
+        "q16_knn": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
+        "q17_embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "q18_ngram_jaccard": """
+            WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || chr(32) || t[i+1] || chr(32) || t[i+2])) AS s
+                FROM toks WHERE len(t) >= 3
+                UNION ALL
+                SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, chr(32))) < 3
+            ),
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b
+            FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.05
+        """,
+        # q19_minhash_neardup / q19b_simhash_neardup: approximate (LSH banding)
+        # — intentionally no SQL oracle; driver records rows-only.
+        "q20_kg_episodes": f"""
+            SELECT md5('ep:' || url) AS uuid, url AS name, text AS content, group_id, warc_ts AS valid_at
+            FROM ({pages_sub}) p
+        """,
+        "q21_kg_nodes": f"""
+            WITH {cte}
+            SELECT DISTINCT md5('ent:' || group_id || ':' || label || ':' || canon_name) AS uuid,
+                   canon_name AS name, group_id, label AS label,
+                   label || ' entity: ' || canon_name AS summary
+            FROM canon
+        """,
+        "q22_kg_edges": f"""
+            WITH {cte},
+            merged AS (
+                SELECT group_id, subj_uuid, pred, obj_uuid,
+                       min(valid_at) AS valid_at,
+                       min(epoch_us) AS epoch_us,
+                       min_by(fact, epoch_us) AS fact,
+                       count(*) AS n_occurrences,
+                       count(DISTINCT episode_uuid) AS n_episodes
+                FROM gold_canon GROUP BY 1, 2, 3, 4
+            ),
+            swept AS (
+                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                       lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
+                                            ORDER BY valid_at, subj_uuid)
+                       ELSE NULL END AS invalid_at
+                FROM merged
+            )
+            SELECT md5('rel:' || group_id || ':' || subj_uuid || ':' || pred || ':' || obj_uuid || ':' || epoch_us) AS uuid,
+                   subj_uuid AS source_uuid, pred AS name, obj_uuid AS target_uuid,
+                   fact, group_id, valid_at, invalid_at, n_occurrences, n_episodes
+            FROM swept
+        """,
+        "q23_kg_mentions": f"""
+            WITH {cte}
+            SELECT DISTINCT episode_uuid AS source_node_uuid, entity_uuid AS target_node_uuid FROM (
+                SELECT episode_uuid, subj_uuid AS entity_uuid FROM gold_canon
+                UNION ALL
+                SELECT episode_uuid, obj_uuid FROM gold_canon
+            )
+        """,
+    }
+    return sql

@@ -1,0 +1,150 @@
+"""Mention + triple extraction (SURVEY.md M2/M3) — deterministic rebuild.
+
+The reference extracts entities then edges with two LLM prompts per episode
+(graphiti_core/utils/maintenance/node_operations.py:69-181,
+edge_operations.py:112-247). The rebuild implements the same contracts —
+``episode → [mentions]`` and ``episode → [(subj, pred, obj, fact,
+valid_at)]`` — with a deterministic OpenIE-style pattern extractor so tests
+are reproducible offline (SURVEY.md §7.0). The extractor is a callable
+CLASS for ``map_batches(TripleExtractor, concurrency=N)``: patterns compile
+ONCE per actor in ``__init__``, per-batch work is a single compiled-regex
+``finditer`` pass per document.
+
+Entity labels are assigned from the relation signature (the reference's
+``edge_type_map`` concept, graphiti_core/graphiti.py:398 + 492-497:
+(src_label, tgt_label) → legal edge types — here inverted: pattern slot →
+label). Mentions are the union of triple endpoints; standalone gazetteer NER
+is available via ``MentionGazetteer`` for corpora where relation patterns
+under-recall.
+
+Per-edge ``valid_at`` defaults to the episode's reference time (= warc_ts),
+matching TS1 (edge_operations.py:199-239: dates resolved against episode
+reference_time; absent → episode time).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# entity span: capitalized token sequence ("Ada Lovelace", "A. Lovelace",
+# "Tyrell Technologies", "Berners-Lee"). A token is a capitalized word or a
+# single-letter initial with period — the period alternative is ONLY the
+# initial form, so spans cannot swallow sentence-final periods.
+_ENT_TOK = r"[A-Z](?:[A-Za-z&-]+|\.)?"
+_ENT = rf"{_ENT_TOK}(?: {_ENT_TOK})*"
+
+# relation surface → (predicate, subj_label, obj_label)
+RELATIONS: dict[str, tuple[str, str, str]] = {
+    "works at": ("WORKS_AT", "Person", "Organization"),
+    "is the CEO of": ("IS_CEO_OF", "Person", "Organization"),
+    "acquired": ("ACQUIRED", "Organization", "Organization"),
+    "moved to": ("MOVED_TO", "Person", "Place"),
+    "founded": ("FOUNDED", "Person", "Organization"),
+    "is located in": ("LOCATED_IN", "Organization", "Place"),
+    "partnered with": ("PARTNERED_WITH", "Organization", "Organization"),
+}
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("episode_uuid", pa.string()),
+        ("group_id", pa.string()),
+        ("valid_at", pa.timestamp("us")),
+        ("subj_surface", pa.string()),
+        ("subj_label", pa.string()),
+        ("pred", pa.string()),
+        ("obj_surface", pa.string()),
+        ("obj_label", pa.string()),
+        ("fact", pa.string()),
+        ("sent_idx", pa.int32()),
+    ]
+)
+
+
+class TripleExtractor:
+    """Actor-pool stage: episodes batch → exploded triple rows.
+
+    Input batch columns: uuid, group_id, content, valid_at.
+    Output: TRIPLES_SCHEMA (0..n rows per episode).
+    """
+
+    def __init__(self, relations: dict[str, tuple[str, str, str]] | None = None):
+        rels = relations or RELATIONS
+        # longest-first alternation so "is the CEO of" wins over prefixes
+        alts = "|".join(re.escape(k) for k in sorted(rels, key=len, reverse=True))
+        self._rx = re.compile(rf"(?P<s>{_ENT}) (?P<r>{alts}) (?P<o>{_ENT})\.")
+        self._rels = rels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid = batch.column("valid_at").to_pylist()
+
+        ep_u, grp, va, ss, sl, pr, oo, ol, fa, si = ([] for _ in range(10))
+        for u, g, c, v in zip(uuids, groups, contents, valid):
+            for i, m in enumerate(self._rx.finditer(c)):
+                pred, s_label, o_label = self._rels[m.group("r")]
+                ep_u.append(u)
+                grp.append(g)
+                va.append(v)
+                ss.append(m.group("s"))
+                sl.append(s_label)
+                pr.append(pred)
+                oo.append(m.group("o"))
+                ol.append(o_label)
+                fa.append(m.group(0))
+                si.append(i)
+        return pa.table(
+            {
+                "episode_uuid": pa.array(ep_u, pa.string()),
+                "group_id": pa.array(grp, pa.string()),
+                "valid_at": pa.array(va, pa.timestamp("us")),
+                "subj_surface": pa.array(ss, pa.string()),
+                "subj_label": pa.array(sl, pa.string()),
+                "pred": pa.array(pr, pa.string()),
+                "obj_surface": pa.array(oo, pa.string()),
+                "obj_label": pa.array(ol, pa.string()),
+                "fact": pa.array(fa, pa.string()),
+                "sent_idx": pa.array(si, pa.int32()),
+            },
+            schema=TRIPLES_SCHEMA,
+        )
+
+
+class MentionGazetteer:
+    """Optional standalone NER stage: gazetteer alternation match.
+
+    ``vocab`` maps surface → label. At cluster scale the vocab is broadcast
+    once via ``ray.put`` and the ObjectRef passed to ``__init__`` (read once
+    per actor), never re-shipped per batch.
+    """
+
+    def __init__(self, vocab_ref):
+        import ray
+
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
+        self._vocab = vocab
+        alts = "|".join(re.escape(s) for s in sorted(vocab, key=len, reverse=True))
+        self._rx = re.compile(rf"\b(?:{alts})\b")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        ep_u, grp, surf, lab = [], [], [], []
+        for u, g, c in zip(uuids, groups, contents):
+            for m in self._rx.finditer(c):
+                ep_u.append(u)
+                grp.append(g)
+                surf.append(m.group(0))
+                lab.append(self._vocab[m.group(0)])
+        return pa.table(
+            {
+                "episode_uuid": pa.array(ep_u, pa.string()),
+                "group_id": pa.array(grp, pa.string()),
+                "surface": pa.array(surf, pa.string()),
+                "label": pa.array(lab, pa.string()),
+            }
+        )

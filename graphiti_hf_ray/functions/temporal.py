@@ -1,0 +1,107 @@
+"""Temporal operators over an event/edge stream (SURVEY.md §2.8 / A7 / TS5-7).
+
+The edges table's valid_at/invalid_at/expired_at columns ARE the temporal
+index (no side structure — SURVEY.md ST6); these operators are Arrow
+filters and groupby shuffles:
+
+- ``point_in_time``    — TS5: valid_at <= t AND (invalid_at IS NULL OR > t)
+- ``bucket_aggregate`` — A7: count/sum per (key, time bucket), partial
+  per-batch pre-aggregation before the groupby
+- ``interval_sweep``   — TS4 analog on any (key…, ts) stream: within each
+  key group sorted by ts, valid_until = next ts (SQL LEAD mirror)
+- ``detect_overlaps``  — A9: overlapping-validity conflict detection
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def point_in_time(ds: "ray.data.Dataset", t, valid_col: str = "valid_at", invalid_col: str = "invalid_at") -> "ray.data.Dataset":
+    """TS5 filter (graphiti_hf temporal_manager.py:310-314 semantics)."""
+    ts = pa.scalar(t, pa.timestamp("us"))
+
+    def f(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.less_equal(b.column(valid_col), ts),
+            pc.or_(pc.is_null(b.column(invalid_col)), pc.greater(b.column(invalid_col), ts)),
+        )
+        return b.filter(ok)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bucket_aggregate(
+    events: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 86400,
+) -> "ray.data.Dataset":
+    """count + sum(value) per (key, epoch-bucket); partial aggregation inside
+    map_batches first so the groupby shuffles one row per (key, bucket,
+    input-block) instead of one per event."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([key_col, ts_col, value_col]).to_pandas()
+        df["bucket"] = (df[ts_col].astype("int64") // 1_000_000) // bucket_seconds
+        g = df.groupby([key_col, "bucket"], as_index=False).agg(
+            n=(value_col, "size"), total=(value_col, "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "bucket": [g["bucket"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "total": [round(float(g["total"].sum()), 6)],
+            }
+        )
+
+    return events.map_batches(partial, batch_format="pyarrow").groupby([key_col, "bucket"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def interval_sweep(
+    events: "ray.data.Dataset", key_cols: list[str], ts_col: str = "ts", id_col: str = "event_id"
+) -> "ray.data.Dataset":
+    """TS4-shaped sweep: per key group ordered by (ts, id), each row's
+    ``valid_until`` = next row's ts (NULL for the latest) — 'more recent
+    info wins' (edge_operations.py:381-411)."""
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        g["valid_until"] = g[ts_col].shift(-1)
+        return g
+
+    return events.groupby(key_cols).map_groups(sweep, batch_format="pandas")
+
+
+def detect_overlaps(
+    edges: "ray.data.Dataset", key_cols: list[str], valid_col: str = "valid_at", invalid_col: str = "invalid_at"
+) -> "ray.data.Dataset":
+    """A9 conflict detection: within each key group, count interval pairs
+    that overlap (valid_i < invalid_j AND valid_j < invalid_i)."""
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(valid_col, kind="mergesort").reset_index(drop=True)
+        n_overlap = 0
+        prev_end = None
+        for _, r in g.iterrows():
+            if prev_end is not None and (pd.isna(prev_end) or r[valid_col] < prev_end):
+                n_overlap += 1
+            end = r[invalid_col]
+            prev_end = end if prev_end is None else (prev_end if pd.isna(prev_end) else max(prev_end, end) if not pd.isna(end) else pd.NaT)
+        out = g.head(1)[key_cols].copy()
+        out["n_overlaps"] = n_overlap
+        out["n_edges"] = len(g)
+        return out
+
+    return edges.groupby(key_cols).map_groups(check, batch_format="pandas")

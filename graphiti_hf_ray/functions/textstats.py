@@ -1,0 +1,121 @@
+"""Text analysis over a documents table (SURVEY.md "training-data ops").
+
+Language-ID (n-gram heuristic), quality scoring, token counting and
+document fingerprinting, each as vectorized ``map_batches`` stages over
+Arrow/pandas batches. Tokenization is a single-space split so the DuckDB
+oracle (``string_split(text, ' ')``) expresses the identical computation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# must match the SQL list in __ray_entry__ exactly
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+_STOP = set(STOPWORDS)
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_chars, n_tokens, n_uniq_tokens, fingerprint (md5 of text)."""
+    texts = batch.column("text")
+    n_chars = pc.utf8_length(texts)
+    split = pc.split_pattern(texts, " ")
+    n_tokens = pc.list_value_length(split)
+    uniq = pa.array([len(set(t)) for t in split.to_pylist()], pa.int64())
+    fp = pa.array([hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()], pa.string())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_uniq_tokens": uniq,
+            "fingerprint": fp,
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: stopword ratio, mean token length, repetition ratio.
+
+    quality_score = stop_ratio * 0.4 + uniq_ratio * 0.6 (deterministic toy
+    scoring; rounded to 6 dp so the SQL oracle hashes identically)."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id")
+    stop_ratio, mean_len, uniq_ratio = [], [], []
+    for t in texts:
+        toks = t.split(" ")
+        n = max(1, len(toks))
+        stop_ratio.append(round(sum(1 for w in toks if w in _STOP) / n, 6))
+        mean_len.append(round(sum(len(w) for w in toks) / n, 6))
+        uniq_ratio.append(round(len(set(toks)) / n, 6))
+    score = [round(s * 0.4 + u * 0.6, 6) for s, u in zip(stop_ratio, uniq_ratio)]
+    return pa.table(
+        {
+            "doc_id": ids,
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+            "uniq_ratio": pa.array(uniq_ratio, pa.float64()),
+            "quality_score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+# language-ID: tiny stopword-profile scorer (deterministic heuristic)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in"},
+    "de": {"der", "die", "das", "und", "ist", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "une"},
+    "es": {"el", "los", "las", "es", "una"},
+    "zh": set(),  # no-latin-stopword fallback bucket
+}
+
+
+class LangId:
+    """Actor-pool stage: predict language from stopword-profile overlap.
+
+    Ties / no hits → 'und'. (On the synthetic corpus every text is the same
+    English-ish word soup, so this exists to exercise the stage shape; the
+    driver table's ``lang`` column is the labeled ground truth.)"""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            toks = set(t.lower().split(" "))
+            best, best_n = "und", 0
+            for lang, prof in sorted(self.profiles.items()):
+                n = len(toks & prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
+    """Rolling (Rabin-Karp-style) document fingerprint: min rolling hash
+    over byte windows — stable under small edits outside the min window."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+    base, h, pw = 257, 0, pow(257, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % mod
+        h = (h * base + b) % mod
+        if i >= window - 1:
+            best = h if best is None or h < best else best
+    return best
+
+
+def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = pa.array([rolling_fingerprint(t) for t in batch.column("text").to_pylist()], pa.int64())
+    return pa.table({"doc_id": batch.column("doc_id"), "rolling_fp": fps})

@@ -1,0 +1,184 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.2 / §7.2).
+
+Ray-Data-first re-expression of ``Graphiti.add_episode_bulk``
+(graphiti_core/graphiti.py:587-873): the reference's two dedup rounds
+(intra-batch then vs-graph) collapse into ONE global canonicalization
+shuffle per run plus an idempotent upsert (deterministic ids make re-merge
+a no-op).
+
+Phases (phase boundary = resume checkpoint):
+
+  P1 extract  (shard-resumable): pages → extract_text [M11] → episodes [S3]
+              → TripleExtractor actor pool [M2/M3] → per-shard Parquet +
+              manifests. A killed run re-runs only missing shards.
+  P2 link     (global): triples → canonicalize (blocking → pairs →
+              components → canonical map) [D2/A1/A2] → nodes table.
+  P3 edges    : rewrite pointers [J2] → dedup merge [D3/A3] → temporal
+              invalidation [TS2-TS4] → fact embedding [M6] → edges table;
+              MENTIONS episodic edges.
+  P4 write    : final tables + job metrics manifest.
+
+Ray session ownership: these functions NEVER call ray.init/shutdown —
+callers (bench.py, tests, the driver) own the session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .. import io as gio
+from ..extract.html import extract_text_batch
+from ..extract.triples import TripleExtractor
+from ..stages.canonicalize import build_nodes_table, canonicalize
+from ..stages.edges import (
+    CanonicalRewrite,
+    canon_map_dict,
+    dedup_edges,
+    finalize_edges,
+    invalidate_functional,
+    mentions_edges,
+)
+from ..stages.embed import Embedder
+from ..stages.episodes import make_episode_batch
+
+DEFAULT_RUN_TS_US = 1735689600_000_000  # 2025-01-01T00:00:00Z — injected, deterministic
+
+
+def _pool_size() -> tuple[int, int]:
+    """Actor-pool (min, max) that can never starve task stages: each pool
+    may autoscale to at most a quarter of cluster CPUs (two pools + shuffle
+    tasks + read tasks share the node)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(1, cpus // 4))
+
+
+def _fingerprint(paths: list[str]) -> str:
+    h = hashlib.md5()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()
+
+
+def extract_phase(
+    pages_paths: list[str],
+    out_dir: str,
+    run_ts_us: int = DEFAULT_RUN_TS_US,
+    num_shards: int | None = None,
+    extractor_concurrency: int | None = None,
+) -> None:
+    """P1: shard-resumable extraction. One shard = one input file slice."""
+    num_shards = num_shards or max(4, len(pages_paths))
+    fps = {s: _fingerprint(pages_paths) + f":{s}/{num_shards}" for s in range(num_shards)}
+    done_ep = gio.completed_shards(out_dir, "episodes", fps)
+    done_tr = gio.completed_shards(out_dir, "triples", fps)
+    todo = [s for s in range(num_shards) if s not in done_ep or s not in done_tr]
+    if not todo:
+        return
+
+    ds = rd.read_parquet(pages_paths)
+    # shard assignment must be content-stable (resume-safe): hash of url
+    def add_shard(t: pa.Table) -> pa.Table:
+        shards = [
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "little") % num_shards
+            for u in t.column("url").to_pylist()
+        ]
+        return t.append_column("shard", pa.array(shards, pa.int32()))
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    episodes = ds.map_batches(
+        lambda t: make_episode_batch(t.drop_columns(["shard"]), run_ts_us).append_column(
+            "shard", t.column("shard")
+        ),
+        batch_format="pyarrow",
+    )
+    # group-by-shard write: map_groups writes each shard atomically and
+    # returns only the manifest row — no episode/triple rows return to driver
+    extractor_kwargs = dict(batch_format="pyarrow", batch_size=1024)
+    if extractor_concurrency:
+        extractor_kwargs["concurrency"] = extractor_concurrency
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        from ..schemas import EPISODES
+
+        shard = int(g["shard"].iloc[0])
+        ep = pa.Table.from_pandas(g.drop(columns=["shard"]), preserve_index=False, schema=EPISODES)
+        man_e = gio.write_shard_atomic(ep, gio.shard_dir(out_dir, "episodes", shard), fps[shard])
+        tr = TripleExtractor()(ep)
+        man_t = gio.write_shard_atomic(
+            tr, gio.shard_dir(out_dir, "triples", shard), fps[shard], {"triples": tr.num_rows}
+        )
+        return pd.DataFrame({"shard": [shard], "episodes": [man_e["rows"]], "triples": [man_t["rows"]]})
+
+    todo_set = pa.array(todo, pa.int32())
+
+    def keep_todo(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("shard"), value_set=todo_set))
+
+    episodes = episodes.map_batches(keep_todo, batch_format="pyarrow")
+    stats = episodes.groupby("shard").map_groups(write_shard, batch_format="pandas")
+    stats.materialize()  # execute
+
+
+def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US) -> dict:
+    """P2+P3: global canonicalization + edge build from extracted shards."""
+    triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+
+    # P2: canonical map (driver-side DataFrame — vocabulary-sized) + nodes
+    canon_map = canonicalize(triples)
+    nodes_tbl = build_nodes_table(canon_map, run_ts_us)
+    fp = "run:" + str(run_ts_us)
+    gio.write_shard_atomic(nodes_tbl, os.path.join(out_dir, "nodes", "shard=0000"), fp)
+
+    # P3: rewrite (broadcast join), dedup merge, invalidation, embeddings
+    map_ref = ray.put(canon_map_dict(canon_map))
+    rewritten = triples.map_batches(
+        CanonicalRewrite, batch_format="pyarrow", concurrency=_pool_size(), fn_constructor_args=(map_ref,)
+    ).materialize()  # branch point: consumed by dedup AND mentions — pin once
+    # merged is post-dedup (≪ triples); it feeds two filter branches in
+    # invalidate_functional, so pin it too instead of re-executing the
+    # rewrite+shuffle lineage per branch (which also double-instantiates
+    # the actor pools and can starve a small cluster)
+    merged = dedup_edges(rewritten).materialize()
+    swept = invalidate_functional(merged)
+    final = finalize_edges(swept, run_ts_us)
+    final = final.map_batches(
+        Embedder, batch_format="pyarrow", concurrency=_pool_size(), fn_constructor_args=("fact", "fact_embedding")
+    )
+    edges_tbl = pa.concat_tables(
+        [ray.get(r) for r in final.to_arrow_refs()], promote_options="default"
+    )
+    gio.write_shard_atomic(edges_tbl, os.path.join(out_dir, "edges", "shard=0000"), fp,
+                           {"triples": edges_tbl.num_rows})
+
+    mentions = mentions_edges(rewritten, run_ts_us)
+    men_tbl = pa.concat_tables([ray.get(r) for r in mentions.to_arrow_refs()], promote_options="default")
+    gio.write_shard_atomic(men_tbl, os.path.join(out_dir, "episodic_edges", "shard=0000"), fp)
+
+    metrics = gio.job_metrics(out_dir)
+    with open(os.path.join(out_dir, "_job_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def build_graph(
+    pages_paths: list[str],
+    out_dir: str,
+    run_ts_us: int = DEFAULT_RUN_TS_US,
+    num_shards: int | None = None,
+) -> dict:
+    """Full pipeline: pages parquet → nodes/edges/episodes/episodic_edges."""
+    extract_phase(pages_paths, out_dir, run_ts_us, num_shards)
+    return link_and_edges_phase(out_dir, run_ts_us)

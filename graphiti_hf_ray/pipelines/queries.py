@@ -1,0 +1,452 @@
+"""Driver-checkable query suite: Ray Data implementation per operator.
+
+One function per ``__ray_entry__.queries()`` entry; each takes ``sf_dir``
+and returns a Dataset / DataFrame / Arrow table whose columns match the
+oracle SQL in ``__ray_entry__.oracle_sql()`` by NAME. Floating aggregates
+are rounded identically on both sides; where float summation order could
+flip a hash, results are expressed in integers (counts) instead.
+
+These exercise the engine's generic operator layer (SURVEY.md §2: scans,
+filters, joins, groupby aggregates with partial pre-aggregation, window /
+top-k, temporal ops, dedup family, similarity search) over the driver's
+TPC-H-ish tables, plus the KG pipeline itself over the deterministic pages
+corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..functions.dedup import exact_dedup, minhash_lsh_candidates, ngram_jaccard_pairs, simhash_pairs
+from ..functions.knn import knn_brute
+from ..functions.temporal import bucket_aggregate, interval_sweep, point_in_time
+from ..functions.textstats import STOPWORDS, doc_stats_batch
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _r2(x) -> float:
+    return round(float(x), 2)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish operator coverage
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Groupby aggregate with per-batch partial pre-aggregation (A8 shape)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["count_order"].sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [_r2(g["sum_qty"].sum())],
+                "sum_base_price": [_r2(g["sum_base_price"].sum())],
+                "sum_disc_price": [_r2(g["sum_disc_price"].sum())],
+                "sum_charge": [_r2(g["sum_charge"].sum())],
+                "avg_qty": [round(float(g["sum_qty"].sum()) / n, 4)],
+                "avg_price": [round(float(g["sum_base_price"].sum()) / n, 4)],
+                "avg_disc": [round(float(g["sum_disc"].sum()) / n, 4)],
+                "count_order": [n],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q02_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k: sort + limit (T2 shape)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+def q03_customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "n_orders": [int(g["n_orders"].sum())],
+                "total": [_r2(g["total"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q04_region_rollup(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join of dimension tables (J-small shape): nation+region are
+    ray.put once, looked up per batch — no shuffle."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = dict(zip(dim["n_nationkey"], dim["r_name"]))
+    ref = ray.put(lookup)
+
+    class AddRegion:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rn = [self.lookup[k] for k in t.column("c_nationkey").to_pylist()]
+            return t.append_column("r_name", pa.array(rn, pa.string()))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        AddRegion, batch_format="pyarrow", concurrency=(1, 4), fn_constructor_args=(ref,)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("r_name", as_index=False).agg(n_customers=("c_acctbal", "size"), total_acctbal=("c_acctbal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": [g["r_name"].iloc[0]],
+                "n_customers": [int(g["n_customers"].sum())],
+                "total_acctbal": [_r2(g["total_acctbal"].sum())],
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("r_name").map_groups(merge, batch_format="pandas").to_pandas()
+
+
+def q05_part_types(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("p_type", as_index=False).agg(n=("p_retailprice", "size"), s=("p_retailprice", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {"p_type": [g["p_type"].iloc[0]], "n_parts": [n], "avg_retail": [round(float(g["s"].sum()) / n, 4)]}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("p_type").map_groups(merge, batch_format="pandas").to_pandas()
+
+
+def q06_revenue_filter(sf_dir: str) -> pd.DataFrame:
+    """Vectorized Arrow filter + scalar aggregate (TPC-H Q6 shape)."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo, hi = pa.scalar(pd.Timestamp("1996-01-01")), pa.scalar(pd.Timestamp("1997-01-01"))
+
+    def f(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), lo), pc.less(t.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)), pc.less_equal(t.column("l_discount"), pa.scalar(0.07))),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(ok)
+        rev = pc.sum(pc.multiply(t.column("l_extendedprice"), t.column("l_discount")))
+        n = t.num_rows
+        return pa.table({"revenue_part": pa.array([rev.as_py() or 0.0], pa.float64()), "n_part": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [_r2(parts["revenue_part"].sum())], "n_items": [int(parts["n_part"].sum())]})
+
+
+def q07_latest_order(sf_dir: str) -> pd.DataFrame:
+    """Per-key argmax (window/top-1 per group, T1/T9 shape)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False], kind="mergesort")
+        r = g.iloc[0]
+        return pd.DataFrame({"o_custkey": [r["o_custkey"]], "latest_orderkey": [r["o_orderkey"]]})
+
+    return ds.groupby("o_custkey").map_groups(latest, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# temporal / stream-shaped (events)
+# ---------------------------------------------------------------------------
+
+def q08_events_daily(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = bucket_aggregate(ds, "event_type", bucket_seconds=86400).to_pandas()
+    out["total"] = out["total"].map(lambda x: round(x, 2))
+    return out
+
+
+def q09_events_pit(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time snapshot aggregate (TS5 analog on the events stream)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    t = pd.Timestamp("2024-01-15 00:00:00")
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("ts"), pa.scalar(t)))
+
+    filtered = ds.map_batches(f, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(n=("value", "size"), s=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "n": [int(g["n"].sum())], "total": [_r2(g["s"].sum())]}
+        )
+
+    return filtered.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(merge, batch_format="pandas").to_pandas()
+
+
+def q10_events_invalidate(sf_dir: str) -> pd.DataFrame:
+    """TS4-shaped interval sweep: valid_until = next ts per (user, type)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+    out = interval_sweep(ds, ["user_id", "event_type"], ts_col="ts", id_col="event_id")
+    return out.to_pandas()[["event_id", "valid_until"]]
+
+
+def q11_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization: 30-min-gap tumbling windows per user (map_groups over
+    the sorted group — ray_guide.md 'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1], "n_events": [len(g)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-stats / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q12_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
+def q13_doc_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow").to_pandas()
+
+
+def q14_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Integer-valued quality counters (ratio floats avoided so the value
+    hash can't wobble): stopword hits, tokens, distinct tokens."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop = frozenset(STOPWORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        texts = t.column("text").to_pylist()
+        n_stop, n_tok, n_uniq = [], [], []
+        for x in texts:
+            toks = x.split(" ")
+            n_stop.append(sum(1 for w in toks if w in stop))
+            n_tok.append(len(toks))
+            n_uniq.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def q15_lang_dist(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("lang", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "n": [int(g["n"].sum())]})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("lang").map_groups(merge, batch_format="pandas").to_pandas()
+
+
+def q16_knn(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (similarity
+    search baseline). Only ids returned — float scores stay engine-side."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        idx = b.column("vec_id").to_pylist()
+        if 0 in idx:
+            q = np.asarray(b.column("embedding").to_pylist()[idx.index(0)], np.float64)
+            break
+    out = knn_brute(emb, q, k=10)
+    return out[["vec_id"]]
+
+
+def q17_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from ..functions.dedup import embedding_neardup
+
+    out = embedding_neardup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4).to_pandas()
+    return out[["vec_a", "vec_b"]]
+
+
+def q18_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, k=3, threshold=0.05).to_pandas()
+    return out[["doc_a", "doc_b"]]
+
+
+def q19_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidates (approximate — no SQL oracle; rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_candidates(ds, jaccard_threshold=0.3).to_pandas()
+
+
+def q19b_simhash_neardup(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=10).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (documents → pages → graph tables)
+# ---------------------------------------------------------------------------
+
+_KG_CACHE: dict[str, str] = {}
+
+
+def _kg_out_dir(sf_dir: str) -> str:
+    """Build the KG once per sf_dir per process; reuse across queries."""
+    if sf_dir in _KG_CACHE:
+        return _KG_CACHE[sf_dir]
+    from ..fixtures import pages as P
+    from .kg import build_graph
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    pages_path = f"/tmp/graphiti_ray/pages_{tag}.parquet"
+    out_dir = f"/tmp/graphiti_ray/out_{tag}"
+    os.makedirs(os.path.dirname(pages_path), exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
+    pg = P.pages_batch(docs)
+    pg = pg.append_column(
+        "group_id", pa.array([P.group_of(int(d)) for d in docs.column("doc_id").to_pylist()])
+    )
+    pq.write_table(pg, pages_path)
+    build_graph([pages_path], out_dir, num_shards=8)
+    _KG_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+def q20_kg_episodes(sf_dir: str) -> pd.DataFrame:
+    from .. import io as gio
+
+    ep = gio.read_table_dir(_kg_out_dir(sf_dir), "episodes").to_pandas()
+    return ep[["uuid", "name", "content", "group_id", "valid_at"]]
+
+
+def q21_kg_nodes(sf_dir: str) -> pd.DataFrame:
+    from .. import io as gio
+
+    nodes = gio.read_table_dir(_kg_out_dir(sf_dir), "nodes").to_pandas()
+    nodes["label"] = nodes["labels"].map(lambda ls: ",".join(sorted(ls)))
+    return nodes[["uuid", "name", "group_id", "label", "summary"]]
+
+
+def q22_kg_edges(sf_dir: str) -> pd.DataFrame:
+    from .. import io as gio
+
+    e = gio.read_table_dir(_kg_out_dir(sf_dir), "edges").to_pandas()
+    e = e.copy()
+    e["n_episodes"] = e["episodes"].str.split(",").str.len()
+    return e[
+        ["uuid", "source_uuid", "name", "target_uuid", "fact", "group_id", "valid_at", "invalid_at", "n_occurrences", "n_episodes"]
+    ]
+
+
+def q23_kg_mentions(sf_dir: str) -> pd.DataFrame:
+    from .. import io as gio
+
+    men = gio.read_table_dir(_kg_out_dir(sf_dir), "episodic_edges").to_pandas()
+    return men[["source_node_uuid", "target_node_uuid"]]
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders": q02_top_orders,
+    "q03_customer_order_stats": q03_customer_order_stats,
+    "q04_region_rollup": q04_region_rollup,
+    "q05_part_types": q05_part_types,
+    "q06_revenue_filter": q06_revenue_filter,
+    "q07_latest_order": q07_latest_order,
+    "q08_events_daily": q08_events_daily,
+    "q09_events_pit": q09_events_pit,
+    "q10_events_invalidate": q10_events_invalidate,
+    "q11_events_sessions": q11_events_sessions,
+    "q12_dedup_exact": q12_dedup_exact,
+    "q13_doc_stats": q13_doc_stats,
+    "q14_doc_quality": q14_doc_quality,
+    "q15_lang_dist": q15_lang_dist,
+    "q16_knn": q16_knn,
+    "q17_embedding_neardup": q17_embedding_neardup,
+    "q18_ngram_jaccard": q18_ngram_jaccard,
+    "q19_minhash_neardup": q19_minhash_neardup,
+    "q19b_simhash_neardup": q19b_simhash_neardup,
+    "q20_kg_episodes": q20_kg_episodes,
+    "q21_kg_nodes": q21_kg_nodes,
+    "q22_kg_edges": q22_kg_edges,
+    "q23_kg_mentions": q23_kg_mentions,
+}

@@ -1,0 +1,356 @@
+"""Entity canonicalization (SURVEY.md D2 + A1 + A2) — shuffle #1.
+
+Replaces the reference's per-record "search the graph for candidates → LLM
+adjudication" pattern (node_operations.py:184-292, bulk_utils.py:251-335)
+with one global canonicalization shuffle:
+
+1. **distinct mentions** — two-level aggregation: per-batch partial distinct
+   + count inside ``map_batches`` (combiner), then ``groupby`` merge, so a
+   hub entity appearing on 30% of pages contributes ONE row per input block
+   to the shuffle, not one row per occurrence (salted pre-aggregation for
+   head-key skew, SURVEY.md §4).
+2. **blocking** — each distinct mention emits candidate block keys (first
+   and last normalized token), the scalable equivalent of the reference's
+   word-overlap blocking (bulk_utils.py:266-294).
+3. **pairwise scoring** — ``groupby(block_key).map_groups``: within each
+   block, mark duplicate pairs by deterministic token-subset / initial
+   matching, falling back to hash-embedding cosine ≥ 0.8 (the reference's
+   node threshold, bulk_utils.py:258). Per-block candidate cap with logged
+   drops — no silent truncation.
+4. **connected components** — union-find with lexicographic-min roots
+   (mirrors ``compress_uuid_map``, bulk_utils.py:433-470) on the driver when
+   the pair set is small (pairs ≪ rows); ``connected_components_distributed``
+   (hash-min label propagation over Datasets) is the scale path.
+5. **canonical merge** — canonical name per component = longest name, tie →
+   lexicographically smallest (so "Ada Lovelace" wins over "A. Lovelace" /
+   "Lovelace"); EntityNode rows built with deterministic uuids
+   (``ids.entity_uuid``) and merged labels (deduplicator.py:599-629 merge
+   rules: union of labels, min created_at).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..ids import entity_uuid, md5_id
+from ..schemas import EMBED_DIM
+from .embed import embed_many
+
+logger = logging.getLogger(__name__)
+
+SEP = "\x1f"
+MAX_BLOCK_NAMES = 512  # per-block candidate cap (log drops; SURVEY.md §7.4)
+NODE_COS_THRESHOLD = 0.8  # bulk_utils.py:258
+DRIVER_CC_MAX_PAIRS = 5_000_000  # above this, use the distributed CC path
+
+
+def mention_key(group_id: str, label: str, surface: str) -> str:
+    return f"{group_id}{SEP}{label}{SEP}{surface}"
+
+
+def norm_tokens(name: str) -> list[str]:
+    return [t.rstrip(".").lower() for t in name.split() if t.rstrip(".")]
+
+
+def _tok_match(a: str, b: str) -> bool:
+    """Token equality, initial-aware in BOTH directions ("a" ~ "ada")."""
+    return a == b or (len(a) == 1 and b.startswith(a)) or (len(b) == 1 and a.startswith(b))
+
+
+def _subset_match(a_toks: list[str], b_toks: list[str]) -> bool:
+    """True if b (shorter or equal) matches a in order, allowing initials."""
+    it = iter(a_toks)
+    for b in b_toks:
+        for a in it:
+            if _tok_match(a, b):
+                break
+        else:
+            return False
+    return True
+
+
+def names_duplicate(a: str, b: str, emb_a: np.ndarray | None = None, emb_b: np.ndarray | None = None) -> bool:
+    ta, tb = norm_tokens(a), norm_tokens(b)
+    if len(ta) < len(tb):
+        ta, tb = tb, ta
+    if _subset_match(ta, tb):
+        return True
+    if emb_a is not None and emb_b is not None:
+        return float(np.dot(emb_a, emb_b)) >= NODE_COS_THRESHOLD
+    return False
+
+
+# ---------------------------------------------------------------------------
+# stage 1: distinct mentions with counts (combiner + groupby)
+# ---------------------------------------------------------------------------
+
+def partial_distinct_mentions(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: triples batch → one row per distinct mention."""
+    df = batch.select(["group_id", "subj_label", "subj_surface"]).to_pandas()
+    df.columns = ["group_id", "label", "surface"]
+    df2 = batch.select(["group_id", "obj_label", "obj_surface"]).to_pandas()
+    df2.columns = ["group_id", "label", "surface"]
+    both = pd.concat([df, df2], ignore_index=True)
+    agg = both.groupby(["group_id", "label", "surface"], as_index=False).size()
+    agg = agg.rename(columns={"size": "n"})
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def distinct_mentions(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    partial = triples.map_batches(partial_distinct_mentions, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "group_id": [g["group_id"].iloc[0]],
+                "label": [g["label"].iloc[0]],
+                "surface": [g["surface"].iloc[0]],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    return partial.groupby(["group_id", "label", "surface"]).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# stage 2+3: blocking keys + per-block pairwise scoring
+# ---------------------------------------------------------------------------
+
+def blocking_keys_batch(batch: pa.Table) -> pa.Table:
+    """Distinct-mentions batch → (block_key, group_id, label, surface, n)."""
+    rows = batch.to_pandas()
+    bk, gid, lab, surf, cnt = [], [], [], [], []
+    for g, l, s, n in zip(rows["group_id"], rows["label"], rows["surface"], rows["n"]):
+        toks = norm_tokens(s)
+        if not toks:
+            continue
+        # block on EVERY normalized token (not just first/last): alias
+        # variants may surface any token ("Pied Piper Software" ~ "Piper").
+        # Distinct-mention cardinality is vocabulary-sized, so the fan-out
+        # is cheap; pairs found in multiple blocks dedupe in the union-find.
+        for k in set(toks):
+            bk.append(f"{g}{SEP}{l}{SEP}{k}")
+            gid.append(g)
+            lab.append(l)
+            surf.append(s)
+            cnt.append(int(n))
+    return pa.table(
+        {
+            "block_key": pa.array(bk, pa.string()),
+            "group_id": pa.array(gid, pa.string()),
+            "label": pa.array(lab, pa.string()),
+            "surface": pa.array(surf, pa.string()),
+            "n": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one block: score all pairs, emit duplicate (a, b) key pairs."""
+    g = g.drop_duplicates("surface")
+    if len(g) > MAX_BLOCK_NAMES:
+        logger.warning(
+            "block %s: %d names > cap %d; scoring top by count (dropped %d)",
+            g["block_key"].iloc[0], len(g), MAX_BLOCK_NAMES, len(g) - MAX_BLOCK_NAMES,
+        )
+        g = g.sort_values(["n", "surface"], ascending=[False, True]).head(MAX_BLOCK_NAMES)
+    if len(g) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype=str)
+    names = sorted(g["surface"].tolist())
+    embs = embed_many(names)
+    gid, lab = g["group_id"].iloc[0], g["label"].iloc[0]
+    a_out, b_out = [], []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if names_duplicate(names[i], names[j], embs[i], embs[j]):
+                a_out.append(mention_key(gid, lab, names[i]))
+                b_out.append(mention_key(gid, lab, names[j]))
+    return pd.DataFrame({"a": a_out, "b": b_out}, dtype=str)
+
+
+def duplicate_pairs(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+    blocked = mentions.map_batches(blocking_keys_batch, batch_format="pyarrow")
+    return blocked.groupby("block_key").map_groups(pairs_in_block, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# stage 4: connected components
+# ---------------------------------------------------------------------------
+
+class UnionFind:
+    """Lexicographic-min-root union-find (mirrors bulk_utils.py:444-452
+    semantics: every member maps to the smallest key in its set)."""
+
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        self.parent[hi] = lo
+
+
+def components_driver(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    return {k: uf.find(k) for k in list(uf.parent)}
+
+
+def connected_components_distributed(pairs_ds: "ray.data.Dataset", max_iter: int = 20) -> "ray.data.Dataset":
+    """Hash-min label propagation over Datasets (scale path for A1).
+
+    pairs_ds: columns (a, b). Returns (node, root) with root = the
+    lexicographically smallest key reachable — identical to
+    ``components_driver`` output. Each iteration is one groupby shuffle over
+    (node, candidate_label) rows; converges in O(diameter) rounds.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays([t.column("a").combine_chunks().cast(pa.string()), t.column("b").combine_chunks().cast(pa.string())]),
+                "dst": pa.concat_arrays([t.column("b").combine_chunks().cast(pa.string()), t.column("a").combine_chunks().cast(pa.string())]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # labels: node → current min label (init: itself)
+    labels = edges.map_batches(
+        lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+        batch_format="pyarrow",
+    ).groupby("node").map_groups(lambda g: g.head(1), batch_format="pandas").materialize()
+
+    for _ in range(max_iter):
+        # propagate: join labels onto edges by src (co-group via union + groupby)
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table({"key": t.column("node"), "payload": t.column("label"), "is_label": pa.array([True] * t.num_rows)}),
+            batch_format="pyarrow",
+        )
+        tagged_edges = edges.map_batches(
+            lambda t: pa.table({"key": t.column("src"), "payload": t.column("dst"), "is_label": pa.array([False] * t.num_rows)}),
+            batch_format="pyarrow",
+        )
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g.loc[g["is_label"], "payload"]
+            if lab.empty:
+                return pd.DataFrame({"node": [], "label": []}, dtype=str)
+            label = lab.min()
+            node = g["key"].iloc[0]
+            dsts = g.loc[~g["is_label"], "payload"].tolist()
+            return pd.DataFrame({"node": dsts + [node], "label": [label] * (len(dsts) + 1)})
+
+        candidates = tagged_labels.union(tagged_edges).groupby("key").map_groups(propagate, batch_format="pandas")
+
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["label"].min()]})
+
+        new_labels = candidates.groupby("node").map_groups(take_min, batch_format="pandas").materialize()
+
+        # convergence: total label hash unchanged → done
+        def label_sum(t: pa.Table) -> pa.Table:
+            s = sum(int(md5_id(x)[:12], 16) for x in t.column("label").to_pylist())
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        old_sum = sum(r["s"] for r in labels.map_batches(label_sum, batch_format="pyarrow").take_all())
+        new_sum = sum(r["s"] for r in new_labels.map_batches(label_sum, batch_format="pyarrow").take_all())
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "root": t.column("label")}), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 5: canonical selection + node build
+# ---------------------------------------------------------------------------
+
+def build_canonical_map(
+    mentions_df: pd.DataFrame, node_to_root: dict[str, str]
+) -> pd.DataFrame:
+    """All distinct mentions + component roots → canonical map.
+
+    Returns columns (group_id, label, surface, canon_name, canon_uuid).
+    Canonical name per component: longest surface, tie → lexicographic min.
+    Singletons (no duplicate pair) are their own canonical.
+    """
+    keys = [mention_key(g, l, s) for g, l, s in zip(mentions_df["group_id"], mentions_df["label"], mentions_df["surface"])]
+    roots = [node_to_root.get(k, k) for k in keys]
+    df = mentions_df.copy()
+    df["root"] = roots
+    # canonical surface per root
+    def pick(g: pd.DataFrame) -> str:
+        s = sorted(g["surface"].tolist(), key=lambda x: (-len(x), x))
+        return s[0]
+
+    canon = df.groupby("root").apply(pick, include_groups=False).rename("canon_name").reset_index()
+    df = df.merge(canon, on="root", how="left")
+    df["canon_uuid"] = [
+        entity_uuid(g, l, c) for g, l, c in zip(df["group_id"], df["label"], df["canon_name"])
+    ]
+    return df[["group_id", "label", "surface", "canon_name", "canon_uuid", "n"]]
+
+
+def canonicalize(triples: "ray.data.Dataset") -> pd.DataFrame:
+    """Full canonicalization: triples Dataset → canonical map DataFrame.
+
+    The distinct-mention set is orders of magnitude smaller than the triple
+    stream (vocabulary vs corpus), so the map is collected driver-side and
+    broadcast via ``ray.put`` for the edge-rewrite join (J2). When the map
+    outgrows broadcast (~10⁷ entities), the rewrite switches to the
+    hash-join path (stages/edges.py, ``rewrite_via_join``).
+    """
+    mentions = distinct_mentions(triples).materialize()
+    pairs_ds = duplicate_pairs(mentions)
+    pairs_df = pairs_ds.to_pandas()
+    if len(pairs_df) > DRIVER_CC_MAX_PAIRS:
+        cc = connected_components_distributed(pairs_ds).to_pandas()
+        node_to_root = dict(zip(cc["node"], cc["root"]))
+    else:
+        node_to_root = components_driver(zip(pairs_df["a"], pairs_df["b"]))
+    mentions_df = mentions.to_pandas()
+    return build_canonical_map(mentions_df, node_to_root)
+
+
+def build_nodes_table(canon_map: pd.DataFrame, run_ts_us: int) -> pa.Table:
+    """Canonical map → EntityNode rows (schemas.NODES)."""
+    agg = (
+        canon_map.groupby(["group_id", "label", "canon_name", "canon_uuid"], as_index=False)["n"].sum()
+    )
+    agg = agg.sort_values("canon_uuid").reset_index(drop=True)
+    names = agg["canon_name"].tolist()
+    embs = embed_many(names)
+    n = len(agg)
+    return pa.table(
+        {
+            "uuid": pa.array(agg["canon_uuid"], pa.string()),
+            "name": pa.array(names, pa.string()),
+            "group_id": pa.array(agg["group_id"], pa.string()),
+            "labels": pa.array([[l] for l in agg["label"]], pa.list_(pa.string())),
+            "created_at": pa.array([run_ts_us] * n, pa.timestamp("us")),
+            "name_embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(embs.ravel(), pa.float32()), EMBED_DIM
+            ),
+            "summary": pa.array([f"{l} entity: {c}" for l, c in zip(agg["label"], names)], pa.string()),
+            "attributes": pa.array(["{}"] * n, pa.string()),
+        }
+    )

@@ -1,0 +1,112 @@
+"""Unit tests: pinned HTML extractor, triple extraction, canonicalization.
+
+Oracles come from the SQL mirrors in fixtures/pages.py (same constants as
+the generator — drift-proof by construction) run through DuckDB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from graphiti_hf_ray.extract.html import extract_text, extract_text_batch
+from graphiti_hf_ray.extract.triples import TripleExtractor
+from graphiti_hf_ray.fixtures import pages as P
+from graphiti_hf_ray.ids import episode_uuid
+from graphiti_hf_ray.stages.canonicalize import (
+    blocking_keys_batch,
+    build_canonical_map,
+    components_driver,
+    names_duplicate,
+    pairs_in_block,
+    partial_distinct_mentions,
+)
+from graphiti_hf_ray.stages.edges import CanonicalRewrite, canon_map_dict
+from graphiti_hf_ray.stages.episodes import make_episode_batch
+
+RUN_TS = 1735689600_000_000
+
+
+def _pages_table(sf_small: str) -> pa.Table:
+    docs = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pg = P.pages_batch(docs)
+    return pg.append_column(
+        "group_id", pa.array([P.group_of(int(d)) for d in docs.column("doc_id").to_pylist()])
+    )
+
+
+def _triples(sf_small: str) -> pa.Table:
+    ep = make_episode_batch(extract_text_batch(_pages_table(sf_small)), RUN_TS)
+    return TripleExtractor()(ep)
+
+
+def test_extractor_byte_identity(sf_small):
+    """North rule: byte-identical extracted text per url (pinned v1)."""
+    pg = _pages_table(sf_small)
+    for h, t in zip(pg.column("html").to_pylist(), pg.column("text").to_pylist()):
+        assert extract_text(h) == t
+
+
+def test_pages_sql_mirror(duck, sf_small):
+    pg = _pages_table(sf_small)
+    a = pg.select(["url", "warc_ts", "text"]).to_pandas().sort_values("url").reset_index(drop=True)
+    b = (
+        duck.sql(P.sql_pages()).df()[["url", "warc_ts", "text"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_triple_extraction_exact(duck, sf_small):
+    """Extraction P/R = 1.0 vs the gold grammar (north: P/R >= 0.95)."""
+    tr = _triples(sf_small).to_pandas()
+    gold = duck.sql(P.sql_gold_triples()).df()
+    gold["episode_uuid"] = [episode_uuid(P.url_of(int(d))) for d in gold["d"]]
+    mine = set(zip(tr["episode_uuid"], tr["subj_surface"], tr["pred"], tr["obj_surface"], tr["fact"]))
+    exp = set(zip(gold["episode_uuid"], gold["subj_surf"], gold["pred"], gold["obj_surf"], gold["fact"]))
+    assert mine == exp
+    assert len(tr) == len(gold)
+
+
+def test_names_duplicate_rules():
+    assert names_duplicate("Ada Lovelace", "A. Lovelace")
+    assert names_duplicate("Ada Lovelace", "Lovelace")
+    assert names_duplicate("E. Dijkstra", "Edsger Dijkstra")
+    assert names_duplicate("Acme Corporation", "Acme")
+    assert names_duplicate("Pied Piper Software", "Piper")
+    assert not names_duplicate("A. Lovelace", "A. Turing")
+    assert not names_duplicate("Acme Corporation", "Globex Industries")
+
+
+def _canon_map(sf_small):
+    tr = _triples(sf_small)
+    pm = partial_distinct_mentions(tr).to_pandas()
+    m = pm.groupby(["group_id", "label", "surface"], as_index=False)["n"].sum()
+    bk = blocking_keys_batch(pa.Table.from_pandas(m)).to_pandas()
+    pairs = pd.concat(
+        [pairs_in_block(g) for _, g in bk.groupby("block_key")], ignore_index=True
+    ).drop_duplicates()
+    roots = components_driver(zip(pairs["a"], pairs["b"]))
+    return m, build_canonical_map(m, roots)
+
+
+def test_canonicalization_matches_oracle(duck, sf_small):
+    _, cmap = _canon_map(sf_small)
+    got = set(zip(cmap["group_id"], cmap["label"], cmap["canon_name"]))
+    gc = duck.sql("WITH " + P.sql_canonical_cte() + " SELECT * FROM gold_canon").df()
+    exp = set(zip(gc["group_id"], gc["subj_label"], gc["subj_c"])) | set(
+        zip(gc["group_id"], gc["obj_label"], gc["obj_c"])
+    )
+    assert got == exp
+
+
+def test_rewrite_canonical_triples_exact(duck, sf_small):
+    tr = _triples(sf_small)
+    _, cmap = _canon_map(sf_small)
+    rw = CanonicalRewrite(canon_map_dict(cmap))(tr).to_pandas()
+    gc = duck.sql("WITH " + P.sql_canonical_cte() + " SELECT * FROM gold_canon").df()
+    a = set(zip(rw["episode_uuid"], rw["src_uuid"], rw["pred"], rw["obj_uuid"]))
+    b = set(zip(gc["episode_uuid"], gc["subj_uuid"], gc["pred"], gc["obj_uuid"]))
+    assert a == b
