@@ -203,5 +203,98 @@ def oracle_sql() -> dict[str, str]:
                 SELECT episode_uuid, obj_uuid FROM gold_canon
             )
         """,
+        "q24_kg_communities": f"""
+            WITH RECURSIVE {cte},
+            merged AS (SELECT DISTINCT group_id, subj_uuid AS a, obj_uuid AS b FROM gold_canon),
+            und AS (SELECT group_id, a, b FROM merged UNION SELECT group_id, b AS a, a AS b FROM merged),
+            reach AS (
+                SELECT group_id, a AS node, a AS peer FROM und
+                UNION
+                SELECT r.group_id, r.node, u.b AS peer
+                FROM reach r JOIN und u ON u.group_id = r.group_id AND u.a = r.peer
+            )
+            SELECT group_id, md5('com:' || group_id || ':' || root) AS community_uuid, node AS member_uuid
+            FROM (SELECT group_id, node, min(peer) AS root FROM reach GROUP BY 1, 2)
+        """,
+        "q25_mention_counts": f"""
+            WITH {cte}
+            SELECT entity_uuid, count(*) AS n_mentions FROM (
+                SELECT DISTINCT episode_uuid, entity_uuid FROM (
+                    SELECT episode_uuid, subj_uuid AS entity_uuid FROM gold_canon
+                    UNION ALL
+                    SELECT episode_uuid, obj_uuid FROM gold_canon
+                )
+            ) GROUP BY 1
+        """,
+        "q26_kg_bfs": f"""
+            WITH {cte},
+            merged AS (SELECT DISTINCT group_id, subj_uuid AS a, obj_uuid AS b FROM gold_canon),
+            seed AS (
+                SELECT min(md5('ent:' || group_id || ':' || label || ':' || canon_name)) AS s
+                FROM canon WHERE group_id = 'g0'
+            ),
+            hop1 AS (
+                SELECT DISTINCT m.b AS uuid FROM merged m, seed WHERE m.a = seed.s AND m.group_id = 'g0'
+            ),
+            hop2 AS (
+                SELECT DISTINCT m.b AS uuid FROM merged m JOIN hop1 h ON m.a = h.uuid WHERE m.group_id = 'g0'
+            )
+            SELECT uuid, 1 AS depth FROM hop1 WHERE uuid != (SELECT s FROM seed)
+            UNION ALL
+            SELECT uuid, 2 AS depth FROM hop2
+            WHERE uuid NOT IN (SELECT uuid FROM hop1) AND uuid != (SELECT s FROM seed)
+        """,
+        "q27_kg_pit_edges": f"""
+            WITH {cte},
+            merged AS (
+                SELECT group_id, subj_uuid, pred, obj_uuid,
+                       min(valid_at) AS valid_at, min(epoch_us) AS epoch_us
+                FROM gold_canon GROUP BY 1, 2, 3, 4
+            ),
+            swept AS (
+                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                       lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
+                                            ORDER BY valid_at, subj_uuid)
+                       ELSE NULL END AS invalid_at
+                FROM merged
+            )
+            SELECT md5('rel:' || group_id || ':' || subj_uuid || ':' || pred || ':' || obj_uuid || ':' || epoch_us) AS uuid
+            FROM swept
+            WHERE valid_at <= TIMESTAMP '2024-06-01' AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-06-01')
+        """,
+        "q28_kg_validation": f"""
+            WITH {cte},
+            merged AS (
+                SELECT group_id, subj_uuid, pred, obj_uuid, min(valid_at) AS valid_at,
+                       min_by(fact, epoch_us) AS fact
+                FROM gold_canon GROUP BY 1, 2, 3, 4
+            ),
+            swept AS (
+                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                       lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
+                                            ORDER BY valid_at, subj_uuid)
+                       ELSE NULL END AS invalid_at
+                FROM merged
+            ),
+            n AS (SELECT count(*) AS n_rows FROM swept)
+            SELECT * FROM (
+                SELECT 'bad_group_id' AS rule, count(*) FILTER (WHERE NOT regexp_matches(group_id, '^[a-zA-Z0-9_-]+$')) AS n_violations, (SELECT n_rows FROM n) AS n_rows FROM swept
+                UNION ALL
+                SELECT 'empty_fact', count(*) FILTER (WHERE fact IS NULL OR length(fact) = 0), (SELECT n_rows FROM n) FROM swept
+                UNION ALL
+                SELECT 'empty_name', count(*) FILTER (WHERE pred IS NULL OR length(pred) = 0), (SELECT n_rows FROM n) FROM swept
+                UNION ALL
+                SELECT 'missing_source', count(*) FILTER (WHERE subj_uuid IS NULL OR length(subj_uuid) = 0), (SELECT n_rows FROM n) FROM swept
+                UNION ALL
+                SELECT 'missing_target', count(*) FILTER (WHERE obj_uuid IS NULL OR length(obj_uuid) = 0), (SELECT n_rows FROM n) FROM swept
+                UNION ALL
+                SELECT 'temporal_inverted', count(*) FILTER (WHERE valid_at IS NOT NULL AND invalid_at IS NOT NULL AND invalid_at <= valid_at), (SELECT n_rows FROM n) FROM swept
+            )
+        """,
+        "q29_multimodal_features": """
+            SELECT 'm' || doc_id AS media_id, md5(text) AS payload_md5,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
     }
     return sql

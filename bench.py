@@ -1,0 +1,150 @@
+"""Benchmark driver: headline KG-construction pipeline + representative
+operator timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "kg_build_sec", "value": N, "unit": "sec",
+   "queries": {...per-stage/query seconds...}, "sf": ..., "num_cpus": N,
+   "pages": N, "triples": N, "triples_per_sec": N}
+
+`--scaling` runs the same bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input (page cache warmed by the
+first run's untimed fixture build) and prints throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    factor = int(os.environ.get("GRAFT_PAGES_FACTOR", "256"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from graphiti_hf_ray.fixtures.pages import build_bench_pages
+    from graphiti_hf_ray.pipelines.kg import build_graph
+    from graphiti_hf_ray.pipelines import queries as Q
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    pages_path = f"/tmp/graphiti_bench/pages_{sf_tag}_x{factor}.parquet"
+    os.makedirs("/tmp/graphiti_bench", exist_ok=True)
+
+    # untimed fixture build (input synthesis) + page-cache warm read
+    if not os.path.exists(pages_path):
+        n_pages = build_bench_pages(os.path.join(sf_dir, "documents.parquet"), pages_path, factor=factor)
+    else:
+        import pyarrow.parquet as pq
+
+        n_pages = pq.read_metadata(pages_path).num_rows
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    out_dir = f"/tmp/graphiti_bench/out_{sf_tag}_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the worker pool (process spawn + imports) so the timed section
+    # measures compute + shuffle, not cold-start
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    metrics = build_graph([pages_path], out_dir, num_shards=max(16, num_cpus))
+    kg_sec = time.time() - t0
+    triples = metrics["tables"]["triples"]["rows"]
+    timings["kg_build"] = round(kg_sec, 3)
+
+    # representative operator benches (each timed on its own)
+    for name in ("q01_pricing_summary", "q08_events_daily", "q12_dedup_exact", "q16_knn", "q19_minhash_neardup"):
+        t0 = time.time()
+        res = Q.QUERIES[name](sf_dir)
+        n = len(res) if hasattr(res, "__len__") else res.count()
+        timings[name] = round(time.time() - t0, 3)
+        del res, n
+
+    return {
+        "metric": "kg_build_sec",
+        "value": timings["kg_build"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "triples": triples,
+        "triples_per_sec": round(triples / kg_sec, 1),
+    }
+
+
+def _clean_ray_state() -> None:
+    """Leftover Ray session dirs measurably degrade the next session on
+    this box; scrub between scaling runs so each level starts clean."""
+    import glob
+
+    for d in glob.glob("/tmp/ray/session_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def run_scaling() -> dict:
+    """Same job, same input, two ``ray.init(num_cpus=…)`` levels in fresh
+    processes. Default pair is 4 → 16: this container exposes 32 vCPUs but
+    only ~16 physical cores (parallel-burn speedup saturates at ~16, see
+    BASELINE.md), so 8 → 32 conflates SMT with scaling; 4 → 16 measures
+    true core scaling. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI."""
+
+    def one(ncpu: int) -> dict:
+        _clean_ray_state()
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo, tput_hi = r_lo["triples_per_sec"], r_hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "triples_per_sec_lo": tput_lo,
+        "triples_per_sec_hi": tput_hi,
+        "sf": r_lo["sf"],
+        "pages": r_lo["pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

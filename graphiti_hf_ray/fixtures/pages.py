@@ -231,6 +231,42 @@ def build_pages_parquet(documents_path: str, out_path: str) -> None:
     pq.write_table(pages_batch(docs), out_path)
 
 
+def build_bench_pages(documents_path: str, out_path: str, factor: int = 4, with_group: bool = True) -> int:
+    """Bench-scale corpus: ``factor × n_docs`` pages with doc ids
+    0..N-1; soup text cycles through the documents table. Deterministic —
+    same N always yields byte-identical parquet content. Returns N."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    n = docs.num_rows
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    total = n * factor
+    writer = None
+    try:
+        for start in range(0, total, 50_000):
+            stop = min(start + 50_000, total)
+            ids = list(range(start, stop))
+            batch = pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[d % n] for d in ids], pa.string()),
+                    "lang": pa.array([langs[d % n] for d in ids], pa.string()),
+                }
+            )
+            out = pages_batch(batch)
+            if with_group:
+                out = out.append_column("group_id", pa.array([group_of(d) for d in ids], pa.string()))
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, out.schema)
+            # small row groups → many parallel read splits downstream
+            writer.write_table(out, row_group_size=8192)
+    finally:
+        if writer is not None:
+            writer.close()
+    return total
+
+
 # ---------------------------------------------------------------------------
 # SQL mirrors (DuckDB). Each helper returns an SQL *expression* in terms of
 # a documents row aliased ``d`` (doc_id) — or a full subquery. Generated from

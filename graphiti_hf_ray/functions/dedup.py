@@ -80,17 +80,15 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         fp = pa.array([hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()])
         return pa.table({"fingerprint": fp, "doc_id": t.column("doc_id")})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "fingerprint": [g["fingerprint"].iloc[0]],
-                "keep_doc_id": [int(g["doc_id"].min())],
-                "n_dups": [len(g)],
-            }
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fingerprint", as_index=False, sort=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
 
-    return docs.map_batches(add_hash, batch_format="pyarrow").groupby("fingerprint").map_groups(
-        first, batch_format="pandas"
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        docs.map_batches(add_hash, batch_format="pyarrow"), ["fingerprint"], first
     )
 
 
@@ -141,17 +139,24 @@ def minhash_lsh_candidates(docs: "ray.data.Dataset", jaccard_threshold: float = 
                     j_out.append(round(jac, 6))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
 
-    pairs = (
-        docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512)
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from ..stages.shuffle import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in df.groupby(["band_id", "band_hash"], sort=False)]
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_group_apply(
+        docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
+        ["band_id", "band_hash"], per_bucket,
     )
 
     # same pair can surface from several bands → distinct
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas")
+    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], dedupe)
 
 
 def simhash64(text: str) -> int:
@@ -206,12 +211,19 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.D
                     d_out.append(d)
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": d_out})
 
-    pairs = (
-        docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512)
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from ..stages.shuffle import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in df.groupby(["band_id", "band_val"], sort=False)]
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_group_apply(
+        docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
+        ["band_id", "band_val"], per_bucket,
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
 
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float = 0.5) -> "ray.data.Dataset":
@@ -252,30 +264,38 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float =
     size_map = {r["doc_id"]: r["n_shingles"] for r in sizes.take_all()}  # small: one int per doc
     size_ref = ray.put(size_map)
 
-    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
+    from ..stages.shuffle import bucketed_group_apply
+
+    def co_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("shingle", sort=False):
+            ids = sorted(set(g["doc_id"]))
+            if len(ids) < 2:
+                continue
+            idx_a, idx_b = np.triu_indices(len(ids), k=1)
+            arr = np.asarray(ids, np.int64)
+            outs.append(pd.DataFrame({"doc_a": arr[idx_a], "doc_b": arr[idx_b]}))
+        if not outs:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")})
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "n": 1})
+        out = pd.concat(outs, ignore_index=True)
+        # partial pre-aggregation: count co-occurrences within this bucket
+        return out.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(n=("doc_a", "size"))
 
-    co = shingles.groupby("shingle").map_groups(co_pairs, batch_format="pandas")
+    co = bucketed_group_apply(shingles, ["shingle"], co_pairs)
 
-    def verify(g: pd.DataFrame, _ref=size_ref) -> pd.DataFrame:
+    def verify(df: pd.DataFrame, _ref=size_ref) -> pd.DataFrame:
         sizes = ray.get(_ref)  # local object-store hit (broadcast once driver-side)
-        inter = int(g["n"].sum())
-        a, b = int(g["doc_a"].iloc[0]), int(g["doc_b"].iloc[0])
-        union = sizes[a] + sizes[b] - inter
-        jac = inter / union if union else 0.0
-        if jac < threshold:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b], "jaccard": [round(jac, 6)]})
+        agg = df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)["n"].sum()
+        na = agg["doc_a"].map(sizes).astype("int64")
+        nb = agg["doc_b"].map(sizes).astype("int64")
+        union = na + nb - agg["n"]
+        jac = agg["n"] / union.where(union > 0, 1)
+        keep = jac >= threshold
+        out = agg.loc[keep, ["doc_a", "doc_b"]].reset_index(drop=True)
+        out["jaccard"] = jac[keep].round(6).values
+        return out
 
-    return co.groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pandas")
+    return bucketed_group_apply(co, ["doc_a", "doc_b"], verify)
 
 
 def embedding_neardup(emb: "ray.data.Dataset", threshold: float = 0.95) -> "ray.data.Dataset":

@@ -26,9 +26,11 @@ def point_in_time(ds: "ray.data.Dataset", t, valid_col: str = "valid_at", invali
     ts = pa.scalar(t, pa.timestamp("us"))
 
     def f(b: pa.Table) -> pa.Table:
-        ok = pc.and_(
+        # Kleene logic: TRUE OR NULL must be TRUE (plain pc.or_ yields NULL
+        # when invalid_at is null, silently dropping every open interval)
+        ok = pc.and_kleene(
             pc.less_equal(b.column(valid_col), ts),
-            pc.or_(pc.is_null(b.column(invalid_col)), pc.greater(b.column(invalid_col), ts)),
+            pc.or_kleene(pc.is_null(b.column(invalid_col)), pc.greater(b.column(invalid_col), ts)),
         )
         return b.filter(ok)
 
@@ -54,18 +56,17 @@ def bucket_aggregate(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "bucket": [g["bucket"].iloc[0]],
-                "n": [int(g["n"].sum())],
-                "total": [round(float(g["total"].sum()), 6)],
-            }
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([key_col, "bucket"], as_index=False, sort=False).agg(
+            n=("n", "sum"), total=("total", "sum")
         )
+        out["total"] = out["total"].round(6)
+        return out
 
-    return events.map_batches(partial, batch_format="pyarrow").groupby([key_col, "bucket"]).map_groups(
-        merge, batch_format="pandas"
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        events.map_batches(partial, batch_format="pyarrow"), [key_col, "bucket"], merge
     )
 
 
@@ -76,12 +77,14 @@ def interval_sweep(
     ``valid_until`` = next row's ts (NULL for the latest) — 'more recent
     info wins' (edge_operations.py:381-411)."""
 
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
-        g["valid_until"] = g[ts_col].shift(-1)
-        return g
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        df["valid_until"] = df.groupby(key_cols, sort=False)[ts_col].shift(-1)
+        return df
 
-    return events.groupby(key_cols).map_groups(sweep, batch_format="pandas")
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(events, key_cols, sweep)
 
 
 def detect_overlaps(

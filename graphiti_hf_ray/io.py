@@ -79,6 +79,34 @@ def write_shard_atomic(table: pa.Table, d: str, fingerprint: str, metrics: dict 
         raise
 
 
+def write_table_distributed(ds, d: str, fingerprint: str, metrics: dict | None = None) -> int:
+    """Distributed sink: workers stream blocks straight to part files under
+    a tmp dir (no driver-side concat), then one atomic rename + manifest.
+    Phase-level resumability: a complete manifest with the same fingerprint
+    skips the whole write."""
+    import ray
+
+    if manifest_matches(d, fingerprint):
+        with open(os.path.join(d, MANIFEST)) as f:
+            return json.load(f).get("rows", 0)
+    parent = os.path.dirname(d) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".tmp-dist-", dir=parent)
+    try:
+        ds.write_parquet(tmp)
+        rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows for f in os.listdir(tmp) if f.endswith(".parquet"))
+        man = {"fingerprint": fingerprint, "rows": rows, "written_at": time.time(), "complete": True, **(metrics or {})}
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(man, f)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+        return rows
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 def read_table_dir(out_dir: str, table: str) -> pa.Table:
     """Read every shard of a table directory back into one Arrow table."""
     root = os.path.join(out_dir, table)

@@ -42,10 +42,9 @@ from ..stages.canonicalize import build_nodes_table, canonicalize
 from ..stages.edges import (
     CanonicalRewrite,
     canon_map_dict,
-    dedup_edges,
     finalize_edges,
-    invalidate_functional,
-    mentions_edges,
+    mentions_edges_from_triples,
+    merge_and_invalidate,
 )
 from ..stages.embed import Embedder
 from ..stages.episodes import make_episode_batch
@@ -85,7 +84,8 @@ def extract_phase(
     if not todo:
         return
 
-    ds = rd.read_parquet(pages_paths)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(pages_paths, override_num_blocks=max(num_shards, 2 * cpus))
     # shard assignment must be content-stable (resume-safe): hash of url
     def add_shard(t: pa.Table) -> pa.Table:
         shards = [
@@ -132,42 +132,64 @@ def extract_phase(
     stats.materialize()  # execute
 
 
-def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US) -> dict:
+def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US, timings: dict | None = None) -> dict:
     """P2+P3: global canonicalization + edge build from extracted shards."""
-    triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+    import time as _time
+
+    timings = timings if timings is not None else {}
+    t0 = _time.time()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # prune at the read: drop the hive-partition 'shard' column and sent_idx
+    # so the rewrite/dedup shuffles move only needed bytes
+    triples = rd.read_parquet(
+        os.path.join(out_dir, "triples"),
+        override_num_blocks=2 * cpus,
+        columns=[
+            "episode_uuid", "group_id", "valid_at", "subj_surface", "subj_label",
+            "pred", "obj_surface", "obj_label", "fact",
+        ],
+    )
 
     # P2: canonical map (driver-side DataFrame — vocabulary-sized) + nodes
     canon_map = canonicalize(triples)
+    timings["canonicalize"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     nodes_tbl = build_nodes_table(canon_map, run_ts_us)
     fp = "run:" + str(run_ts_us)
     gio.write_shard_atomic(nodes_tbl, os.path.join(out_dir, "nodes", "shard=0000"), fp)
 
     # P3: rewrite (broadcast join), dedup merge, invalidation, embeddings
     map_ref = ray.put(canon_map_dict(canon_map))
-    rewritten = triples.map_batches(
-        CanonicalRewrite, batch_format="pyarrow", concurrency=_pool_size(), fn_constructor_args=(map_ref,)
-    ).materialize()  # branch point: consumed by dedup AND mentions — pin once
-    # merged is post-dedup (≪ triples); it feeds two filter branches in
-    # invalidate_functional, so pin it too instead of re-executing the
-    # rewrite+shuffle lineage per branch (which also double-instantiates
-    # the actor pools and can starve a small cluster)
-    merged = dedup_edges(rewritten).materialize()
-    swept = invalidate_functional(merged)
-    final = finalize_edges(swept, run_ts_us)
-    final = final.map_batches(
-        Embedder, batch_format="pyarrow", concurrency=_pool_size(), fn_constructor_args=("fact", "fact_embedding")
-    )
-    edges_tbl = pa.concat_tables(
-        [ray.get(r) for r in final.to_arrow_refs()], promote_options="default"
-    )
-    gio.write_shard_atomic(edges_tbl, os.path.join(out_dir, "edges", "shard=0000"), fp,
-                           {"triples": edges_tbl.num_rows})
+    # edges job: read → rewrite (actor pool, broadcast map) → ONE fused
+    # shuffle for dedup-merge + temporal invalidation (bucket key
+    # (group, pred, obj) co-locates both groupings) → finalize → embed →
+    # distributed write — a single lazy streaming execution, no pinning
+    import functools
 
-    mentions = mentions_edges(rewritten, run_ts_us)
-    men_tbl = pa.concat_tables([ray.get(r) for r in mentions.to_arrow_refs()], promote_options="default")
-    gio.write_shard_atomic(men_tbl, os.path.join(out_dir, "episodic_edges", "shard=0000"), fp)
+    from ..stages.edges import rewrite_batch
+
+    rewritten = triples.map_batches(
+        functools.partial(rewrite_batch, map_ref=map_ref), batch_format="pyarrow"
+    )
+    swept = merge_and_invalidate(rewritten)
+    final = finalize_edges(swept, run_ts_us)
+    # embed as stateless tasks: the trigram cache is module-global per
+    # worker process, so task form loses nothing vs an actor pool here
+    from ..stages.embed import Embedder as _E
+
+    _embed = _E("fact", "fact_embedding")
+    final = final.map_batches(_embed, batch_format="pyarrow")
+    n_edges = gio.write_table_distributed(final, os.path.join(out_dir, "edges"), fp)
+    timings["edges_job"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
+
+    # mentions job: independent light path over the same triples parquet
+    mentions = mentions_edges_from_triples(triples, map_ref, run_ts_us)
+    gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
+    timings["mentions"] = round(_time.time() - t0, 2)
 
     metrics = gio.job_metrics(out_dir)
+    metrics["timings"] = dict(timings)
     with open(os.path.join(out_dir, "_job_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics
@@ -180,5 +202,10 @@ def build_graph(
     num_shards: int | None = None,
 ) -> dict:
     """Full pipeline: pages parquet → nodes/edges/episodes/episodic_edges."""
+    import time as _time
+
+    timings: dict = {}
+    t0 = _time.time()
     extract_phase(pages_paths, out_dir, run_ts_us, num_shards)
-    return link_and_edges_phase(out_dir, run_ts_us)
+    timings["extract"] = round(_time.time() - t0, 2)
+    return link_and_edges_phase(out_dir, run_ts_us, timings)

@@ -109,21 +109,18 @@ def q03_customer_order_stats(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "n_orders": [int(g["n_orders"].sum())],
-                "total": [_r2(g["total"].sum())],
-            }
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False, sort=False).agg(
+            n_orders=("n_orders", "sum"), total=("total", "sum")
         )
+        out["total"] = out["total"].round(2)
+        return out
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
-    )
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], merge
+    ).to_pandas()
 
 
 def q04_region_rollup(sf_dir: str) -> pd.DataFrame:
@@ -207,12 +204,14 @@ def q07_latest_order(sf_dir: str) -> pd.DataFrame:
     """Per-key argmax (window/top-1 per group, T1/T9 shape)."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False], kind="mergesort")
-        r = g.iloc[0]
-        return pd.DataFrame({"o_custkey": [r["o_custkey"]], "latest_orderkey": [r["o_orderkey"]]})
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False], kind="mergesort")
+        out = df.groupby("o_custkey", as_index=False, sort=False).first()
+        return out[["o_custkey", "o_orderkey"]].rename(columns={"o_orderkey": "latest_orderkey"})
 
-    return ds.groupby("o_custkey").map_groups(latest, batch_format="pandas").to_pandas()
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(ds, ["o_custkey"], latest).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -261,14 +260,17 @@ def q11_events_sessions(sf_dir: str) -> pd.DataFrame:
     the sorted group — ray_guide.md 'Streaming-shaped workloads')."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1], "n_events": [len(g)]}
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = df.groupby("user_id", sort=False)["ts"].diff() > pd.Timedelta(minutes=30)
+        df = df.assign(_gap=gaps.astype(int))
+        return df.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("_gap", lambda s: int(s.sum()) + 1), n_events=("_gap", "size")
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(ds, ["user_id"], sess).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -450,3 +452,98 @@ QUERIES = {
     "q22_kg_edges": q22_kg_edges,
     "q23_kg_mentions": q23_kg_mentions,
 }
+
+
+# ---------------------------------------------------------------------------
+# KG read-side / analytics queries (communities, traversal, temporal,
+# validation, multimodal plumbing)
+# ---------------------------------------------------------------------------
+
+def q24_kg_communities(sf_dir: str) -> pd.DataFrame:
+    """Per-group community detection (A5): membership rows."""
+    from ..stages.communities import detect_communities
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    m = detect_communities(edges).to_pandas()
+    return m[["group_id", "community_uuid", "member_uuid"]]
+
+
+def q25_mention_counts(sf_dir: str) -> pd.DataFrame:
+    """A4 episode-mentions counts per entity (Ray-native groupby.count)."""
+    out_dir = _kg_out_dir(sf_dir)
+    men = rd.read_parquet(os.path.join(out_dir, "episodic_edges"), columns=["target_node_uuid"])
+    out = men.groupby("target_node_uuid").count().to_pandas()
+    out.columns = ["entity_uuid", "n_mentions"]
+    return out
+
+
+def q26_kg_bfs(sf_dir: str) -> pd.DataFrame:
+    """BFS depth<=2 (directed) from the min-uuid node of group g0."""
+    from ..search.traversal import bfs_reachable
+
+    out_dir = _kg_out_dir(sf_dir)
+    nodes = rd.read_parquet(os.path.join(out_dir, "nodes"), columns=["uuid", "group_id"])
+
+    def g0_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("group_id"), pa.scalar("g0")))
+
+    seed = min(r["uuid"] for r in nodes.map_batches(g0_only, batch_format="pyarrow").take_all())
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    return bfs_reachable(edges, [seed], max_depth=2, directed=True)
+
+
+def q27_kg_pit_edges(sf_dir: str) -> pd.DataFrame:
+    """TS5 point-in-time snapshot of the edges table at 2024-06-01."""
+    from ..functions.temporal import point_in_time
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    snap = point_in_time(edges, pd.Timestamp("2024-06-01"))
+    return snap.select_columns(["uuid"]).to_pandas()
+
+
+def q28_kg_validation(sf_dir: str) -> pd.DataFrame:
+    """M9 validation metrics over the edges table."""
+    from ..stages.validate import validation_metrics
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    return validation_metrics(edges)
+
+
+def q29_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: binary payload column → actor-pool feature
+    extraction (deterministic fake decode); hash+size columns verified."""
+    from ..functions.multimodal import extract_media_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array([f"m{d}" for d in ids], pa.string()),
+                "payload": pa.array([x.encode("utf-8") for x in texts], pa.binary()),
+                "mime": pa.array(["text/plain"] * len(ids), pa.string()),
+                "meta": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    feats = extract_media_features(media, backend="fake")
+    out = feats.select_columns(["media_id", "payload_md5", "n_bytes"]).to_pandas()
+    return out
+
+
+QUERIES.update(
+    {
+        "q24_kg_communities": q24_kg_communities,
+        "q25_mention_counts": q25_mention_counts,
+        "q26_kg_bfs": q26_kg_bfs,
+        "q27_kg_pit_edges": q27_kg_pit_edges,
+        "q28_kg_validation": q28_kg_validation,
+        "q29_multimodal_features": q29_multimodal_features,
+    }
+)

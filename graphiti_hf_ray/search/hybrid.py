@@ -1,0 +1,286 @@
+"""Hybrid search orchestration (SURVEY.md §2.9; reference
+graphiti_core/search/search.py:68-182 + search_config.py + 15 recipes in
+search_config_recipes.py:34-223).
+
+Contract: given query text (+ optional center node / bfs origins / group
+filter / SearchFilters), run the configured per-record-type searchers,
+combine with the configured reranker, truncate to limit. Candidate budget
+is 2×limit per method (search.py:205). Searchers run over the Parquet
+graph tables as streaming Ray Data passes; rerankers are driver-side numpy
+over the ≤hundreds-row candidate lists (same split as the reference).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from enum import Enum
+
+import pandas as pd
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..stages.embed import embed_text
+from .bm25 import bm25_topk
+from .filters import SearchFilters, apply_filters
+from .rerank import mmr, node_distance_rerank, rrf
+from .traversal import bfs_reachable, node_distances
+from .vector import cosine_topk
+
+DEFAULT_SEARCH_LIMIT = 10  # search_config.py:29
+
+
+class SearchMethod(Enum):
+    bm25 = "bm25"
+    cosine_similarity = "cosine_similarity"
+    bfs = "breadth_first_search"
+
+
+class Reranker(Enum):
+    rrf = "reciprocal_rank_fusion"
+    mmr = "maximal_marginal_relevance"
+    node_distance = "node_distance"
+    episode_mentions = "episode_mentions"
+    cross_encoder = "cross_encoder"
+
+
+@dataclass
+class EdgeSearchConfig:
+    search_methods: list[SearchMethod]
+    reranker: Reranker = Reranker.rrf
+
+
+@dataclass
+class NodeSearchConfig:
+    search_methods: list[SearchMethod]
+    reranker: Reranker = Reranker.rrf
+
+
+@dataclass
+class EpisodeSearchConfig:
+    search_methods: list[SearchMethod] = field(default_factory=lambda: [SearchMethod.bm25])
+    reranker: Reranker = Reranker.rrf
+
+
+@dataclass
+class CommunitySearchConfig:
+    search_methods: list[SearchMethod]
+    reranker: Reranker = Reranker.rrf
+
+
+@dataclass
+class SearchConfig:
+    edge_config: EdgeSearchConfig | None = None
+    node_config: NodeSearchConfig | None = None
+    episode_config: EpisodeSearchConfig | None = None
+    community_config: CommunitySearchConfig | None = None
+    limit: int = DEFAULT_SEARCH_LIMIT
+
+
+@dataclass
+class SearchResults:
+    edges: pd.DataFrame
+    nodes: pd.DataFrame
+    episodes: pd.DataFrame
+    communities: pd.DataFrame
+
+
+# --- recipes (search_config_recipes.py parity: the load-bearing subset,
+#     same names; others compose from the same enums) ---
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig(
+    edge_config=EdgeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.rrf),
+    node_config=NodeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.rrf),
+    episode_config=EpisodeSearchConfig(),
+    community_config=CommunitySearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity]),
+)
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig(
+    edge_config=EdgeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.mmr),
+    node_config=NodeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.mmr),
+)
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(
+    edge_config=EdgeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.rrf)
+)
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    edge_config=EdgeSearchConfig(
+        [SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.node_distance
+    )
+)
+NODE_HYBRID_SEARCH_RRF = SearchConfig(
+    node_config=NodeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.rrf)
+)
+EDGE_BFS_RRF = SearchConfig(edge_config=EdgeSearchConfig([SearchMethod.bfs], Reranker.rrf))
+
+
+class GraphStore:
+    """Read-side handle on a materialized graph output directory."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self._tables = {
+            name: os.path.join(out_dir, name)
+            for name in ("nodes", "edges", "episodes", "episodic_edges", "communities")
+        }
+
+    def ds(self, table: str, group_ids: list[str] | None = None) -> "rd.Dataset":
+        path = self._tables[table]
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        d = rd.read_parquet(path)
+        if group_ids:
+            import pyarrow as pa
+
+            gids = pa.array(group_ids)
+
+            def f(t):
+                return t.filter(pc.is_in(t.column("group_id"), value_set=gids))
+
+            d = d.map_batches(f, batch_format="pyarrow")
+        return d
+
+
+def _candidates(
+    store: GraphStore,
+    table: str,
+    methods: list[SearchMethod],
+    query: str,
+    qvec,
+    group_ids,
+    filters: SearchFilters | None,
+    bfs_origins: list[str] | None,
+    budget: int,
+    text_col: str,
+    emb_col: str | None,
+) -> list[list[str]]:
+    ds = store.ds(table, group_ids)
+    ds = apply_filters(ds, filters, "edge" if table == "edges" else "node")
+    out: list[list[str]] = []
+    for m in methods:
+        if m == SearchMethod.bm25:
+            r = bm25_topk(ds, query, text_col=text_col, id_col="uuid", k=budget)
+            out.append(list(r["uuid"]))
+        elif m == SearchMethod.cosine_similarity and emb_col is not None:
+            r = cosine_topk(ds, qvec, emb_col=emb_col, id_col="uuid", k=budget)
+            out.append(list(r["uuid"]))
+        elif m == SearchMethod.bfs and bfs_origins:
+            edges = store.ds("edges", group_ids)
+            reach = bfs_reachable(edges, bfs_origins)
+            if table == "edges":
+                import pyarrow as pa
+
+                nodes_set = pa.array(list(reach["uuid"]) + bfs_origins)
+
+                def touches(t):
+                    return t.filter(
+                        pc.or_(
+                            pc.is_in(t.column("source_uuid"), value_set=nodes_set),
+                            pc.is_in(t.column("target_uuid"), value_set=nodes_set),
+                        )
+                    )
+
+                ids = [
+                    r["uuid"]
+                    for r in edges.map_batches(touches, batch_format="pyarrow")
+                    .select_columns(["uuid"])
+                    .take_all()
+                ]
+                out.append(sorted(ids)[: budget])
+            else:
+                out.append(list(reach["uuid"])[:budget])
+    return out
+
+
+def _rerank(
+    lists: list[list[str]],
+    reranker: Reranker,
+    limit: int,
+    qvec,
+    vec_lookup,
+    center_distances,
+    mention_counts,
+) -> list[str]:
+    if not lists:
+        return []
+    if reranker == Reranker.mmr and vec_lookup:
+        union = sorted(set().union(*lists))
+        return mmr(union, qvec, vec_lookup, k=limit)
+    if reranker == Reranker.node_distance and center_distances is not None:
+        union = sorted(set().union(*lists))
+        return [u for u, _ in node_distance_rerank(union, center_distances)][:limit]
+    if reranker == Reranker.episode_mentions and mention_counts is not None:
+        from .rerank import episode_mentions_rerank
+
+        union = sorted(set().union(*lists))
+        return [u for u, _ in episode_mentions_rerank(union, mention_counts)][:limit]
+    return [u for u, _ in rrf(lists)][:limit]
+
+
+def search(
+    store: GraphStore,
+    query: str,
+    config: SearchConfig,
+    group_ids: list[str] | None = None,
+    center_node_uuid: str | None = None,
+    bfs_origin_node_uuids: list[str] | None = None,
+    search_filter: SearchFilters | None = None,
+) -> SearchResults:
+    """The reference's hybrid search contract (search.py:68-182): embed the
+    query once, run each configured record-type search, rerank, truncate."""
+    qvec = embed_text(query)
+    budget = 2 * config.limit  # search.py:205
+    empty = pd.DataFrame({"uuid": []})
+    results: dict[str, pd.DataFrame] = {"edges": empty, "nodes": empty, "episodes": empty, "communities": empty}
+
+    center_dist = None
+    if center_node_uuid:
+        center_dist = node_distances(store.ds("edges", group_ids), center_node_uuid)
+
+    mention_counts = None
+
+    def finish(table: str, cfg, text_col: str, emb_col: str | None):
+        nonlocal mention_counts
+        lists = _candidates(
+            store, table, cfg.search_methods, query, qvec, group_ids, search_filter,
+            bfs_origin_node_uuids or ([center_node_uuid] if center_node_uuid else None),
+            budget, text_col, emb_col,
+        )
+        vec_lookup = None
+        if cfg.reranker == Reranker.mmr and emb_col:
+            union = set().union(*lists) if lists else set()
+            if union:
+                import pyarrow as pa
+
+                want = pa.array(sorted(union))
+                rows = (
+                    store.ds(table, group_ids)
+                    .map_batches(lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=want)), batch_format="pyarrow")
+                    .select_columns(["uuid", emb_col])
+                    .take_all()
+                )
+                vec_lookup = {r["uuid"]: r[emb_col] for r in rows}
+        if cfg.reranker == Reranker.episode_mentions and mention_counts is None:
+            men = store.ds("episodic_edges", group_ids)
+            mention_counts = (
+                men.groupby("target_node_uuid")
+                .count()
+                .rename_columns(["entity_uuid", "n_mentions"])
+                .to_pandas()
+            )
+        ranked = _rerank(lists, cfg.reranker, config.limit, qvec, vec_lookup, center_dist, mention_counts)
+        results[table] = pd.DataFrame({"uuid": ranked})
+
+    if config.edge_config:
+        finish("edges", config.edge_config, "fact", "fact_embedding")
+    if config.node_config:
+        finish("nodes", config.node_config, "name", "name_embedding")
+    if config.episode_config:
+        finish("episodes", config.episode_config, "content", None)
+    if config.community_config:
+        try:
+            finish("communities", config.community_config, "summary", "name_embedding")
+        except FileNotFoundError:
+            pass
+    return SearchResults(
+        edges=results["edges"], nodes=results["nodes"], episodes=results["episodes"], communities=results["communities"]
+    )

@@ -1,0 +1,53 @@
+"""Vector similarity search over a fixed-size-list embedding column
+(SURVEY.md ST3 / T7 — the FAISS-equivalent, index-free streaming form).
+
+``cosine_topk`` is the exact baseline: broadcast the query via ``ray.put``,
+one numpy matmul per batch, per-batch local top-k, global sort().limit(k) —
+the shuffle moves k rows per batch, never the corpus. Threshold semantics
+match the reference (DEFAULT_MIN_SCORE = 0.6, search_utils.py:69;
+normalized inner product = cosine, vector_search.py:229-285).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _norm(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+
+
+def cosine_topk(
+    ds: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    emb_col: str,
+    id_col: str,
+    k: int = 10,
+    min_score: float = 0.6,
+) -> pd.DataFrame:
+    q = _norm(np.asarray(query_vec, np.float64))
+    qref = ray.put((q, k, min_score))
+
+    def score(t: pa.Table) -> pa.Table:
+        q_, k_, ms = ray.get(qref)
+        ids = t.column(id_col).to_pylist()
+        col = t.column(emb_col)
+        mat = np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+        sims = _norm(mat) @ q_
+        keep = sims >= ms
+        ids = np.asarray(ids, object)[keep]
+        sims = sims[keep]
+        order = np.lexsort((ids, -sims))[:k_]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order].tolist(), pa.string()),
+                "score": pa.array(np.round(sims[order], 6), pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(score, batch_format="pyarrow")
+    return cands.sort(["score", id_col], descending=[True, False]).limit(k).to_pandas()

@@ -49,6 +49,7 @@ SEP = "\x1f"
 MAX_BLOCK_NAMES = 512  # per-block candidate cap (log drops; SURVEY.md §7.4)
 NODE_COS_THRESHOLD = 0.8  # bulk_utils.py:258
 DRIVER_CC_MAX_PAIRS = 5_000_000  # above this, use the distributed CC path
+DRIVER_PAIRS_MAX_MENTIONS = 200_000  # below this, pair scoring runs driver-side
 
 
 def mention_key(group_id: str, label: str, surface: str) -> str:
@@ -104,19 +105,16 @@ def partial_distinct_mentions(batch: pa.Table) -> pa.Table:
 
 
 def distinct_mentions(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Two-level distinct+count: per-batch combiner above, then a bucketed
+    vectorized merge — a hub entity ships one row per input block."""
+    from .shuffle import bucketed_group_apply
+
     partial = triples.map_batches(partial_distinct_mentions, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "group_id": [g["group_id"].iloc[0]],
-                "label": [g["label"].iloc[0]],
-                "surface": [g["surface"].iloc[0]],
-                "n": [int(g["n"].sum())],
-            }
-        )
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["group_id", "label", "surface"], as_index=False, sort=False)["n"].sum()
 
-    return partial.groupby(["group_id", "label", "surface"]).map_groups(merge, batch_format="pandas")
+    return bucketed_group_apply(partial, ["group_id", "label", "surface"], merge)
 
 
 # ---------------------------------------------------------------------------
@@ -176,8 +174,17 @@ def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def duplicate_pairs(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+    from .shuffle import bucketed_group_apply
+
     blocked = mentions.map_batches(blocking_keys_batch, batch_format="pyarrow")
-    return blocked.groupby("block_key").map_groups(pairs_in_block, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs_in_block(g) for _, g in df.groupby("block_key", sort=False)]
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(blocked, ["block_key"], per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -319,15 +326,28 @@ def canonicalize(triples: "ray.data.Dataset") -> pd.DataFrame:
     outgrows broadcast (~10⁷ entities), the rewrite switches to the
     hash-join path (stages/edges.py, ``rewrite_via_join``).
     """
-    mentions = distinct_mentions(triples).materialize()
-    pairs_ds = duplicate_pairs(mentions)
-    pairs_df = pairs_ds.to_pandas()
-    if len(pairs_df) > DRIVER_CC_MAX_PAIRS:
-        cc = connected_components_distributed(pairs_ds).to_pandas()
-        node_to_root = dict(zip(cc["node"], cc["root"]))
+    mentions_df = distinct_mentions(triples).to_pandas()
+    if len(mentions_df) <= DRIVER_PAIRS_MAX_MENTIONS:
+        # vocabulary-sized distinct-mention set: run blocking + pairwise
+        # scoring driver-side with the SAME kernels (no extra Ray job)
+        bk = blocking_keys_batch(pa.Table.from_pandas(mentions_df, preserve_index=False)).to_pandas()
+        outs = [pairs_in_block(g) for _, g in bk.groupby("block_key", sort=False)]
+        pairs_df = (
+            pd.concat(outs, ignore_index=True).drop_duplicates()
+            if outs
+            else pd.DataFrame({"a": [], "b": []}, dtype=str)
+        )
     else:
-        node_to_root = components_driver(zip(pairs_df["a"], pairs_df["b"]))
-    mentions_df = mentions.to_pandas()
+        import ray.data as rd
+
+        mentions = rd.from_pandas(mentions_df)
+        pairs_ds = duplicate_pairs(mentions)
+        pairs_df = pairs_ds.to_pandas()
+        if len(pairs_df) > DRIVER_CC_MAX_PAIRS:
+            cc = connected_components_distributed(pairs_ds).to_pandas()
+            node_to_root = dict(zip(cc["node"], cc["root"]))
+            return build_canonical_map(mentions_df, node_to_root)
+    node_to_root = components_driver(zip(pairs_df["a"], pairs_df["b"]))
     return build_canonical_map(mentions_df, node_to_root)
 
 

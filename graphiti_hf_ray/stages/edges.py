@@ -37,6 +37,26 @@ from .canonicalize import SEP
 FUNCTIONAL_PREDS = frozenset({"IS_CEO_OF"})
 
 
+# Per-worker broadcast cache: a ray.put dict deserializes on every
+# ray.get in a task, so stateless tasks cache it per worker process keyed
+# by the ObjectRef. This keeps the hot map stages as plain TASKS (fully
+# elastic — no actor-pool sizing) while paying the deserialization once
+# per worker, like an actor __init__ would.
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _get_broadcast(ref):
+    if isinstance(ref, dict):
+        return ref
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _BROADCAST_CACHE.clear()  # hold at most one broadcast per worker
+        _BROADCAST_CACHE[key] = hit
+    return hit
+
+
 class CanonicalRewrite:
     """map_batches stage: triples batch → endpoints rewritten to canonical
     (uuid, name). ``map_ref`` is a ``ray.put`` ObjectRef of the dict
@@ -44,23 +64,36 @@ class CanonicalRewrite:
     per worker, zero-copy from the local object store thereafter."""
 
     def __init__(self, map_ref):
-        self._map = ray.get(map_ref) if not isinstance(map_ref, dict) else map_ref
+        m = _get_broadcast(map_ref)
+        self._names = {k: v[0] for k, v in m.items()}
+        self._uuids = {k: v[1] for k, v in m.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = self._map
-        g = batch.column("group_id").to_pylist()
-        sl = batch.column("subj_label").to_pylist()
-        ss = batch.column("subj_surface").to_pylist()
-        ol = batch.column("obj_label").to_pylist()
-        os_ = batch.column("obj_surface").to_pylist()
-        src_u, src_n, dst_u, dst_n = [], [], [], []
-        for gi, a, b, c, d in zip(g, sl, ss, ol, os_):
-            cn, cu = m.get(f"{gi}{SEP}{a}{SEP}{b}", (b, None))
-            src_n.append(cn)
-            src_u.append(cu if cu else md5_id(f"ent:{gi}:{a}:{b}"))
-            cn, cu = m.get(f"{gi}{SEP}{c}{SEP}{d}", (d, None))
-            dst_n.append(cn)
-            dst_u.append(cu if cu else md5_id(f"ent:{gi}:{c}:{d}"))
+        import pyarrow.compute as pc
+
+        # vectorized key build + two dict .map lookups (C speed); the
+        # canonical map covers every mention the extractor emitted, so the
+        # unmapped fallback only fires for out-of-run surfaces
+        sep = pa.scalar(SEP)
+        g = batch.column("group_id")
+        skey = pc.binary_join_element_wise(g, batch.column("subj_label"), batch.column("subj_surface"), sep)
+        okey = pc.binary_join_element_wise(g, batch.column("obj_label"), batch.column("obj_surface"), sep)
+        names = self._names
+        uuids = self._uuids
+        sk = pd.Series(skey.to_pandas())
+        ok = pd.Series(okey.to_pandas())
+        src_n = sk.map(names)
+        src_u = sk.map(uuids)
+        dst_n = ok.map(names)
+        dst_u = ok.map(uuids)
+        miss_s = src_u.isna()
+        miss_o = dst_u.isna()
+        if miss_s.any():
+            src_n[miss_s] = batch.column("subj_surface").to_pandas()[miss_s.values]
+            src_u[miss_s] = [md5_id("ent:" + k.replace(SEP, ":")) for k in sk[miss_s]]
+        if miss_o.any():
+            dst_n[miss_o] = batch.column("obj_surface").to_pandas()[miss_o.values]
+            dst_u[miss_o] = [md5_id("ent:" + k.replace(SEP, ":")) for k in ok[miss_o]]
         out = batch.drop_columns(["subj_surface", "obj_surface"])
         out = out.append_column("src_uuid", pa.array(src_u, pa.string()))
         out = out.append_column("src_name", pa.array(src_n, pa.string()))
@@ -155,49 +188,90 @@ def rewrite_via_join(triples: "ray.data.Dataset", canon_ds: "ray.data.Dataset") 
 # dedup merge + invalidation
 # ---------------------------------------------------------------------------
 
-def merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One canonical triple's occurrences → one EntityEdge row."""
-    g = g.sort_values(["valid_at", "episode_uuid"], kind="mergesort")
-    first = g.iloc[0]
-    episodes = sorted(set(g["episode_uuid"]))
-    valid_at = pd.Timestamp(g["valid_at"].iloc[0]).as_unit("us")
-    va_us = int(pd.Timestamp(valid_at).value // 1000)
-    uuid = relation_uuid(first["group_id"], first["src_uuid"], first["pred"], first["obj_uuid"], va_us)
-    return pd.DataFrame(
-        {
-            "uuid": [uuid],
-            "source_uuid": [first["src_uuid"]],
-            "source_name": [first["src_name"]],
-            "target_uuid": [first["obj_uuid"]],
-            "target_name": [first["obj_name"]],
-            "name": [first["pred"]],
-            "fact": [first["fact"]],
-            "group_id": [first["group_id"]],
-            "valid_at": [valid_at],
-            "episodes": [",".join(episodes)],
-            "n_occurrences": [len(g)],
-        }
+def merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized dedup-merge of one hash bucket of canonical triples:
+    one EntityEdge per (group_id, src, pred, obj) — earliest occurrence
+    wins fact/valid_at, episodes = sorted union."""
+    keys = ["group_id", "src_uuid", "pred", "obj_uuid"]
+    df = df.sort_values(["valid_at", "episode_uuid"], kind="mergesort")
+    agg = df.groupby(keys, as_index=False, sort=False).agg(
+        src_name=("src_name", "first"),
+        obj_name=("obj_name", "first"),
+        fact=("fact", "first"),
+        valid_at=("valid_at", "first"),  # == min (pre-sorted)
+        n_occurrences=("episode_uuid", "size"),
+        episodes=("episode_uuid", lambda s: ",".join(sorted(set(s)))),
     )
+    agg["valid_at"] = agg["valid_at"].astype("datetime64[us]")
+    va_us = agg["valid_at"].astype("int64")
+    agg["uuid"] = [
+        relation_uuid(g, s, p, o, int(v))
+        for g, s, p, o, v in zip(agg["group_id"], agg["src_uuid"], agg["pred"], agg["obj_uuid"], va_us)
+    ]
+    out = agg.rename(
+        columns={"src_uuid": "source_uuid", "obj_uuid": "target_uuid", "pred": "name",
+                 "src_name": "source_name", "obj_name": "target_name"}
+    )
+    return out[
+        ["uuid", "source_uuid", "source_name", "target_uuid", "target_name", "name", "fact",
+         "group_id", "valid_at", "episodes", "n_occurrences"]
+    ]
 
 
 def dedup_edges(rewritten: "ray.data.Dataset") -> "ray.data.Dataset":
-    """groupby((group_id, src, pred, obj)) → merged edges (shuffle #2)."""
-    return rewritten.groupby(["group_id", "src_uuid", "pred", "obj_uuid"]).map_groups(
-        merge_edge_group, batch_format="pandas"
+    """Hash-bucketed groupby((group_id, src, pred, obj)) → merged edges
+    (shuffle #2; vectorized per bucket — see stages/shuffle.py)."""
+    from .shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        rewritten, ["group_id", "src_uuid", "pred", "obj_uuid"], merge_edge_bucket
     )
 
 
-def invalidate_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Temporal sweep within (group_id, pred, obj): newer subject wins.
+def merge_sweep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Fused dedup-merge + temporal sweep for one (group, pred, obj) hash
+    bucket. The bucket key is COARSER than the dedup key (it's a prefix of
+    (g, s, p, o) up to column order), so every row of one canonical triple
+    AND every edge of one invalidation group co-locate here — one shuffle
+    does both (A3 + TS2-TS4)."""
+    out = merge_edge_bucket(df)
+    out["invalid_at"] = pd.Series(pd.NaT, index=out.index, dtype="datetime64[us]")
+    fn_mask = out["name"].isin(FUNCTIONAL_PREDS)
+    if fn_mask.any():
+        sub = out.loc[fn_mask].sort_values(["valid_at", "source_uuid"], kind="mergesort")
+        inv = sub.groupby(["group_id", "name", "target_uuid"], sort=False)["valid_at"].shift(-1)
+        out.loc[inv.index, "invalid_at"] = inv.astype("datetime64[us]")
+    return out
 
-    Deterministic order (valid_at, source_uuid); invalid_at = next
-    valid_at (TS3/TS4), expired_at set by caller-injected run_ts (TS2)."""
-    g = g.sort_values(["valid_at", "source_uuid"], kind="mergesort").reset_index(drop=True)
-    g["invalid_at"] = g["valid_at"].shift(-1).astype("datetime64[us]")
-    return g
+
+def merge_and_invalidate(rewritten: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Single-shuffle replacement for dedup_edges → invalidate_functional:
+    bucket by (group_id, pred, obj_uuid) and run both steps vectorized in
+    the bucket. Skew note: a hub OBJECT entity concentrates its bucket, but
+    per-bucket work is vectorized pandas (O(rows) C-speed), and the input
+    was already pre-reduced per batch upstream; salt the bucket key with a
+    src_uuid prefix if a single (pred, obj) ever exceeds one task's memory."""
+    from .shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(rewritten, ["group_id", "pred", "obj_uuid"], merge_sweep_bucket)
+
+
+def invalidate_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Temporal sweep within (group_id, pred, obj), vectorized per bucket:
+    newer subject wins. Deterministic order (valid_at, source_uuid);
+    invalid_at = next valid_at (TS3/TS4), expired_at set downstream (TS2)."""
+    df = df.sort_values(["valid_at", "source_uuid"], kind="mergesort").reset_index(drop=True)
+    df["invalid_at"] = (
+        df.groupby(["group_id", "name", "target_uuid"], sort=False)["valid_at"].shift(-1).astype("datetime64[us]")
+    )
+    return df
 
 
 def invalidate_functional(merged: "ray.data.Dataset", functional_preds=FUNCTIONAL_PREDS) -> "ray.data.Dataset":
+    """Split functional predicates (sweep shuffle) from the passthrough —
+    non-overlapping facts are left alone (edge_operations.py:381-411)."""
+    from .shuffle import bucketed_group_apply
+
     fn = list(functional_preds)
 
     def is_fn(t: pa.Table) -> pa.Table:
@@ -214,9 +288,7 @@ def invalidate_functional(merged: "ray.data.Dataset", functional_preds=FUNCTIONA
 
     functional = merged.map_batches(is_fn, batch_format="pyarrow")
     passthrough = merged.map_batches(not_fn, batch_format="pyarrow")
-    swept = functional.groupby(["group_id", "name", "target_uuid"]).map_groups(
-        invalidate_group, batch_format="pandas"
-    )
+    swept = bucketed_group_apply(functional, ["group_id", "name", "target_uuid"], invalidate_bucket)
     return swept.union(passthrough)
 
 
@@ -267,19 +339,102 @@ def mentions_partial(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(both, preserve_index=False)
 
 
-def mentions_edges(rewritten: "ray.data.Dataset", run_ts_us: int) -> "ray.data.Dataset":
-    partial = rewritten.map_batches(mentions_partial, batch_format="pyarrow")
+_INSTANCE_MEMO: dict[str, object] = {}
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.iloc[0]
+
+def _memo_instance(cls, ref):
+    key = cls.__name__ + ":" + (ref.hex() if hasattr(ref, "hex") else str(id(ref)))
+    inst = _INSTANCE_MEMO.get(key)
+    if inst is None:
+        inst = cls(ref)
+        _INSTANCE_MEMO.clear()
+        _INSTANCE_MEMO[key] = inst
+    return inst
+
+
+def rewrite_batch(batch: pa.Table, map_ref) -> pa.Table:
+    """Task form of CanonicalRewrite: fully elastic stateless tasks with the
+    parsed broadcast memoized per worker process."""
+    return _memo_instance(CanonicalRewrite, map_ref)(batch)
+
+
+def mentions_batch(batch: pa.Table, map_ref) -> pa.Table:
+    """Task form of MentionsFromTriples (same per-worker memo pattern)."""
+    return _memo_instance(MentionsFromTriples, map_ref)(batch)
+
+
+class MentionsFromTriples:
+    """Light rewrite for the MENTIONS path: maps only the endpoint keys to
+    canonical uuids and emits partial-distinct (episode, entity) pairs —
+    the fact/valid_at columns never enter this shuffle."""
+
+    def __init__(self, map_ref):
+        m = _get_broadcast(map_ref)
+        self._uuids = {k: v[1] for k, v in m.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sep = pa.scalar(SEP)
+        g = batch.column("group_id")
+        skey = pc.binary_join_element_wise(g, batch.column("subj_label"), batch.column("subj_surface"), sep)
+        okey = pc.binary_join_element_wise(g, batch.column("obj_label"), batch.column("obj_surface"), sep)
+        uuids = self._uuids
+        ep = batch.column("episode_uuid").to_pandas()
+        gid = g.to_pandas()
+        sk = pd.Series(skey.to_pandas()).map(uuids)
+        ok = pd.Series(okey.to_pandas()).map(uuids)
+        df = pd.DataFrame(
+            {
+                "episode_uuid": pd.concat([ep, ep], ignore_index=True),
+                "group_id": pd.concat([gid, gid], ignore_index=True),
+                "entity_uuid": pd.concat([sk, ok], ignore_index=True),
+            }
+        ).dropna(subset=["entity_uuid"]).drop_duplicates(["episode_uuid", "entity_uuid"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def mentions_edges_from_triples(triples: "ray.data.Dataset", map_ref, run_ts_us: int) -> "ray.data.Dataset":
+    """MENTIONS episodic edges straight from the triples parquet — no
+    dependency on the full rewritten Dataset (one independent lazy job)."""
+    from .shuffle import bucketed_group_apply
+
+    import functools
+
+    partial = triples.map_batches(
+        functools.partial(mentions_batch, map_ref=map_ref), batch_format="pyarrow"
+    )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["episode_uuid", "entity_uuid"]).reset_index(drop=True)
         return pd.DataFrame(
             {
-                "uuid": [md5_id(f"men:{r['episode_uuid']}:{r['entity_uuid']}")],
-                "group_id": [r["group_id"]],
-                "source_node_uuid": [r["episode_uuid"]],
-                "target_node_uuid": [r["entity_uuid"]],
-                "created_at": [pd.Timestamp(run_ts_us, unit="us")],
+                "uuid": [md5_id(f"men:{e}:{n}") for e, n in zip(df["episode_uuid"], df["entity_uuid"])],
+                "group_id": df["group_id"],
+                "source_node_uuid": df["episode_uuid"],
+                "target_node_uuid": df["entity_uuid"],
+                "created_at": pd.Timestamp(run_ts_us, unit="us"),
             }
         )
 
-    return partial.groupby(["episode_uuid", "entity_uuid"]).map_groups(emit, batch_format="pandas")
+    return bucketed_group_apply(partial, ["episode_uuid", "entity_uuid"], emit)
+
+
+def mentions_edges(rewritten: "ray.data.Dataset", run_ts_us: int) -> "ray.data.Dataset":
+    from .shuffle import bucketed_group_apply
+
+    partial = rewritten.map_batches(mentions_partial, batch_format="pyarrow")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["episode_uuid", "entity_uuid"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "uuid": [md5_id(f"men:{e}:{n}") for e, n in zip(df["episode_uuid"], df["entity_uuid"])],
+                "group_id": df["group_id"],
+                "source_node_uuid": df["episode_uuid"],
+                "target_node_uuid": df["entity_uuid"],
+                "created_at": pd.Timestamp(run_ts_us, unit="us"),
+            }
+        )
+
+    return bucketed_group_apply(partial, ["episode_uuid", "entity_uuid"], emit)

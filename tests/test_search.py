@@ -1,0 +1,165 @@
+"""Read-side search layer tests vs pandas/duckdb oracles (FIXTURES.md F7)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from graphiti_hf_ray.fixtures import pages as P
+from graphiti_hf_ray.pipelines.kg import build_graph
+from graphiti_hf_ray.search.bm25 import bm25_topk, tokenize
+from graphiti_hf_ray.search.filters import ComparisonOperator, DateFilter, SearchFilters, apply_filters
+from graphiti_hf_ray.search.hybrid import (
+    COMBINED_HYBRID_SEARCH_RRF,
+    EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+    GraphStore,
+    NODE_HYBRID_SEARCH_RRF,
+    search,
+)
+from graphiti_hf_ray.search.rerank import CrossEncoderStub, mmr, rrf
+from graphiti_hf_ray.search.traversal import bfs_reachable
+from graphiti_hf_ray.search.vector import cosine_topk
+from graphiti_hf_ray.stages.embed import embed_text
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, pages_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("searchgraph"))
+    build_graph([pages_parquet], out, num_shards=4)
+    return GraphStore(out)
+
+
+def _edges_df(store):
+    from graphiti_hf_ray import io as gio
+
+    return gio.read_table_dir(store.out_dir, "edges").to_pandas()
+
+
+def test_bm25_matches_reference_formula(ray_session, store):
+    """Engine BM25 top-k == driver-side rank_bm25-style oracle."""
+    edges = _edges_df(store)
+    query = "acme corporation works"
+    got = bm25_topk(store.ds("edges"), query, text_col="fact", id_col="uuid", k=10)
+
+    # oracle: same formula over the full corpus in pandas
+    corpus = [tokenize(f) for f in edges["fact"]]
+    n = len(corpus)
+    avgdl = sum(len(c) for c in corpus) / n
+    terms = sorted(set(tokenize(query)))
+    df_ = {w: sum(1 for c in corpus if w in c) for w in terms}
+    idf = {w: math.log((n - df_[w] + 0.5) / (df_[w] + 0.5) + 1.0) for w in terms}
+    scores = []
+    for uid, toks in zip(edges["uuid"], corpus):
+        sc = 0.0
+        for w in terms:
+            f = toks.count(w)
+            if f:
+                sc += idf[w] * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+        if sc > 0:
+            scores.append((round(sc, 6), uid))
+    exp = [u for s, u in sorted(scores, key=lambda t: (-t[0], t[1]))[:10]]
+    assert list(got["uuid"]) == exp
+
+
+def test_cosine_topk_matches_numpy(ray_session, store):
+    nodes = store.ds("nodes")
+    q = embed_text("Ada Lovelace")
+    got = cosine_topk(nodes, q, emb_col="name_embedding", id_col="uuid", k=5, min_score=0.0)
+    from graphiti_hf_ray import io as gio
+
+    ndf = gio.read_table_dir(store.out_dir, "nodes").to_pandas()
+    mat = np.stack([np.asarray(v, np.float64) for v in ndf["name_embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ (q / np.linalg.norm(q))
+    order = np.lexsort((ndf["uuid"].values, -sims))[:5]
+    assert list(got["uuid"]) == list(ndf["uuid"].values[order])
+    # the Ada Lovelace node itself must be rank 1
+    assert got["uuid"].iloc[0] in set(
+        ndf.loc[ndf["name"] == "Ada Lovelace", "uuid"]
+    )
+
+
+def test_bfs_depths_match_pandas_oracle(ray_session, store):
+    edges = _edges_df(store)
+    seed = sorted(edges["source_uuid"])[0]
+    got = bfs_reachable(store.ds("edges"), [seed], max_depth=3, directed=True)
+    # pandas BFS oracle
+    adj: dict[str, set[str]] = {}
+    for s, t in zip(edges["source_uuid"], edges["target_uuid"]):
+        adj.setdefault(s, set()).add(t)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):  # noqa: B905
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    exp = {u: d for u, d in dist.items() if d > 0}
+    assert dict(zip(got["uuid"], got["depth"])) == exp
+
+
+def test_search_filters_edge_types_and_dates(ray_session, store):
+    edges_all = _edges_df(store)
+    # dedup-merge takes MIN valid_at per triple, compressing the range —
+    # pick the data median so both sides of the filter are non-empty
+    t0 = edges_all.loc[edges_all["name"] == "IS_CEO_OF", "valid_at"].median()
+    f = SearchFilters(
+        edge_types=["IS_CEO_OF"],
+        valid_at=[[DateFilter(ComparisonOperator.greater_than_equal, t0)]],
+    )
+    out = apply_filters(store.ds("edges"), f, "edge").to_pandas()
+    edges = _edges_df(store)
+    exp = edges[(edges["name"] == "IS_CEO_OF") & (edges["valid_at"] >= t0)]
+    assert len(exp) > 0, "fixture must produce matches for this filter"
+    assert (out["name"] == "IS_CEO_OF").all()
+    assert (out["valid_at"] >= t0).all()
+    assert set(out["uuid"]) == set(exp["uuid"])
+
+
+def test_hybrid_search_rrf_and_recipes(ray_session, store):
+    res = search(store, "Ada Lovelace Acme", COMBINED_HYBRID_SEARCH_RRF)
+    assert len(res.nodes) > 0 and len(res.edges) > 0 and len(res.episodes) > 0
+    assert len(res.nodes) <= COMBINED_HYBRID_SEARCH_RRF.limit
+    # node search alone
+    res2 = search(store, "Lovelace", NODE_HYBRID_SEARCH_RRF)
+    from graphiti_hf_ray import io as gio
+
+    ndf = gio.read_table_dir(store.out_dir, "nodes").to_pandas()
+    ada = set(ndf.loc[ndf["name"] == "Ada Lovelace", "uuid"])
+    assert ada & set(res2.nodes["uuid"])
+
+
+def test_node_distance_reranker(ray_session, store):
+    edges = _edges_df(store)
+    center = sorted(edges["source_uuid"])[0]
+    res = search(store, "works at", EDGE_HYBRID_SEARCH_NODE_DISTANCE, center_node_uuid=center)
+    assert len(res.edges) > 0
+
+
+def test_rrf_formula():
+    out = rrf([["a", "b", "c"], ["b", "a"]])
+    scores = dict(out)
+    assert scores["a"] == pytest.approx(1.0 + 0.5)
+    assert scores["b"] == pytest.approx(0.5 + 1.0)
+    assert out[0][0] in ("a", "b")  # tie broken lexicographically
+    assert out[0][0] == "a"
+
+
+def test_mmr_prefers_diversity():
+    q = np.array([1.0, 0.0])
+    vecs = {"a": np.array([0.95, 0.31]), "a2": np.array([0.95, 0.32]), "b": np.array([0.3, 0.95])}
+    picked = mmr(["a", "a2", "b"], q, vecs, lambda_=0.3, k=2)
+    assert picked[0] == "a" and picked[1] == "b"
+
+
+def test_cross_encoder_stub_deterministic():
+    ce = CrossEncoderStub()
+    r = ce.rank("acme corp", [("e1", "acme corp is here"), ("e2", "nothing")])
+    assert r[0][0] == "e1" and r[0][1] > r[1][1]
