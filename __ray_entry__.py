@@ -296,5 +296,63 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes
             FROM documents
         """,
+        "q30_kg_duplicate_edges": f"""
+            WITH {cte},
+            surfaces AS (
+                SELECT DISTINCT o.group_id, o.label, o.surface, c.canon_name,
+                       md5('ent:' || o.group_id || ':' || o.label || ':' || c.canon_name) AS canon_uuid
+                FROM occ o JOIN canon c
+                  ON c.group_id = o.group_id AND c.label = o.label AND c.key = o.key
+            ),
+            alias AS (SELECT * FROM surfaces WHERE surface != canon_name)
+            SELECT md5('dup:' || src || ':' || canon_uuid) AS uuid,
+                   src AS source_uuid, surface AS source_name,
+                   canon_uuid AS target_uuid, canon_name AS target_name, group_id
+            FROM (
+                SELECT *, md5('ent:' || group_id || ':' || label || ':' || surface) AS src FROM alias
+            )
+        """,
+        "q31_episode_window": f"""
+            SELECT md5('ep:' || url) AS uuid,
+                   least(row_number() OVER (PARTITION BY group_id
+                                            ORDER BY warc_ts, md5('ep:' || url)) - 1, 3) AS n_prev
+            FROM ({pages_sub}) p
+        """,
+        "q32_pagination": f"""
+            WITH {cte},
+            merged AS (
+                SELECT group_id, subj_uuid, pred, obj_uuid, min(epoch_us) AS epoch_us
+                FROM gold_canon GROUP BY 1, 2, 3, 4
+            ),
+            ids AS (
+                SELECT md5('rel:' || group_id || ':' || subj_uuid || ':' || pred || ':' || obj_uuid || ':' || epoch_us) AS uuid
+                FROM merged
+            )
+            SELECT uuid FROM ids WHERE uuid < '80000000000000000000000000000000'
+            ORDER BY uuid DESC LIMIT 20
+        """,
+        "q33_snapshot_counts": f"""
+            WITH {cte},
+            merged AS (
+                SELECT group_id, subj_uuid, pred, obj_uuid, min(valid_at) AS valid_at
+                FROM gold_canon GROUP BY 1, 2, 3, 4
+            ),
+            swept AS (
+                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                       lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
+                                            ORDER BY valid_at, subj_uuid)
+                       ELSE NULL END AS invalid_at
+                FROM merged
+            ),
+            live AS (
+                SELECT * FROM swept
+                WHERE valid_at <= TIMESTAMP '2024-01-20'
+                  AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '2024-01-20')
+            )
+            SELECT (SELECT count(*) FROM live) AS n_edges,
+                   (SELECT count(*) FROM (
+                       SELECT subj_uuid AS u FROM live UNION SELECT obj_uuid FROM live
+                   )) AS n_nodes
+        """,
     }
     return sql

@@ -77,10 +77,20 @@ def extract_phase(
 ) -> None:
     """P1: shard-resumable extraction. One shard = one input file slice."""
     num_shards = num_shards or max(4, len(pages_paths))
-    fps = {s: _fingerprint(pages_paths) + f":{s}/{num_shards}" for s in range(num_shards)}
-    done_ep = gio.completed_shards(out_dir, "episodes", fps)
-    done_tr = gio.completed_shards(out_dir, "triples", fps)
-    todo = [s for s in range(num_shards) if s not in done_ep or s not in done_tr]
+    fp_run = _fingerprint(pages_paths)
+    fps = {s: fp_run + f":{s}/{num_shards}" for s in range(num_shards)}
+    # shard dirs are namespaced by the input fingerprint: re-running the
+    # same input resumes (skips complete shards); running a NEW input file
+    # into the same out_dir APPENDS new shards — the TS8 incremental-delta
+    # model (episodes/triples are an append-only log; link phase re-derives
+    # the canonical graph from the union, idempotent via deterministic ids)
+    def sdir(table: str, shard: int) -> str:
+        return os.path.join(out_dir, table, f"shard={fp_run[:8]}-{shard:04d}")
+
+    todo = [
+        s for s in range(num_shards)
+        if not (gio.manifest_matches(sdir("episodes", s), fps[s]) and gio.manifest_matches(sdir("triples", s), fps[s]))
+    ]
     if not todo:
         return
 
@@ -113,10 +123,10 @@ def extract_phase(
 
         shard = int(g["shard"].iloc[0])
         ep = pa.Table.from_pandas(g.drop(columns=["shard"]), preserve_index=False, schema=EPISODES)
-        man_e = gio.write_shard_atomic(ep, gio.shard_dir(out_dir, "episodes", shard), fps[shard])
+        man_e = gio.write_shard_atomic(ep, sdir("episodes", shard), fps[shard])
         tr = TripleExtractor()(ep)
         man_t = gio.write_shard_atomic(
-            tr, gio.shard_dir(out_dir, "triples", shard), fps[shard], {"triples": tr.num_rows}
+            tr, sdir("triples", shard), fps[shard], {"triples": tr.num_rows}
         )
         return pd.DataFrame({"shard": [shard], "episodes": [man_e["rows"]], "triples": [man_t["rows"]]})
 
@@ -155,8 +165,22 @@ def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US, timin
     timings["canonicalize"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     nodes_tbl = build_nodes_table(canon_map, run_ts_us)
-    fp = "run:" + str(run_ts_us)
+    # link-phase lineage fingerprint covers run ts AND the exact set of
+    # input triples shards (their manifests), so an incremental append of
+    # new shards invalidates and re-derives the global tables
+    shard_fps = []
+    troot = os.path.join(out_dir, "triples")
+    for dirpath, _d, files in sorted(os.walk(troot)):
+        if gio.MANIFEST in files:
+            with open(os.path.join(dirpath, gio.MANIFEST)) as f:
+                shard_fps.append(json.load(f).get("fingerprint", ""))
+    fp = "run:" + str(run_ts_us) + ":" + hashlib.md5("|".join(sorted(shard_fps)).encode()).hexdigest()
     gio.write_shard_atomic(nodes_tbl, os.path.join(out_dir, "nodes", "shard=0000"), fp)
+    # D2 audit trail: IS_DUPLICATE_OF alias→canonical edges
+    from .maintenance import build_duplicate_of_edges
+
+    dup_tbl = build_duplicate_of_edges(canon_map, run_ts_us)
+    gio.write_shard_atomic(dup_tbl, os.path.join(out_dir, "duplicate_edges", "shard=0000"), fp)
 
     # P3: rewrite (broadcast join), dedup merge, invalidation, embeddings
     map_ref = ray.put(canon_map_dict(canon_map))

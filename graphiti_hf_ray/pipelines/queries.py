@@ -547,3 +547,49 @@ QUERIES.update(
         "q29_multimodal_features": q29_multimodal_features,
     }
 )
+
+
+def q30_kg_duplicate_edges(sf_dir: str) -> pd.DataFrame:
+    """D2 audit trail: IS_DUPLICATE_OF alias→canonical edges."""
+    from .. import io as gio
+
+    dup = gio.read_table_dir(_kg_out_dir(sf_dir), "duplicate_edges").to_pandas()
+    return dup[["uuid", "source_uuid", "source_name", "target_uuid", "target_name", "group_id"]]
+
+
+def q31_episode_window(sf_dir: str) -> pd.DataFrame:
+    """M1 episode-window context: per episode, # prior episodes (≤3)."""
+    from .maintenance import episode_window
+
+    out_dir = _kg_out_dir(sf_dir)
+    eps = rd.read_parquet(os.path.join(out_dir, "episodes"), columns=["uuid", "group_id", "valid_at"])
+    out = episode_window(eps).to_pandas()
+    return out[["uuid", "n_prev"]]
+
+
+def q32_pagination(sf_dir: str) -> pd.DataFrame:
+    """T9 uuid-cursor pagination over the edges table."""
+    from .maintenance import paginate_by_uuid
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"), columns=["uuid"])
+    page = paginate_by_uuid(edges, "80000000000000000000000000000000", 20)
+    return page[["uuid"]]
+
+
+def q33_snapshot_counts(sf_dir: str) -> pd.DataFrame:
+    """TS6 historical state reconstruction at t: edge + touched-node counts."""
+    from .maintenance import graph_snapshot
+
+    snap = graph_snapshot(_kg_out_dir(sf_dir), pd.Timestamp("2024-01-20"))
+    return pd.DataFrame({"n_edges": [len(snap["edges"])], "n_nodes": [len(snap["nodes"])]})
+
+
+QUERIES.update(
+    {
+        "q30_kg_duplicate_edges": q30_kg_duplicate_edges,
+        "q31_episode_window": q31_episode_window,
+        "q32_pagination": q32_pagination,
+        "q33_snapshot_counts": q33_snapshot_counts,
+    }
+)

@@ -135,20 +135,51 @@ def test_resume_skips_completed_shards(ray_session, pages_parquet, tmp_path_fact
     out = str(tmp_path_factory.mktemp("resume"))
     extract_phase([pages_parquet], out, num_shards=4)
     ref = gio.read_table_dir(out, "triples").to_pandas().sort_values("episode_uuid").reset_index(drop=True)
+    shard_dirs = sorted(
+        os.path.join(out, "triples", d) for d in os.listdir(os.path.join(out, "triples"))
+    )
+    assert len(shard_dirs) == 4
     manifests_before = {}
-    for s in range(4):
-        with open(os.path.join(gio.shard_dir(out, "triples", s), gio.MANIFEST)) as f:
-            manifests_before[s] = json.load(f)
+    for d in shard_dirs:
+        with open(os.path.join(d, gio.MANIFEST)) as f:
+            manifests_before[d] = json.load(f)
 
-    shutil.rmtree(gio.shard_dir(out, "triples", 2))
+    shutil.rmtree(shard_dirs[2])
     extract_phase([pages_parquet], out, num_shards=4)
     after = gio.read_table_dir(out, "triples").to_pandas().sort_values("episode_uuid").reset_index(drop=True)
     pd.testing.assert_frame_equal(ref, after)
-    for s in (0, 1, 3):
-        with open(os.path.join(gio.shard_dir(out, "triples", s), gio.MANIFEST)) as f:
-            assert json.load(f)["written_at"] == manifests_before[s]["written_at"]
-    with open(os.path.join(gio.shard_dir(out, "triples", 2), gio.MANIFEST)) as f:
-        assert json.load(f)["written_at"] != manifests_before[2]["written_at"]
+    for d in (shard_dirs[0], shard_dirs[1], shard_dirs[3]):
+        with open(os.path.join(d, gio.MANIFEST)) as f:
+            assert json.load(f)["written_at"] == manifests_before[d]["written_at"]
+    with open(os.path.join(shard_dirs[2], gio.MANIFEST)) as f:
+        assert json.load(f)["written_at"] != manifests_before[shard_dirs[2]]["written_at"]
+
+
+def test_incremental_append_matches_full_build(ray_session, pages_parquet, tmp_path_factory):
+    """TS8 incremental-delta model: ingesting the corpus in two batches
+    (append-only episode/triple shards + global re-link) produces the SAME
+    nodes/edges tables as one full build — deterministic ids make the
+    upsert idempotent."""
+    import pyarrow.parquet as pq_
+
+    pg = pq_.read_table(pages_parquet)
+    half = pg.num_rows // 2
+    d = tmp_path_factory.mktemp("inc")
+    p1, p2 = str(d / "p1.parquet"), str(d / "p2.parquet")
+    pq_.write_table(pg.slice(0, half), p1)
+    pq_.write_table(pg.slice(half), p2)
+
+    out_inc = str(tmp_path_factory.mktemp("inc_graph"))
+    build_graph([p1], out_inc, num_shards=2)
+    build_graph([p2], out_inc, num_shards=2)  # appends new shards, re-links
+
+    out_full = str(tmp_path_factory.mktemp("full_graph"))
+    build_graph([pages_parquet], out_full, num_shards=4)
+
+    for table in ("nodes", "edges"):
+        a = gio.read_table_dir(out_inc, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        b = gio.read_table_dir(out_full, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
 
 
 def test_full_rerun_idempotent(ray_session, pages_parquet, graph_out, tmp_path_factory):
