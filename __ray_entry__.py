@@ -17,7 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from graphiti_hf_ray.fixtures import pages as _P
-from graphiti_hf_ray.functions.textstats import STOPWORDS as _STOPWORDS
+from graphiti_hf_ray.functions.textstats import _LANG_PROFILES, STOPWORDS as _STOPWORDS
 from graphiti_hf_ray.pipelines.queries import QUERIES as _QUERIES
 
 
@@ -355,4 +355,78 @@ def oracle_sql() -> dict[str, str]:
                    )) AS n_nodes
         """,
     }
+
+    def _sql_list(words) -> str:
+        return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+
+    lang_counts = ", ".join(
+        f"len(list_filter(list_distinct(string_split(lower(text), chr(32))), "
+        f"w -> list_contains({_sql_list(prof)}, w))) AS n_{lang}"
+        for lang, prof in sorted(_LANG_PROFILES.items())
+        if prof
+    )
+    sql["q36_langid"] = f"""
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'und'
+                    WHEN n_de = m THEN 'de'
+                    WHEN n_en = m THEN 'en'
+                    WHEN n_es = m THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (
+            SELECT doc_id, greatest(n_de, n_en, n_es, n_fr) AS m, n_de, n_en, n_es, n_fr
+            FROM (SELECT doc_id, {lang_counts} FROM documents)
+        )
+    """
+
+    sql["q34_event_overlaps"] = """
+        WITH iv AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS start_us,
+                   epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS end_us
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_type,
+                   CASE WHEN start_us < max(end_us) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY start_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) THEN 1 ELSE 0 END AS c
+            FROM iv
+        )
+        SELECT user_id, event_type, sum(c) AS n_overlaps, count(*) AS n_edges
+        FROM marked GROUP BY 1, 2
+    """
+
+    terms = ["data", "query", "spark"]
+    term_values = ", ".join(f"('{t}')" for t in terms)
+    sql["q35_bm25_docs"] = f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), chr(32)) AS t FROM documents),
+        stats AS (SELECT count(*) AS n_docs, sum(len(t)) * 1.0 / count(*) AS avgdl FROM toks),
+        df_ AS (
+            SELECT d.term, count(*) FILTER (WHERE list_contains(toks.t, d.term)) AS df
+            FROM (VALUES {term_values}) d(term) CROSS JOIN toks GROUP BY 1
+        ),
+        idf AS (SELECT term, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM df_, stats s),
+        persco AS (
+            SELECT toks.doc_id, i.idf,
+                   len(list_filter(toks.t, x -> x = i.term)) AS f,
+                   len(toks.t) AS dl
+            FROM toks CROSS JOIN idf i
+        )
+        SELECT doc_id FROM (
+            SELECT p.doc_id,
+                   round(sum(CASE WHEN p.f > 0
+                       THEN p.idf * p.f * 2.5 / (p.f + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl))
+                       ELSE 0 END), 6) AS score
+            FROM persco p, stats s GROUP BY p.doc_id HAVING score > 0
+            ORDER BY score DESC, p.doc_id LIMIT 10
+        )
+    """
+    sql["q37_large_join"] = """
+        SELECT o_orderpriority, count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """
     return sql

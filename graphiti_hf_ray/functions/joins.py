@@ -1,0 +1,87 @@
+"""Distributed joins (ray_guide.md 'Joins and lookups').
+
+- ``broadcast_lookup`` — small side via ``ray.put`` + per-batch dict/merge
+  (no shuffle); used throughout the KG pipeline (J2 rewrite, q04).
+- ``hash_join``       — both sides large: explicit partitioned hash join.
+  Each side is null-padded to a common schema, tagged, hash-bucketed on its
+  key (same bucket function both sides → co-location guarantee), and
+  merged with a vectorized ``pd.merge`` per bucket. Skew: a hot key lands
+  in one bucket but the per-bucket merge is C-speed; salt hot keys into
+  sub-buckets (append ``hash(row)%k`` to the key of the PROBE side and
+  replicate the BUILD side k×) when a single key exceeds task memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    num_buckets: int | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Partitioned hash join; output columns = left ∪ right (join keys from
+    the left; overlapping non-key names get ``_r`` suffix on the right)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    overlap = (set(l_cols) & set(r_cols)) - {left_on, right_on}
+    r_renamed = {c: (c + "_r" if c in overlap else c) for c in r_cols}
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("_join_key", t.column(left_on).cast(pa.string()))
+        t = t.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
+        for c in r_cols:
+            rc = r_renamed[c]
+            if rc not in t.column_names:
+                t = t.append_column(rc, pa.nulls(t.num_rows, r_types[c]))
+        return t
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([r_renamed[c] for c in t.column_names])
+        key_col = r_renamed[right_on]
+        t = t.append_column("_join_key", t.column(key_col).cast(pa.string()))
+        t = t.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
+        for c in l_cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, l_types[c]))
+        return t
+
+    out_r_cols = [r_renamed[c] for c in r_cols if r_renamed[c] not in l_cols and r_renamed[c] != r_renamed[right_on]]
+
+    combined = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lm = df.loc[df["_side"] == 0, l_cols + ["_join_key"]]
+        rm = df.loc[df["_side"] == 1, out_r_cols + ["_join_key"]]
+        out = lm.merge(rm, on="_join_key", how=how)
+        return out.drop(columns=["_join_key"])
+
+    return bucketed_group_apply(combined, ["_join_key"], merge_bucket, num_buckets=num_buckets)
+
+
+def broadcast_lookup(ds: "ray.data.Dataset", key_col: str, mapping: dict, out_col: str) -> "ray.data.Dataset":
+    """Small-side join: broadcast ``mapping`` once, vectorized .map per
+    batch. Missing keys → null."""
+    ref = ray.put(mapping)
+
+    def f(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        vals = pd.Series(t.column(key_col).to_pandas()).map(m)
+        return t.append_column(out_col, pa.Array.from_pandas(vals))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -88,23 +88,31 @@ def interval_sweep(
 
 
 def detect_overlaps(
-    edges: "ray.data.Dataset", key_cols: list[str], valid_col: str = "valid_at", invalid_col: str = "invalid_at"
+    edges: "ray.data.Dataset",
+    key_cols: list[str],
+    valid_col: str = "valid_at",
+    invalid_col: str = "invalid_at",
+    id_col: str | None = None,
 ) -> "ray.data.Dataset":
-    """A9 conflict detection: within each key group, count interval pairs
-    that overlap (valid_i < invalid_j AND valid_j < invalid_i)."""
+    """A9 conflict detection (temporal_manager.py:713-772 shape): within
+    each key group, a row CONFLICTS when its start precedes the running max
+    end of all earlier intervals (sweep-line; vectorized cummax per group).
+    NULL invalid = open interval = +inf. Returns one row per key:
+    (key…, n_overlaps, n_edges)."""
 
-    def check(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(valid_col, kind="mergesort").reset_index(drop=True)
-        n_overlap = 0
-        prev_end = None
-        for _, r in g.iterrows():
-            if prev_end is not None and (pd.isna(prev_end) or r[valid_col] < prev_end):
-                n_overlap += 1
-            end = r[invalid_col]
-            prev_end = end if prev_end is None else (prev_end if pd.isna(prev_end) else max(prev_end, end) if not pd.isna(end) else pd.NaT)
-        out = g.head(1)[key_cols].copy()
-        out["n_overlaps"] = n_overlap
-        out["n_edges"] = len(g)
-        return out
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [*key_cols, valid_col] + ([id_col] if id_col else [])
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        end = df[invalid_col].fillna(pd.Timestamp.max)
+        run_max_prev = end.groupby([df[k] for k in key_cols], sort=False).transform(
+            lambda s: s.cummax().shift(1)
+        )
+        conflict = run_max_prev.notna() & (df[valid_col] < run_max_prev)
+        df = df.assign(_c=conflict.astype(int))
+        return df.groupby(key_cols, as_index=False, sort=False).agg(
+            n_overlaps=("_c", "sum"), n_edges=("_c", "size")
+        )
 
-    return edges.groupby(key_cols).map_groups(check, batch_format="pandas")
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(edges, key_cols, check)

@@ -593,3 +593,81 @@ QUERIES.update(
         "q33_snapshot_counts": q33_snapshot_counts,
     }
 )
+
+
+def q34_event_overlaps(sf_dir: str) -> pd.DataFrame:
+    """A9 conflict detection: treat each event as an interval
+    [ts, ts + (floor(value)+1) minutes); count per (user, type) how many
+    intervals start before the running max end of earlier ones."""
+    from ..functions.temporal import detect_overlaps
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts", "value"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        dur_min = np.floor(df["value"]).astype("int64") + 1
+        df["valid_at"] = df["ts"].astype("datetime64[us]")
+        df["invalid_at"] = (df["ts"] + pd.to_timedelta(dur_min, unit="m")).astype("datetime64[us]")
+        return pa.Table.from_pandas(df[["user_id", "event_type", "event_id", "valid_at", "invalid_at"]], preserve_index=False)
+
+    iv = ds.map_batches(mk_intervals, batch_format="pyarrow")
+    out = detect_overlaps(iv, ["user_id", "event_type"], id_col="event_id").to_pandas()
+    return out
+
+
+def q35_bm25_docs(sf_dir: str) -> pd.DataFrame:
+    """Streaming two-pass BM25 over the documents table (T8/ST4)."""
+    from ..search.bm25 import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(ds, "data query spark", text_col="text", id_col="doc_id", k=10)
+    return out[["doc_id"]]
+
+
+def q36_langid(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic stage (stopword-profile overlap)."""
+    from ..functions.textstats import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "lang_pred"]]
+
+
+QUERIES.update(
+    {
+        "q34_event_overlaps": q34_event_overlaps,
+        "q35_bm25_docs": q35_bm25_docs,
+        "q36_langid": q36_langid,
+    }
+)
+
+
+def q37_large_join(sf_dir: str) -> pd.DataFrame:
+    """Both-sides-large partitioned hash join (lineitem ⋈ orders) +
+    aggregate: revenue per order priority."""
+    from ..functions.joins import hash_join
+    from ..stages.shuffle import bucketed_group_apply
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(lineitem, orders, "l_orderkey", "o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("o_orderpriority", as_index=False).agg(n_lines=("rev", "size"), revenue=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False, sort=False).agg(
+            n_lines=("n_lines", "sum"), revenue=("revenue", "sum")
+        )
+        out["revenue"] = out["revenue"].round(2)
+        return out
+
+    return bucketed_group_apply(
+        joined.map_batches(partial, batch_format="pyarrow"), ["o_orderpriority"], merge
+    ).to_pandas()
+
+
+QUERIES["q37_large_join"] = q37_large_join
