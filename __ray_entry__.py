@@ -13,8 +13,13 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module from any cwd — make the package findable
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 from graphiti_hf_ray.fixtures import pages as _P
 from graphiti_hf_ray.functions.textstats import _LANG_PROFILES, STOPWORDS as _STOPWORDS

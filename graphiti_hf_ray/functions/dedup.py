@@ -64,10 +64,12 @@ def minhash_signature(text: str) -> np.ndarray:
     h = _token_hashes(text)
     if h.size == 0:
         return np.zeros(N_PERM, np.uint64)
-    # (a*h + b) mod p, min over shingles, per permutation — vectorized
-    hv = h.astype(object)[:, None]  # object to dodge uint64 overflow
-    vals = (hv * _PA[None, :].astype(object) + _PB[None, :].astype(object)) % MERSENNE
-    return np.min(np.array(vals, dtype=np.uint64), axis=0)
+    # (a*h + b) mod 2^64, min over shingles, per permutation — pure uint64
+    # wraparound arithmetic (a valid universal-ish hash family, ~50× faster
+    # than bigint mod-Mersenne; deterministic across platforms)
+    with np.errstate(over="ignore"):
+        vals = h[:, None] * _PA[None, :] + _PB[None, :]
+    return np.min(vals, axis=0)
 
 
 # ---------------------------------------------------------------------------

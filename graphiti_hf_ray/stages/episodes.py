@@ -24,6 +24,36 @@ from ..ids import md5_id_array
 
 GROUP_ID_RE = re.compile(r"^[a-zA-Z0-9_-]+$")
 
+# EpisodeType enum parity (graphiti_core/nodes.py:55-77)
+EPISODE_TYPES = ("text", "message", "json")
+
+
+def normalize_content(content, source: str) -> str:
+    """Source-typed content normalization (nodes.py:55-77 semantics):
+    ``text`` passes through; ``message`` is "speaker: utterance" lines;
+    ``json`` documents are flattened to deterministic "key: value" lines
+    (sorted keys) so extraction sees stable prose-like text."""
+    if source == "json":
+        import json as _json
+
+        obj = _json.loads(content) if isinstance(content, str) else content
+
+        def flat(prefix: str, v) -> list[str]:
+            if isinstance(v, dict):
+                out = []
+                for k in sorted(v):
+                    out.extend(flat(f"{prefix}.{k}" if prefix else str(k), v[k]))
+                return out
+            if isinstance(v, list):
+                out = []
+                for i, item in enumerate(v):
+                    out.extend(flat(f"{prefix}[{i}]", item))
+                return out
+            return [f"{prefix}: {v}"]
+
+        return "\n".join(flat("", obj))
+    return content if isinstance(content, str) else str(content)
+
 
 def make_episode_batch(batch: pa.Table, run_ts_us: int, source_description: str = "web crawl") -> pa.Table:
     """pages batch (with extracted ``text`` and optional ``group_id``) →

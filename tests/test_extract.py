@@ -110,3 +110,15 @@ def test_rewrite_canonical_triples_exact(duck, sf_small):
     a = set(zip(rw["episode_uuid"], rw["src_uuid"], rw["pred"], rw["obj_uuid"]))
     b = set(zip(gc["episode_uuid"], gc["subj_uuid"], gc["pred"], gc["obj_uuid"]))
     assert a == b
+
+
+def test_episode_content_normalization():
+    """EpisodeType parity (nodes.py:55-77): json flattening is
+    deterministic (sorted keys), text passes through."""
+    from graphiti_hf_ray.stages.episodes import normalize_content
+
+    assert normalize_content("plain", "text") == "plain"
+    j = '{"b": 2, "a": {"x": [1, 2]}, "c": "s"}'
+    out = normalize_content(j, "json")
+    assert out == "a.x[0]: 1\na.x[1]: 2\nb: 2\nc: s"
+    assert normalize_content(j, "json") == out

@@ -190,3 +190,50 @@ def test_full_rerun_idempotent(ray_session, pages_parquet, graph_out, tmp_path_f
         a = gio.read_table_dir(graph_out, table).to_pandas().sort_values("uuid").reset_index(drop=True)
         b = gio.read_table_dir(out2, table).to_pandas().sort_values("uuid").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_output_invariant_to_shard_count(ray_session, pages_parquet, graph_out, tmp_path_factory):
+    """Partitioning must not change results: a build with a different
+    num_shards produces byte-identical nodes/edges (deterministic sweep
+    ordering — SURVEY.md §7.4)."""
+    out7 = str(tmp_path_factory.mktemp("shards7"))
+    build_graph([pages_parquet], out7, num_shards=7)
+    for table in ("nodes", "edges"):
+        a = gio.read_table_dir(graph_out, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        b = gio.read_table_dir(out7, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_hot_key_merge(ray_session):
+    """Head-entity skew: 50k occurrences of ONE (pred, obj) bucket key with
+    200 distinct subjects merge correctly (vectorized per-bucket work keeps
+    a hot key at O(rows) C-speed — SURVEY.md §4 skew note)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_hf_ray.stages.edges import merge_and_invalidate
+
+    n = 50_000
+    subj_idx = np.arange(n) % 200
+    t = pa.table(
+        {
+            "episode_uuid": pa.array([f"ep{i:06d}" for i in range(n)]),
+            "group_id": pa.array(["g0"] * n),
+            "valid_at": pa.array((1704067200_000_000 + subj_idx.astype("int64") * 60_000_000), pa.timestamp("us")),
+            "src_uuid": pa.array([f"s{j:03d}" for j in subj_idx]),
+            "src_name": pa.array([f"S{j}" for j in subj_idx]),
+            "pred": pa.array(["IS_CEO_OF"] * n),
+            "obj_uuid": pa.array(["hotobj"] * n),
+            "obj_name": pa.array(["HotObj"] * n),
+            "fact": pa.array([f"S{j} is the CEO of HotObj." for j in subj_idx]),
+        }
+    )
+    out = merge_and_invalidate(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 200  # one merged edge per distinct subject
+    assert (out["n_occurrences"] == n // 200).all()
+    out = out.sort_values("valid_at").reset_index(drop=True)
+    # invalidation chain: every edge except the newest is invalidated by the next
+    assert out["invalid_at"].iloc[:-1].notna().all()
+    assert out["invalid_at"].iloc[-1] is pd.NaT or pd.isna(out["invalid_at"].iloc[-1])
+    assert (out["invalid_at"].iloc[:-1].values == out["valid_at"].iloc[1:].values).all()
