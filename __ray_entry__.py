@@ -434,4 +434,14 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """
+    thresh = format(int(0.2 * 16**8), "08x")
+    sql["q38_hash_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('s:' || doc_id), 1, 8) < '{thresh}'
+    """
+    sql["q39_kmv_synopsis"] = """
+        SELECT h FROM (
+            SELECT DISTINCT md5('k:' || text) AS h FROM documents
+        ) ORDER BY h LIMIT 32
+    """
     return sql

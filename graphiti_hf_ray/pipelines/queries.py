@@ -671,3 +671,25 @@ def q37_large_join(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q37_large_join"] = q37_large_join
+
+
+def q38_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash sample (~20%) of documents — coordination-free,
+    rerun-stable, partitioning-independent."""
+    from ..functions.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", 0.2).to_pandas()
+
+
+def q39_kmv_synopsis(sf_dir: str) -> pd.DataFrame:
+    """K-minimum-values distinct sketch over document texts: the synopsis
+    (32 smallest salted hashes) is exact and SQL-reproducible."""
+    from ..functions.sample import kmv_synopsis
+
+    ds = _read(sf_dir, "documents", ["text"])
+    synopsis, _est = kmv_synopsis(ds, "text", k=32)
+    return pd.DataFrame({"h": synopsis})
+
+
+QUERIES.update({"q38_hash_sample": q38_hash_sample, "q39_kmv_synopsis": q39_kmv_synopsis})

@@ -136,3 +136,24 @@ def test_multimodal_fake_decode_deterministic(ray_session):
 def test_multimodal_real_backend_gated():
     with pytest.raises(NotImplementedError):
         DecodeImage(backend="pil")
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session, sf_small):
+    from graphiti_hf_ray.functions.sample import hash_sample, stratified_hash_sample
+
+    ds = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "lang"])
+    a = hash_sample(ds, "doc_id", 0.2).to_pandas()
+    b = hash_sample(ds, "doc_id", 0.2).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])  # rerun-stable
+    assert 0.05 < len(a) / 500 < 0.4
+    strat = stratified_hash_sample(ds, "doc_id", "lang", {"en": 1.0, "de": 0.0}).to_pandas()
+    assert set(strat["lang"]) == {"en"}
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    from graphiti_hf_ray.functions.sample import kmv_synopsis
+
+    df = pd.DataFrame({"v": [f"item-{i % 700}" for i in range(5000)]})
+    syn, est = kmv_synopsis(rd.from_pandas(df), "v", k=64)
+    assert len(syn) == 64
+    assert 0.6 < est / 700 < 1.6  # KMV estimator within expected error
