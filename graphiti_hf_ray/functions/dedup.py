@@ -103,8 +103,10 @@ def minhash_lsh_candidates(docs: "ray.data.Dataset", jaccard_threshold: float = 
     """
 
     def sig_rows(t: pa.Table) -> pa.Table:
+        """Band rows carry (band_id, band_hash, doc_id) ONLY — text never
+        enters the shuffle (8 band rows per doc would ship it 8×)."""
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        band_id, band_hash, doc_id, text_out = [], [], [], []
+        band_id, band_hash, doc_id = [], [], []
         rows_per_band = N_PERM // N_BANDS
         for d, x in zip(ids, texts):
             sig = minhash_signature(x)
@@ -113,52 +115,67 @@ def minhash_lsh_candidates(docs: "ray.data.Dataset", jaccard_threshold: float = 
                 band_id.append(b)
                 band_hash.append(hashlib.md5(chunk.tobytes()).hexdigest())
                 doc_id.append(d)
-                text_out.append(x)
         return pa.table(
             {
                 "band_id": pa.array(band_id, pa.int32()),
                 "band_hash": pa.array(band_hash, pa.string()),
                 "doc_id": pa.array(doc_id, pa.int64()),
-                "text": pa.array(text_out, pa.string()),
             }
         )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
-        ids = g["doc_id"].tolist()
-        sh = [set(_token_hashes(x).tolist()) for x in g["text"]]
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i] | sh[j])
-                jac = inter / union if union else 0.0
-                if jac >= jaccard_threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(round(jac, 6))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
 
     from ..stages.shuffle import bucketed_group_apply
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g) for _, g in df.groupby(["band_id", "band_hash"], sort=False)]
+        outs = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(set(g["doc_id"]))
+            if len(ids) < 2:
+                continue
+            idx_a, idx_b = np.triu_indices(len(ids), k=1)
+            arr = np.asarray(ids, np.int64)
+            outs.append(pd.DataFrame({"doc_a": arr[idx_a], "doc_b": arr[idx_b]}))
         if not outs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
-        return pd.concat(outs, ignore_index=True)
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["doc_a", "doc_b"])
 
-    pairs = bucketed_group_apply(
+    cand_pairs = bucketed_group_apply(
         docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
         ["band_id", "band_hash"], per_bucket,
     )
+    # distinct across bands
+    cand_pairs = bucketed_group_apply(
+        cand_pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"])
+    )
+    pairs_df = cand_pairs.to_pandas()  # candidates ≪ corpus by LSH design
+    if pairs_df.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
+        )
 
-    # same pair can surface from several bands → distinct
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])
+    # exact-Jaccard verification: re-scan ONLY candidate docs' shingles
+    cand_ids = sorted(set(pairs_df["doc_a"]) | set(pairs_df["doc_b"]))
+    want = pa.array(cand_ids, pa.int64())
 
-    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], dedupe)
+    def shingles_of(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t.column("doc_id"), value_set=want))
+        ids = t.column("doc_id").to_pylist()
+        hs = [",".join(map(str, sorted(_token_hashes(x).tolist()))) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(hs, pa.string())})
+
+    sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow").take_all()
+    sh = {r["doc_id"]: set(map(int, r["sh"].split(","))) if r["sh"] else set() for r in sh_rows}
+    a_out, b_out, j_out = [], [], []
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        sa, sb = sh[a], sh[b]
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 0.0
+        if jac >= jaccard_threshold:
+            a_out.append(int(a))
+            b_out.append(int(b))
+            j_out.append(round(jac, 6))
+    return ray.data.from_pandas(pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out}))
 
 
 def simhash64(text: str) -> int:
