@@ -444,4 +444,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5('k:' || text) AS h FROM documents
         ) ORDER BY h LIMIT 32
     """
+    sql["q40_episodes_by_mention"] = f"""
+        WITH {cte},
+        seed AS (
+            SELECT min(md5('ent:' || group_id || ':' || label || ':' || canon_name)) AS s
+            FROM canon WHERE group_id = 'g0'
+        )
+        SELECT DISTINCT episode_uuid FROM (
+            SELECT episode_uuid, subj_uuid AS entity_uuid FROM gold_canon
+            UNION ALL
+            SELECT episode_uuid, obj_uuid FROM gold_canon
+        ), seed WHERE entity_uuid = seed.s
+    """
     return sql

@@ -693,3 +693,25 @@ def q39_kmv_synopsis(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES.update({"q38_hash_sample": q38_hash_sample, "q39_kmv_synopsis": q39_kmv_synopsis})
+
+
+def q40_episodes_by_mention(sf_dir: str) -> pd.DataFrame:
+    """J3: episodes that mention a given entity (min-uuid node of g0),
+    via the MENTIONS episodic-edge table."""
+    out_dir = _kg_out_dir(sf_dir)
+    nodes = rd.read_parquet(os.path.join(out_dir, "nodes"), columns=["uuid", "group_id"])
+
+    def g0_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("group_id"), pa.scalar("g0")))
+
+    seed = min(r["uuid"] for r in nodes.map_batches(g0_only, batch_format="pyarrow").take_all())
+    men = rd.read_parquet(os.path.join(out_dir, "episodic_edges"), columns=["source_node_uuid", "target_node_uuid"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("target_node_uuid"), pa.scalar(seed)))
+        return pa.table({"episode_uuid": m.column("source_node_uuid")})
+
+    return men.map_batches(hits, batch_format="pyarrow").to_pandas()
+
+
+QUERIES["q40_episodes_by_mention"] = q40_episodes_by_mention

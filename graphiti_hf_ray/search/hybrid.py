@@ -112,6 +112,63 @@ NODE_HYBRID_SEARCH_RRF = SearchConfig(
 )
 EDGE_BFS_RRF = SearchConfig(edge_config=EdgeSearchConfig([SearchMethod.bfs], Reranker.rrf))
 
+# full recipe catalog parity (search_config_recipes.py:34-223 — 15 recipes)
+_HY = [SearchMethod.bm25, SearchMethod.cosine_similarity]
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    edge_config=EdgeSearchConfig(_HY, Reranker.cross_encoder),
+    node_config=NodeSearchConfig(_HY, Reranker.cross_encoder),
+    episode_config=EpisodeSearchConfig(reranker=Reranker.cross_encoder),
+    community_config=CommunitySearchConfig(_HY, Reranker.cross_encoder),
+)
+EDGE_HYBRID_SEARCH_MMR = SearchConfig(edge_config=EdgeSearchConfig(_HY, Reranker.mmr))
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    edge_config=EdgeSearchConfig(_HY, Reranker.episode_mentions)
+)
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    edge_config=EdgeSearchConfig(_HY, Reranker.cross_encoder)
+)
+NODE_HYBRID_SEARCH_MMR = SearchConfig(node_config=NodeSearchConfig(_HY, Reranker.mmr))
+NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    node_config=NodeSearchConfig(_HY, Reranker.node_distance)
+)
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    node_config=NodeSearchConfig(_HY, Reranker.episode_mentions)
+)
+NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    node_config=NodeSearchConfig(_HY, Reranker.cross_encoder)
+)
+EPISODE_HYBRID_SEARCH_RRF = SearchConfig(episode_config=EpisodeSearchConfig())
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(
+    community_config=CommunitySearchConfig(_HY, Reranker.rrf)
+)
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(
+    community_config=CommunitySearchConfig(_HY, Reranker.mmr)
+)
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    community_config=CommunitySearchConfig(_HY, Reranker.cross_encoder)
+)
+
+ALL_RECIPES: dict[str, SearchConfig] = {
+    "COMBINED_HYBRID_SEARCH_RRF": COMBINED_HYBRID_SEARCH_RRF,
+    "COMBINED_HYBRID_SEARCH_MMR": COMBINED_HYBRID_SEARCH_MMR,
+    "COMBINED_HYBRID_SEARCH_CROSS_ENCODER": COMBINED_HYBRID_SEARCH_CROSS_ENCODER,
+    "EDGE_HYBRID_SEARCH_RRF": EDGE_HYBRID_SEARCH_RRF,
+    "EDGE_HYBRID_SEARCH_MMR": EDGE_HYBRID_SEARCH_MMR,
+    "EDGE_HYBRID_SEARCH_NODE_DISTANCE": EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+    "EDGE_HYBRID_SEARCH_EPISODE_MENTIONS": EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
+    "EDGE_HYBRID_SEARCH_CROSS_ENCODER": EDGE_HYBRID_SEARCH_CROSS_ENCODER,
+    "NODE_HYBRID_SEARCH_RRF": NODE_HYBRID_SEARCH_RRF,
+    "NODE_HYBRID_SEARCH_MMR": NODE_HYBRID_SEARCH_MMR,
+    "NODE_HYBRID_SEARCH_NODE_DISTANCE": NODE_HYBRID_SEARCH_NODE_DISTANCE,
+    "NODE_HYBRID_SEARCH_EPISODE_MENTIONS": NODE_HYBRID_SEARCH_EPISODE_MENTIONS,
+    "NODE_HYBRID_SEARCH_CROSS_ENCODER": NODE_HYBRID_SEARCH_CROSS_ENCODER,
+    "EPISODE_HYBRID_SEARCH_RRF": EPISODE_HYBRID_SEARCH_RRF,
+    "COMMUNITY_HYBRID_SEARCH_RRF": COMMUNITY_HYBRID_SEARCH_RRF,
+    "COMMUNITY_HYBRID_SEARCH_MMR": COMMUNITY_HYBRID_SEARCH_MMR,
+    "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER": COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER,
+    "EDGE_BFS_RRF": EDGE_BFS_RRF,
+}
+
 
 class GraphStore:
     """Read-side handle on a materialized graph output directory."""
@@ -199,9 +256,17 @@ def _rerank(
     vec_lookup,
     center_distances,
     mention_counts,
+    query: str = "",
+    passage_lookup: dict | None = None,
 ) -> list[str]:
     if not lists:
         return []
+    if reranker == Reranker.cross_encoder and passage_lookup:
+        from .rerank import CrossEncoderStub
+
+        union = sorted(set().union(*lists))
+        ranked = CrossEncoderStub().rank(query, [(u, passage_lookup.get(u, "")) for u in union])
+        return [u for u, _ in ranked][:limit]
     if reranker == Reranker.mmr and vec_lookup:
         union = sorted(set().union(*lists))
         return mmr(union, qvec, vec_lookup, k=limit)
@@ -246,19 +311,22 @@ def search(
             budget, text_col, emb_col,
         )
         vec_lookup = None
-        if cfg.reranker == Reranker.mmr and emb_col:
-            union = set().union(*lists) if lists else set()
-            if union:
-                import pyarrow as pa
+        passage_lookup = None
+        union = set().union(*lists) if lists else set()
+        if union and (cfg.reranker == Reranker.mmr and emb_col or cfg.reranker == Reranker.cross_encoder):
+            import pyarrow as pa
 
-                want = pa.array(sorted(union))
-                rows = (
-                    store.ds(table, group_ids)
-                    .map_batches(lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=want)), batch_format="pyarrow")
-                    .select_columns(["uuid", emb_col])
-                    .take_all()
-                )
+            want = pa.array(sorted(union))
+            cols = ["uuid", text_col] + ([emb_col] if emb_col else [])
+            rows = (
+                store.ds(table, group_ids)
+                .map_batches(lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=want)), batch_format="pyarrow")
+                .select_columns(cols)
+                .take_all()
+            )
+            if emb_col:
                 vec_lookup = {r["uuid"]: r[emb_col] for r in rows}
+            passage_lookup = {r["uuid"]: r[text_col] for r in rows}
         if cfg.reranker == Reranker.episode_mentions and mention_counts is None:
             men = store.ds("episodic_edges", group_ids)
             mention_counts = (
@@ -267,7 +335,10 @@ def search(
                 .rename_columns(["entity_uuid", "n_mentions"])
                 .to_pandas()
             )
-        ranked = _rerank(lists, cfg.reranker, config.limit, qvec, vec_lookup, center_dist, mention_counts)
+        ranked = _rerank(
+            lists, cfg.reranker, config.limit, qvec, vec_lookup, center_dist, mention_counts,
+            query=query, passage_lookup=passage_lookup,
+        )
         results[table] = pd.DataFrame({"uuid": ranked})
 
     if config.edge_config:

@@ -163,3 +163,21 @@ def test_cross_encoder_stub_deterministic():
     ce = CrossEncoderStub()
     r = ce.rank("acme corp", [("e1", "acme corp is here"), ("e2", "nothing")])
     assert r[0][0] == "e1" and r[0][1] > r[1][1]
+
+
+def test_all_recipes_run(ray_session, store):
+    """Every catalog recipe (search_config_recipes.py parity) executes and
+    respects the limit; cross-encoder recipes exercise the passage path."""
+    from graphiti_hf_ray.search.hybrid import ALL_RECIPES
+
+    for name, cfg in ALL_RECIPES.items():
+        kwargs = {}
+        if "NODE_DISTANCE" in name or "BFS" in name:
+            edges = _edges_df(store)
+            kwargs["center_node_uuid"] = sorted(edges["source_uuid"])[0]
+        res = search(store, "Ada Lovelace works at Acme", cfg, **kwargs)
+        for tbl in ("edges", "nodes", "episodes", "communities"):
+            df = getattr(res, tbl)
+            assert len(df) <= cfg.limit, f"{name}.{tbl} over limit"
+        if cfg.edge_config is not None:
+            assert len(res.edges) > 0, f"{name} returned no edges"
