@@ -1,0 +1,65 @@
+"""KG-construction job driver — the ``ray job submit`` entry point.
+
+On a real cluster::
+
+    ray job submit --working-dir /root/repo -- \
+        python scripts/run_kg_job.py --pages s3://bucket/pages/*.parquet \
+        --out s3://bucket/graph --shards 4096
+
+In this sandbox (local mode)::
+
+    python scripts/run_kg_job.py --pages /tmp/pages.parquet --out /tmp/graph
+
+The job is resumable: re-submitting after a failure skips extraction
+shards whose lineage manifest matches, and the link phase re-derives the
+global tables only when the shard set changed. Prints one JSON line of
+job metrics (rows per table + per-phase timings).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Build a temporal knowledge graph from web pages")
+    ap.add_argument("--pages", nargs="+", required=True, help="input pages parquet path(s)")
+    ap.add_argument("--out", required=True, help="output graph directory")
+    ap.add_argument("--shards", type=int, default=None, help="extraction shard count")
+    ap.add_argument("--run-ts-us", type=int, default=None, help="injected run timestamp (µs)")
+    ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count (cluster mode: omit)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` the cluster is already there (address auto);
+        # standalone we bring up local mode
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if args.num_cpus:
+            ray.init(address="local", num_cpus=args.num_cpus, **kwargs)
+        else:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from graphiti_hf_ray.pipelines.kg import DEFAULT_RUN_TS_US, build_graph
+
+    t0 = time.time()
+    metrics = build_graph(
+        args.pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards
+    )
+    metrics["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
