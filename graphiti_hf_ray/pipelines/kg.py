@@ -74,6 +74,7 @@ def extract_phase(
     run_ts_us: int = DEFAULT_RUN_TS_US,
     num_shards: int | None = None,
     extractor_concurrency: int | None = None,
+    store_content: bool = True,
 ) -> None:
     """P1: shard-resumable extraction. One shard = one input file slice."""
     num_shards = num_shards or max(4, len(pages_paths))
@@ -123,8 +124,13 @@ def extract_phase(
 
         shard = int(g["shard"].iloc[0])
         ep = pa.Table.from_pandas(g.drop(columns=["shard"]), preserve_index=False, schema=EPISODES)
-        man_e = gio.write_shard_atomic(ep, sdir("episodes", shard), fps[shard])
         tr = TripleExtractor()(ep)
+        if not store_content:
+            # store_raw_episode_content=False parity (graphiti.py:137,
+            # 551-552): keep the episode row, drop the raw text payload
+            idx = ep.schema.get_field_index("content")
+            ep = ep.set_column(idx, "content", pa.array([""] * ep.num_rows, pa.string()))
+        man_e = gio.write_shard_atomic(ep, sdir("episodes", shard), fps[shard])
         man_t = gio.write_shard_atomic(
             tr, sdir("triples", shard), fps[shard], {"triples": tr.num_rows}
         )
@@ -224,12 +230,13 @@ def build_graph(
     out_dir: str,
     run_ts_us: int = DEFAULT_RUN_TS_US,
     num_shards: int | None = None,
+    store_content: bool = True,
 ) -> dict:
     """Full pipeline: pages parquet → nodes/edges/episodes/episodic_edges."""
     import time as _time
 
     timings: dict = {}
     t0 = _time.time()
-    extract_phase(pages_paths, out_dir, run_ts_us, num_shards)
+    extract_phase(pages_paths, out_dir, run_ts_us, num_shards, store_content=store_content)
     timings["extract"] = round(_time.time() - t0, 2)
     return link_and_edges_phase(out_dir, run_ts_us, timings)
