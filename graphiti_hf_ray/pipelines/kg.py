@@ -46,7 +46,6 @@ from ..stages.edges import (
     mentions_edges_from_triples,
     merge_and_invalidate,
 )
-from ..stages.embed import Embedder
 from ..stages.episodes import make_episode_batch
 
 DEFAULT_RUN_TS_US = 1735689600_000_000  # 2025-01-01T00:00:00Z — injected, deterministic
@@ -61,10 +60,17 @@ def _pool_size() -> tuple[int, int]:
 
 
 def _fingerprint(paths: list[str]) -> str:
+    """CONTENT fingerprint of the input files (chunked md5). mtime-based
+    fingerprints mis-fire when identical content is rewritten (e.g. a
+    regenerated deterministic fixture) and would APPEND duplicate shards
+    under a new namespace. Hashing reads each input once, driver-side —
+    at real scale swap in the object store's content etag instead."""
     h = hashlib.md5()
     for p in sorted(paths):
-        st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        h.update(p.encode())
+        with open(p, "rb") as f:
+            while chunk := f.read(1 << 24):
+                h.update(chunk)
     return h.hexdigest()
 
 

@@ -382,12 +382,13 @@ def _kg_out_dir(sf_dir: str) -> str:
     pages_path = f"/tmp/graphiti_ray/pages_{tag}.parquet"
     out_dir = f"/tmp/graphiti_ray/out_{tag}"
     os.makedirs(os.path.dirname(pages_path), exist_ok=True)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
-    pg = P.pages_batch(docs)
-    pg = pg.append_column(
-        "group_id", pa.array([P.group_of(int(d)) for d in docs.column("doc_id").to_pylist()])
-    )
-    pq.write_table(pg, pages_path)
+    if not os.path.exists(pages_path):  # deterministic content — write once
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
+        pg = P.pages_batch(docs)
+        pg = pg.append_column(
+            "group_id", pa.array([P.group_of(int(d)) for d in docs.column("doc_id").to_pylist()])
+        )
+        pq.write_table(pg, pages_path)
     build_graph([pages_path], out_dir, num_shards=8)
     _KG_CACHE[sf_dir] = out_dir
     return out_dir

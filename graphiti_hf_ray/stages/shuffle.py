@@ -42,7 +42,10 @@ def add_bucket_column(keys: list[str], num_buckets: int):
     def f(t: pa.Table) -> pa.Table:
         df = t.select(keys).to_pandas()
         h = pd.util.hash_pandas_object(df, index=False)  # vectorized row hash, fixed key
-        return t.append_column("_bucket", pa.array((h % num_buckets).astype("int32"), pa.int32()))
+        out = t.append_column("_bucket", pa.array((h % num_buckets).astype("int32"), pa.int32()))
+        # drop pandas schema metadata: unhashable dicts in the schema break
+        # Ray's block-schema dedup (log noise) during the sort exchange
+        return out.replace_schema_metadata(None)
 
     return f
 
