@@ -45,15 +45,29 @@ def run_bench() -> dict:
     os.makedirs("/tmp/graphiti_bench", exist_ok=True)
 
     # untimed fixture build (input synthesis) + page-cache warm read
+    import pyarrow.parquet as pq
+
     if not os.path.exists(pages_path):
         n_pages = build_bench_pages(os.path.join(sf_dir, "documents.parquet"), pages_path, factor=factor)
+    elif os.path.isdir(pages_path):
+        n_pages = sum(
+            pq.read_metadata(os.path.join(pages_path, f)).num_rows
+            for f in os.listdir(pages_path) if f.endswith(".parquet")
+        )
     else:
-        import pyarrow.parquet as pq
-
         n_pages = pq.read_metadata(pages_path).num_rows
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+
+    def _warm(fp: str) -> None:
+        with open(fp, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    if os.path.isdir(pages_path):
+        for f in os.listdir(pages_path):
+            if f.endswith(".parquet"):
+                _warm(os.path.join(pages_path, f))
+    else:
+        _warm(pages_path)
 
     out_dir = f"/tmp/graphiti_bench/out_{sf_tag}_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)

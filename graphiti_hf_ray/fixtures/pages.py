@@ -234,7 +234,9 @@ def build_pages_parquet(documents_path: str, out_path: str) -> None:
 def build_bench_pages(documents_path: str, out_path: str, factor: int = 4, with_group: bool = True) -> int:
     """Bench-scale corpus: ``factor × n_docs`` pages with doc ids
     0..N-1; soup text cycles through the documents table. Deterministic —
-    same N always yields byte-identical parquet content. Returns N."""
+    same N always yields byte-identical content. Uses Ray (parallel
+    synthesis into a directory of parts) when a session is up, else a
+    sequential single-file writer. Returns N."""
     import pyarrow.parquet as pq
 
     docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
@@ -242,6 +244,41 @@ def build_bench_pages(documents_path: str, out_path: str, factor: int = 4, with_
     texts = docs.column("text").to_pylist()
     langs = docs.column("lang").to_pylist()
     total = n * factor
+
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+
+    if use_ray:
+        import ray
+        import ray.data as rd
+
+        ref = ray.put((texts, langs))
+
+        def gen(t: pa.Table, _ref=ref) -> pa.Table:
+            tx, lg = ray.get(_ref)
+            ids = [int(i) for i in t.column("id").to_pylist()]
+            batch = pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([tx[d % n] for d in ids], pa.string()),
+                    "lang": pa.array([lg[d % n] for d in ids], pa.string()),
+                }
+            )
+            out = pages_batch(batch)
+            if with_group:
+                out = out.append_column("group_id", pa.array([group_of(d) for d in ids], pa.string()))
+            return out
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        rd.range(total, override_num_blocks=cpus * 4).map_batches(
+            gen, batch_format="pyarrow", batch_size=8192
+        ).write_parquet(out_path, min_rows_per_file=50_000)
+        return total
+
     writer = None
     try:
         for start in range(0, total, 50_000):

@@ -66,11 +66,21 @@ def _fingerprint(paths: list[str]) -> str:
     under a new namespace. Hashing reads each input once, driver-side —
     at real scale swap in the object store's content etag instead."""
     h = hashlib.md5()
-    for p in sorted(paths):
-        h.update(p.encode())
-        with open(p, "rb") as f:
+
+    def one(fp: str) -> None:
+        h.update(fp.encode())
+        with open(fp, "rb") as f:
             while chunk := f.read(1 << 24):
                 h.update(chunk)
+
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for dirpath, _d, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        one(os.path.join(dirpath, fn))
+        else:
+            one(p)
     return h.hexdigest()
 
 
