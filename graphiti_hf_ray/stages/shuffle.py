@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -48,6 +49,42 @@ def add_bucket_column(keys: list[str], num_buckets: int):
         return out.replace_schema_metadata(None)
 
     return f
+
+
+def salted_group_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_salts: int = 16,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Two-round SALTED aggregation for head-key skew (SURVEY.md §4):
+
+    round 1: shuffle by (keys…, _salt) where _salt = row_hash % num_salts —
+             a hot key's rows split across ``num_salts`` sub-buckets, each
+             reduced independently by ``partial_fn`` (must emit one partial
+             row per key per salt, associative w.r.t. ``merge_fn``);
+    round 2: shuffle the partials by (keys…) alone — at most ``num_salts``
+             rows per key reach the final ``merge_fn``.
+
+    Use when a single key's rows exceed one task's memory or when the
+    per-bucket reduction is itself expensive; plain ``bucketed_group_apply``
+    with a vectorized body is cheaper for keys that fit."""
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.select(keys).to_pandas(), index=False)
+        # row-position jitter decorrelates the salt from the key hash
+        salt = ((h.values + np.arange(len(h), dtype=np.uint64)) % num_salts).astype("int32")
+        return t.append_column("_salt", pa.array(salt, pa.int32())).replace_schema_metadata(None)
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return partial_fn(df.drop(columns=["_salt"]))
+
+    partials = bucketed_group_apply(salted, [*keys, "_salt"], partial, num_buckets=num_buckets)
+    return bucketed_group_apply(partials, keys, merge_fn, num_buckets=num_buckets)
 
 
 def bucketed_group_apply(

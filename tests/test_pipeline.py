@@ -237,3 +237,30 @@ def test_hot_key_merge(ray_session):
     assert out["invalid_at"].iloc[:-1].notna().all()
     assert out["invalid_at"].iloc[-1] is pd.NaT or pd.isna(out["invalid_at"].iloc[-1])
     assert (out["invalid_at"].iloc[:-1].values == out["valid_at"].iloc[1:].values).all()
+
+
+def test_salted_aggregate_hot_key(ray_session):
+    """Salted two-round aggregation: one key with 100k rows splits across
+    16 salt sub-buckets (round 1 partials) and merges to the exact global
+    aggregate in round 2 — matches the unsalted pandas result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_hf_ray.stages.shuffle import salted_group_aggregate
+
+    n = 100_000
+    keys = np.where(np.arange(n) % 10 == 0, np.char.add("cold", (np.arange(n) % 50).astype(str)), "HOT")
+    t = pa.table({"k": pa.array(keys.tolist()), "v": pa.array(np.arange(n, dtype="int64"))})
+
+    def partial(df):
+        return df.groupby("k", as_index=False).agg(s=("v", "sum"), c=("v", "size"))
+
+    def merge(df):
+        return df.groupby("k", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
+
+    out = salted_group_aggregate(rd.from_arrow(t), ["k"], partial, merge).to_pandas()
+    exp = t.to_pandas().groupby("k", as_index=False).agg(s=("v", "sum"), c=("v", "size"))
+    a = out.sort_values("k").reset_index(drop=True)
+    b = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "s", "c"]], b[["k", "s", "c"]], check_dtype=False)
