@@ -105,7 +105,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_events_sessions": """
             SELECT user_id, count(*) AS n_events,
-                   1 + coalesce(sum(CASE WHEN diff > 1800000000 THEN 1 ELSE 0 END), 0) AS n_sessions
+                   CAST(1 + coalesce(sum(CASE WHEN diff > 1800000000 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_sessions
             FROM (
                 SELECT user_id,
                        epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -164,8 +165,55 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
             WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.05
         """,
-        # q19_minhash_neardup / q19b_simhash_neardup: approximate (LSH banding)
-        # — intentionally no SQL oracle; driver records rows-only.
+        # q19: MinHash-LSH output is exact-Jaccard-verified; at 16 bands × 4
+        # rows the per-pair miss probability at fixture similarities is
+        # < 1e-6, so the exact 5-token-shingle Jaccard SQL is the oracle.
+        "q19_minhash_neardup": """
+            WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                       i -> t[i] || chr(32) || t[i+1] || chr(32) || t[i+2] || chr(32)
+                            || t[i+3] || chr(32) || t[i+4])) AS s
+                FROM toks WHERE len(t) >= 5
+                UNION ALL
+                SELECT doc_id, text AS s FROM documents WHERE len(string_split(text, chr(32))) < 5
+            ),
+            dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b
+            FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.3
+        """,
+        # q19b: SimHash at Hamming <= 3 with 4×16-bit bands is EXACT
+        # (pigeonhole), so the all-pairs simhash reconstruction below is an
+        # exact oracle. Bit b of a token's hash = bit (b%8) of md5-digest
+        # byte (b//8) — the little-endian uint64 the engine uses.
+        "q19b_simhash_neardup": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS tk FROM documents),
+            th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (CAST(
+                             (strpos('0123456789abcdef', substr(h, 2*(b.b//8)+1, 1))-1)*16
+                           + (strpos('0123456789abcdef', substr(h, 2*(b.b//8)+2, 1))-1)
+                         AS BIGINT) >> CAST(b.b % 8 AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+                GROUP BY 1, 2
+            ),
+            sim AS (SELECT doc_id, b, CASE WHEN acc > 0 THEN 1 ELSE 0 END AS bit FROM bits),
+            ham AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hamming
+                FROM sim a JOIN sim b ON a.b = b.b AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM ham WHERE hamming <= 3
+        """,
         "q20_kg_episodes": f"""
             SELECT md5('ep:' || url) AS uuid, url AS name, text AS content, group_id, warc_ts AS valid_at
             FROM ({pages_sub}) p
@@ -399,7 +447,7 @@ def oracle_sql() -> dict[str, str]:
                    ) THEN 1 ELSE 0 END AS c
             FROM iv
         )
-        SELECT user_id, event_type, sum(c) AS n_overlaps, count(*) AS n_edges
+        SELECT user_id, event_type, CAST(sum(c) AS BIGINT) AS n_overlaps, count(*) AS n_edges
         FROM marked GROUP BY 1, 2
     """
 

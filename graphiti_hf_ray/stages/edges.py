@@ -115,10 +115,14 @@ def canon_map_dict(canon_map: pd.DataFrame) -> dict[str, tuple[str, str]]:
 def rewrite_via_join(triples: "ray.data.Dataset", canon_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Hash-join rewrite path for canonical maps too big to broadcast.
 
-    Tags triples and map rows with the mention key, co-groups with one
-    ``groupby(key)`` per endpoint, and emits rewritten rows — two shuffles,
-    no driver materialization. Used when |map| ≳ 10⁷ (SURVEY.md §7.4
-    "Canonical-map size")."""
+    Tags triples and map rows with the mention key and co-groups them with
+    one ``bucketed_group_apply`` per endpoint — each bucket holds MANY keys
+    and the per-bucket merge is one vectorized ``Series.map`` against the
+    bucket's key→canon dictionary (the round-1 per-distinct-key
+    ``groupby(key).map_groups`` — one Python call per mention key — is
+    gone). Two shuffles, no driver materialization. Used when |map| ≳ 10⁷
+    (SURVEY.md §7.4 "Canonical-map size")."""
+    from .shuffle import bucketed_group_apply
 
     def tag_map(t: pa.Table) -> pa.Table:
         keys = [
@@ -148,33 +152,36 @@ def rewrite_via_join(triples: "ray.data.Dataset", canon_ds: "ray.data.Dataset") 
                     t.column("group_id").to_pylist(), t.column(lab_col).to_pylist(), t.column(surf_col).to_pylist()
                 )
             ]
-            return t.append_column("key", pa.array(keys, pa.string()))
+            return t.append_column("key", pa.array(keys, pa.string())).replace_schema_metadata(None)
 
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            is_map = g["canon_uuid"].notna()
-            rows = g[~is_map].copy()
+        def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            """One hash bucket of (triples ∪ map rows): vectorized lookup."""
+            is_map = df["canon_uuid"].notna() if "canon_uuid" in df else pd.Series(False, index=df.index)
+            m = df.loc[is_map].drop_duplicates("key").set_index("key")
+            rows = df.loc[~is_map].drop(columns=["canon_name", "canon_uuid"], errors="ignore").copy()
             if rows.empty:
                 return rows.drop(columns=["key"])
-            if is_map.any():
-                rows[f"{side}_name"] = g.loc[is_map, "canon_name"].iloc[0]
-                rows[f"{side}_uuid"] = g.loc[is_map, "canon_uuid"].iloc[0]
-            else:
-                rows[f"{side}_name"] = rows[surf_col]
-                rows[f"{side}_uuid"] = [
+            rows[f"{side}_name"] = rows["key"].map(m["canon_name"]) if len(m) else pd.Series(np.nan, index=rows.index)
+            rows[f"{side}_uuid"] = rows["key"].map(m["canon_uuid"]) if len(m) else pd.Series(np.nan, index=rows.index)
+            miss = rows[f"{side}_uuid"].isna()
+            if miss.any():
+                rows.loc[miss, f"{side}_name"] = rows.loc[miss, surf_col]
+                rows.loc[miss, f"{side}_uuid"] = [
                     md5_id(f"ent:{gi}:{l}:{s}")
-                    for gi, l, s in zip(rows["group_id"], rows[lab_col], rows[surf_col])
+                    for gi, l, s in zip(
+                        rows.loc[miss, "group_id"], rows.loc[miss, lab_col], rows.loc[miss, surf_col]
+                    )
                 ]
             return rows.drop(columns=["key"])
 
-        return tag_triples, merge
+        return tag_triples, merge_bucket
 
     out = triples
     for side in ("subj", "obj"):
-        tag_triples, merge = join_side(side)
+        tag_triples, merge_bucket = join_side(side)
         tagged = out.map_batches(tag_triples, batch_format="pyarrow")
-        # union with map rows (schema-aligned via pandas concat inside groups)
         combined = tagged.union(map_tagged)
-        out = combined.groupby("key").map_groups(merge, batch_format="pandas")
+        out = bucketed_group_apply(combined, ["key"], merge_bucket)
     ren = {"subj_uuid": "src_uuid", "subj_name": "src_name"}
     return out.map_batches(
         lambda t: t.rename_columns([ren.get(c, c) for c in t.column_names]).drop_columns(

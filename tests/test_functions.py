@@ -65,6 +65,44 @@ def test_simhash_pairs_ray(ray_session):
     assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(1, 2)}
 
 
+def test_embedding_neardup_exact_matches_bruteforce(ray_session, sf_small):
+    """Distributed block-pair all-pairs == driver-side numpy brute force."""
+    import pyarrow.parquet as pq
+
+    from graphiti_hf_ray.functions.dedup import embedding_neardup
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+    m = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    ia, ib = np.where((sims >= 0.4) & (ids[:, None] < ids[None, :]))
+    expected = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup(emb, threshold=0.4, n_parts=3).to_pandas()
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    assert got == expected
+    assert len(out) == len(out.drop_duplicates(["vec_a", "vec_b"]))  # scored once
+
+
+def test_embedding_neardup_lsh_subset_of_exact(ray_session, sf_small):
+    """The approximate LSH path returns a subset of the exact pairs and
+    keeps the highest-similarity ones (same-bucket near-identicals)."""
+    from graphiti_hf_ray.functions.dedup import embedding_neardup, embedding_neardup_lsh
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = embedding_neardup(emb, threshold=0.4).to_pandas()
+    approx = embedding_neardup_lsh(emb, threshold=0.4).to_pandas()
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert a <= e
+    # recall < 1 by design (a hyperplane can split even a cos-0.9 pair),
+    # but the deterministic planes recall a stable non-trivial fraction
+    # theory at cos>=0.4: same-bucket prob = (1 - θ/π)^4 ≈ 0.16
+    assert len(a) >= max(1, len(e) // 10)
+
+
 def test_knn_ivf_recall_vs_brute(ray_session, sf_small):
     import pyarrow.parquet as pq
 

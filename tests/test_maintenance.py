@@ -135,6 +135,26 @@ def test_connected_components_distributed_matches_driver(ray_session):
     assert dist_map == driver
 
 
+def test_canonicalize_forced_distributed_paths(ray_session, pages_parquet, monkeypatch):
+    """Force the scale paths (distributed pair scoring + distributed CC) by
+    zeroing the driver-path thresholds: the canonical map must be identical
+    to the default driver-path output."""
+    import graphiti_hf_ray.stages.canonicalize as C
+    from graphiti_hf_ray.extract.html import extract_text_batch
+    from graphiti_hf_ray.extract.triples import TripleExtractor
+    from graphiti_hf_ray.stages.episodes import make_episode_batch
+
+    pg = pq.read_table(pages_parquet)
+    ep = make_episode_batch(extract_text_batch(pg), DEFAULT_RUN_TS_US)
+    tr = TripleExtractor()(ep)
+    triples = rd.from_arrow(tr)
+    base = C.canonicalize(triples).sort_values(["group_id", "label", "surface"]).reset_index(drop=True)
+    monkeypatch.setattr(C, "DRIVER_PAIRS_MAX_MENTIONS", 0)
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_PAIRS", 0)
+    forced = C.canonicalize(triples).sort_values(["group_id", "label", "surface"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+
+
 def test_rewrite_via_join_matches_broadcast(ray_session, pages_parquet):
     """The large-map hash-join rewrite path returns the same canonical
     triples as the broadcast-dict path."""
