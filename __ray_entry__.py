@@ -492,6 +492,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT md5('k:' || text) AS h FROM documents
         ) ORDER BY h LIMIT 32
     """
+    # q41: weighted label propagation, unrolled synchronous rounds. The
+    # engine iterates to the fixpoint; the fixture converges well inside
+    # _LP_ROUNDS rounds and extra rounds are no-ops at the fixpoint, so the
+    # unrolled SQL is exact.
+    _LP_ROUNDS = 8
+    lp_rounds = []
+    for i in range(_LP_ROUNDS):
+        # MATERIALIZED is load-bearing: each round references the previous
+        # label CTE twice; inlining would re-expand the whole upstream
+        # pipeline 2^rounds times.
+        lp_rounds.append(f"""
+            c{i} AS MATERIALIZED (
+                SELECT r.group_id, e.dst AS node, r.label AS cl, sum(e.w) AS cnt
+                FROM adj e JOIN l{i} r ON r.group_id = e.group_id AND r.node = e.src
+                GROUP BY 1, 2, 3
+            ),
+            t{i} AS MATERIALIZED (
+                SELECT *, row_number() OVER (PARTITION BY group_id, node
+                                             ORDER BY cnt DESC, cl DESC) AS rn
+                FROM c{i}
+            ),
+            l{i + 1} AS MATERIALIZED (
+                SELECT l.group_id, l.node,
+                       CASE WHEN t.cnt > 1 THEN t.cl
+                            ELSE greatest(coalesce(t.cl, -1), l.label) END AS label
+                FROM l{i} l LEFT JOIN t{i} t
+                  ON t.group_id = l.group_id AND t.node = l.node AND t.rn = 1
+            )""")
+    sql["q41_kg_communities_lp"] = f"""
+        WITH {cte},
+        merged AS (
+            SELECT group_id, subj_uuid, pred, obj_uuid FROM gold_canon GROUP BY 1, 2, 3, 4
+        ),
+        pairw AS MATERIALIZED (
+            SELECT group_id, least(subj_uuid, obj_uuid) AS a,
+                   greatest(subj_uuid, obj_uuid) AS b, count(*) AS w
+            FROM merged WHERE subj_uuid != obj_uuid GROUP BY 1, 2, 3
+        ),
+        adj AS MATERIALIZED (
+            SELECT group_id, a AS src, b AS dst, w FROM pairw
+            UNION ALL SELECT group_id, b, a, w FROM pairw
+        ),
+        nodes AS (
+            SELECT DISTINCT group_id, u AS node FROM (
+                SELECT group_id, subj_uuid AS u FROM merged
+                UNION ALL SELECT group_id, obj_uuid FROM merged
+            )
+        ),
+        l0 AS MATERIALIZED (
+            SELECT group_id, node,
+                   row_number() OVER (PARTITION BY group_id ORDER BY node) - 1 AS label
+            FROM nodes
+        ),
+        {",".join(lp_rounds)},
+        final AS (SELECT group_id, node, label FROM l{_LP_ROUNDS}),
+        comm AS (SELECT group_id, label, min(node) AS root FROM final GROUP BY 1, 2)
+        SELECT f.group_id, md5('lpc:' || f.group_id || ':' || c.root) AS community_uuid,
+               f.node AS member_uuid
+        FROM final f JOIN comm c ON c.group_id = f.group_id AND c.label = f.label
+    """
+
+    sql["q42_conflict_resolution"] = """
+        WITH iv AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS start_us,
+                   epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS end_us
+            FROM events
+        ),
+        marked AS (
+            SELECT *, CASE WHEN start_us >= coalesce(max(end_us) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY start_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS nc
+            FROM iv
+        ),
+        clustered AS (
+            SELECT *, sum(nc) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY start_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cluster
+            FROM marked
+        ),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY user_id, event_type, cluster) AS n_cluster,
+                   row_number() OVER (PARTITION BY user_id, event_type, cluster
+                                      ORDER BY start_us, event_id) AS pos
+            FROM clustered
+        )
+        SELECT event_id, CAST(n_cluster AS BIGINT) AS n_cluster,
+               CASE WHEN n_cluster > 1 AND pos < n_cluster THEN 'invalidated'
+                    ELSE 'kept' END AS status
+        FROM sized
+    """
+
     sql["q40_episodes_by_mention"] = f"""
         WITH {cte},
         seed AS (

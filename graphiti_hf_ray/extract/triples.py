@@ -69,8 +69,21 @@ class TripleExtractor:
     Output: TRIPLES_SCHEMA (0..n rows per episode).
     """
 
-    def __init__(self, relations: dict[str, tuple[str, str, str]] | None = None):
+    def __init__(self, relations: dict[str, tuple[str, str, str]] | None = None, registry=None):
         rels = relations or RELATIONS
+        # edge_type_map legality is enforced AT EXTRACTION (graphiti.py:398
+        # + 492-497): a pattern whose (subj_label, obj_label) signature
+        # forbids its predicate is excluded from the alternation entirely —
+        # checked once per actor here, zero per-row cost.
+        if registry is None:
+            from ..state.types import default_registry
+
+            registry = default_registry()
+        rels = {
+            surf: (pred, sl, ol)
+            for surf, (pred, sl, ol) in rels.items()
+            if registry.check_edge_legal(sl, ol, pred)
+        }
         # longest-first alternation so "is the CEO of" wins over prefixes
         alts = "|".join(re.escape(k) for k in sorted(rels, key=len, reverse=True))
         self._rx = re.compile(rf"(?P<s>{_ENT}) (?P<r>{alts}) (?P<o>{_ENT})\.")

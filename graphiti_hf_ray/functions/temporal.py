@@ -87,6 +87,85 @@ def interval_sweep(
     return bucketed_group_apply(events, key_cols, sweep)
 
 
+RESOLUTION_STRATEGIES = ("first_wins", "last_wins", "merge", "invalidate", "manual")
+
+
+def resolve_conflicts(
+    edges: "ray.data.Dataset",
+    key_cols: list[str],
+    strategy: str = "last_wins",
+    valid_col: str = "valid_at",
+    invalid_col: str = "invalid_at",
+    id_col: str = "uuid",
+) -> "ray.data.Dataset":
+    """TS7 parameterized conflict resolution (temporal_manager.py:1032-1113
+    strategies FIRST_WINS/LAST_WINS/MERGE/INVALIDATE/MANUAL over overlap
+    clusters).
+
+    Within each key group, rows are sorted by (valid_at, id) and overlap
+    CLUSTERS are found sweep-line style (a row joins the open cluster when
+    its start precedes the running max end; NULL invalid = open = +inf) —
+    the gaps-and-islands shape, vectorized per hash bucket. Then per
+    cluster:
+
+    - ``first_wins``  — keep the earliest (valid_at, id) row, invalidate
+                        the rest (temporal_manager.py:1786-1806)
+    - ``last_wins``   — keep the latest, invalidate the rest (:1808-1828)
+    - ``merge``       — keep the earliest row as carrier, widen it to the
+                        cluster's [min start, max end] (open if any end is
+                        open), mark the rest merged (:1830-1852 +
+                        _merge_temporal_records)
+    - ``invalidate``  — invalidate every row of a multi-row cluster
+                        (:1854-1868)
+    - ``manual``      — no mutation; flag multi-row clusters for attention
+                        (:1870-1884)
+
+    Output = input columns + (cluster, n_cluster, status) where status ∈
+    {kept, invalidated, merged, flagged}; singleton clusters are always
+    ``kept``. For ``merge`` the kept row's interval is widened in place.
+    """
+    if strategy not in RESOLUTION_STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r} (have {RESOLUTION_STRATEGIES})")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*key_cols, valid_col, id_col], kind="mergesort").reset_index(drop=True)
+        end = df[invalid_col].fillna(pd.Timestamp.max)
+        gb = [df[k] for k in key_cols]
+        run_max_prev = end.groupby(gb, sort=False).transform(lambda s: s.cummax().shift(1))
+        new_cluster = (run_max_prev.isna() | (df[valid_col] >= run_max_prev)).astype(int)
+        df["cluster"] = new_cluster.groupby(gb, sort=False).cumsum()
+        cg = df.groupby([*key_cols, "cluster"], sort=False)
+        df["n_cluster"] = cg[id_col].transform("size")
+        pos = cg.cumcount()
+        multi = df["n_cluster"] > 1
+        first = pos == 0
+        last = pos == df["n_cluster"] - 1
+        status = pd.Series("kept", index=df.index)
+        if strategy == "first_wins":
+            status[multi & ~first] = "invalidated"
+        elif strategy == "last_wins":
+            status[multi & ~last] = "invalidated"
+        elif strategy == "invalidate":
+            status[multi] = "invalidated"
+        elif strategy == "manual":
+            status[multi] = "flagged"
+        elif strategy == "merge":
+            status[multi & ~first] = "merged"
+            # widen the carrier row to the cluster envelope
+            env_start = cg[valid_col].transform("min")
+            has_open = cg[invalid_col].transform(lambda s: s.isna().any())
+            env_end = cg[invalid_col].transform("max")
+            carrier = multi & first
+            df.loc[carrier, valid_col] = env_start[carrier]
+            df.loc[carrier, invalid_col] = env_end[carrier].where(~has_open[carrier], pd.NaT)
+        df["status"] = status
+        return df
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(edges, key_cols, resolve)
+
+
 def detect_overlaps(
     edges: "ray.data.Dataset",
     key_cols: list[str],

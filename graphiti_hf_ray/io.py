@@ -107,11 +107,54 @@ def write_table_distributed(ds, d: str, fingerprint: str, metrics: dict | None =
         raise
 
 
+def _prune_tmp(dirnames: list[str]) -> None:
+    """In-place os.walk pruning: never descend into .tmp-* dirs — a
+    SIGKILLed writer leaves its tmp dir behind (cleanup only runs on
+    exceptions) and its partial part files must not be read as data."""
+    dirnames[:] = [d for d in dirnames if not d.startswith(".tmp-")]
+
+
+def rewrite_file_atomic(table: pa.Table, path: str) -> None:
+    """Replace one parquet file atomically (tmp + os.replace): a crash
+    mid-write leaves the original intact."""
+    tmp = path + ".tmp-rw"
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def refresh_manifest_rows(d: str) -> None:
+    """Recount a shard dir's rows from parquet footers and update its
+    manifest (used after an in-place mutation like remove_episode so
+    job_metrics / resume logic see true counts)."""
+    p = os.path.join(d, MANIFEST)
+    if not os.path.exists(p):
+        return
+    rows = sum(
+        pq.read_metadata(os.path.join(d, fn)).num_rows
+        for fn in os.listdir(d)
+        if fn.endswith(".parquet")
+    )
+    with open(p) as f:
+        m = json.load(f)
+    m["rows"] = rows
+    m["mutated_at"] = time.time()
+    tmp = p + ".tmp-rw"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, p)
+
+
 def read_table_dir(out_dir: str, table: str) -> pa.Table:
     """Read every shard of a table directory back into one Arrow table."""
     root = os.path.join(out_dir, table)
     parts = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        _prune_tmp(dirnames)
         for fn in sorted(filenames):
             if fn.endswith(".parquet"):
                 parts.append(pq.read_table(os.path.join(dirpath, fn)))
@@ -137,7 +180,8 @@ def job_metrics(out_dir: str) -> dict:
             continue
         rows = 0
         shards = 0
-        for dirpath, _d, filenames in os.walk(troot):
+        for dirpath, dirnames, filenames in os.walk(troot):
+            _prune_tmp(dirnames)
             if MANIFEST in filenames:
                 with open(os.path.join(dirpath, MANIFEST)) as f:
                     m = json.load(f)

@@ -136,47 +136,87 @@ def filter_existing_duplicate_of(new_pairs: "ray.data.Dataset", existing: pa.Tab
     return new_pairs.map_batches(f, batch_format="pyarrow")
 
 
-def remove_episode(out_dir: str, episode_uuid_: str) -> dict[str, int]:
-    """Delete an episode, its MENTIONS edges, and entity edges it created
-    (first provenance element == this episode, graphiti.py:1097). Rewrites
-    the affected table files in place (driver-side — tables post-dedup are
-    small relative to the corpus; the distributed variant is a filtered
-    re-write of each table directory)."""
+def _filter_table_dir(root: str, pred) -> int:
+    """Filter every parquet file under ``root`` through ``pred`` (table →
+    keep mask), atomically (tmp + os.replace per file — a crash mid-loop
+    leaves every file readable), then refresh affected shard manifests so
+    job_metrics / resume logic see true row counts. Returns rows removed."""
     import os
 
     import pyarrow.parquet as pq
 
-    removed = {}
-    for table, pred in (
-        ("episodes", lambda t: pc.not_equal(t.column("uuid"), pa.scalar(episode_uuid_))),
-        ("episodic_edges", lambda t: pc.not_equal(t.column("source_node_uuid"), pa.scalar(episode_uuid_))),
-    ):
-        root = os.path.join(out_dir, table)
-        n = 0
-        for dirpath, _d, files in os.walk(root):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(dirpath, fn)
-                t = pq.read_table(p)
-                keep = pred(t)
-                n += t.num_rows - pc.sum(pc.cast(keep, pa.int64())).as_py()
-                pq.write_table(t.filter(keep), p)
-        removed[table] = n
+    from .. import io as gio
 
-    root = os.path.join(out_dir, "edges")
     n = 0
-    for dirpath, _d, files in os.walk(root):
+    touched_dirs = set()
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".tmp-")]
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
             p = os.path.join(dirpath, fn)
             t = pq.read_table(p)
-            eps = t.column("episodes").to_pylist()
-            keep = pa.array([not e.split(",")[0] == episode_uuid_ for e in eps])
-            n += t.num_rows - pc.sum(pc.cast(keep, pa.int64())).as_py()
-            pq.write_table(t.filter(keep), p)
-    removed["edges"] = n
+            keep = pred(t)
+            dropped = t.num_rows - pc.sum(pc.cast(keep, pa.int64())).as_py()
+            if dropped:
+                n += dropped
+                gio.rewrite_file_atomic(t.filter(keep), p)
+                touched_dirs.add(dirpath)
+    for d in touched_dirs:
+        gio.refresh_manifest_rows(d)
+    return n
+
+
+def remove_episode(out_dir: str, episode_uuid_: str) -> dict[str, int]:
+    """Delete an episode, its MENTIONS edges, entity edges it created
+    (explicit ``created_by`` column = earliest-occurrence episode; the
+    reference keys on insertion-ordered ``episodes[0]``, graphiti.py:1097,
+    which a sorted provenance set cannot reproduce), and entity nodes
+    mentioned by NO remaining episode (graphiti.py:1098-1108 orphan
+    cleanup). Every file rewrite is tmp+rename atomic and shard manifests
+    are refreshed. Driver-side loop — the graph tables post-dedup are
+    vocabulary-sized; the distributed variant is a filtered re-write of
+    each table directory through ``write_table_distributed``."""
+    import os
+
+    from .. import io as gio
+
+    # orphan detection BEFORE mutating mentions: entities this episode
+    # mentions that no other episode mentions
+    men = gio.read_table_dir(out_dir, "episodic_edges")
+    src = men.column("source_node_uuid").to_pylist()
+    tgt = men.column("target_node_uuid").to_pylist()
+    mine = {t for s, t in zip(src, tgt) if s == episode_uuid_}
+    others = {t for s, t in zip(src, tgt) if s != episode_uuid_}
+    orphans = mine - others
+
+    removed = {}
+    removed["episodes"] = _filter_table_dir(
+        os.path.join(out_dir, "episodes"),
+        lambda t: pc.not_equal(t.column("uuid"), pa.scalar(episode_uuid_)),
+    )
+    removed["episodic_edges"] = _filter_table_dir(
+        os.path.join(out_dir, "episodic_edges"),
+        lambda t: pc.not_equal(t.column("source_node_uuid"), pa.scalar(episode_uuid_)),
+    )
+
+    def edge_pred(t: pa.Table):
+        if "created_by" in t.column_names:
+            return pc.not_equal(t.column("created_by"), pa.scalar(episode_uuid_))
+        # legacy tables without the explicit column: sorted-set first element
+        eps = t.column("episodes").to_pylist()
+        return pa.array([e.split(",")[0] != episode_uuid_ for e in eps])
+
+    removed["edges"] = _filter_table_dir(os.path.join(out_dir, "edges"), edge_pred)
+
+    if orphans:
+        want = pa.array(sorted(orphans))
+        removed["nodes"] = _filter_table_dir(
+            os.path.join(out_dir, "nodes"),
+            lambda t: pc.invert(pc.is_in(t.column("uuid"), value_set=want)),
+        )
+    else:
+        removed["nodes"] = 0
     return removed
 
 
@@ -217,6 +257,7 @@ def add_triplet(
             "group_id": pa.array([group_id]),
             "created_at": pa.array([run_ts_us], pa.timestamp("us")),
             "episodes": pa.array([""]),
+            "created_by": pa.array([""]),  # direct insert — no episode provenance
             "expired_at": pa.nulls(1, pa.timestamp("us")),
             "valid_at": pa.array([valid_at_us], pa.timestamp("us")),
             "invalid_at": pa.nulls(1, pa.timestamp("us")),

@@ -734,3 +734,45 @@ def q40_episodes_by_mention(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q40_episodes_by_mention"] = q40_episodes_by_mention
+
+
+def q41_kg_communities_lp(sf_dir: str) -> pd.DataFrame:
+    """A5 variant: weighted label propagation (reference
+    community_operations.py:86-131 semantics, deterministic label init),
+    distinct from plain connected components on dense groups."""
+    from ..stages.communities import detect_communities
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    m = detect_communities(edges, algorithm="label_propagation").to_pandas()
+    return m[["group_id", "community_uuid", "member_uuid"]]
+
+
+def q42_conflict_resolution(sf_dir: str) -> pd.DataFrame:
+    """TS7 parameterized conflict resolution (last_wins) over the event
+    intervals of q34: per overlap cluster keep the latest row."""
+    from ..functions.temporal import resolve_conflicts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts", "value"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        dur_min = np.floor(df["value"]).astype("int64") + 1
+        df["valid_at"] = df["ts"].astype("datetime64[us]")
+        df["invalid_at"] = (df["ts"] + pd.to_timedelta(dur_min, unit="m")).astype("datetime64[us]")
+        return pa.Table.from_pandas(df[["user_id", "event_type", "event_id", "valid_at", "invalid_at"]], preserve_index=False)
+
+    iv = ds.map_batches(mk_intervals, batch_format="pyarrow")
+    out = resolve_conflicts(
+        iv, ["user_id", "event_type"], strategy="last_wins", id_col="event_id"
+    ).to_pandas()
+    out["n_cluster"] = out["n_cluster"].astype("int64")
+    return out[["event_id", "n_cluster", "status"]]
+
+
+QUERIES.update(
+    {
+        "q41_kg_communities_lp": q41_kg_communities_lp,
+        "q42_conflict_resolution": q42_conflict_resolution,
+    }
+)

@@ -70,6 +70,7 @@ EDGES = pa.schema(
         ("created_at", TS),
         ("fact_embedding", pa.list_(pa.float32(), EMBED_DIM)),
         ("episodes", pa.list_(pa.string())),
+        ("created_by", pa.string()),  # creating episode = earliest occurrence
         ("expired_at", TS),  # row invalidated at ingestion time (nullable)
         ("valid_at", TS),  # fact became true (nullable)
         ("invalid_at", TS),  # fact stopped being true (nullable)

@@ -327,16 +327,53 @@ def search(
             if emb_col:
                 vec_lookup = {r["uuid"]: r[emb_col] for r in rows}
             passage_lookup = {r["uuid"]: r[text_col] for r in rows}
-        if cfg.reranker == Reranker.episode_mentions and mention_counts is None:
-            men = store.ds("episodic_edges", group_ids)
-            mention_counts = (
-                men.groupby("target_node_uuid")
-                .count()
-                .rename_columns(["entity_uuid", "n_mentions"])
-                .to_pandas()
+        # Edge candidates are ranked by EDGE-level signals (reference
+        # search.py:254-306): node_distance maps each edge to the center
+        # distance of its SOURCE node; episode_mentions ranks by the edge's
+        # own provenance count len(edge.episodes). Node-keyed maps would
+        # miss every edge uuid and silently fall back to lexicographic
+        # order.
+        table_center_dist = center_dist
+        table_mentions = None
+        if table == "edges" and union and cfg.reranker in (
+            Reranker.node_distance, Reranker.episode_mentions
+        ):
+            import pyarrow as pa
+
+            want = pa.array(sorted(union))
+            rows = (
+                store.ds(table, group_ids)
+                .map_batches(lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=want)), batch_format="pyarrow")
+                .select_columns(["uuid", "source_uuid", "episodes"])
+                .take_all()
             )
+            if cfg.reranker == Reranker.node_distance and center_dist is not None:
+                table_center_dist = {
+                    r["uuid"]: center_dist[r["source_uuid"]]
+                    for r in rows
+                    if r["source_uuid"] in center_dist
+                }
+            elif cfg.reranker == Reranker.episode_mentions:
+                table_mentions = pd.DataFrame(
+                    {
+                        "entity_uuid": [r["uuid"] for r in rows],
+                        "n_mentions": [
+                            len(r["episodes"].split(",")) if r["episodes"] else 0 for r in rows
+                        ],
+                    }
+                )
+        if cfg.reranker == Reranker.episode_mentions and table_mentions is None:
+            if mention_counts is None:
+                men = store.ds("episodic_edges", group_ids)
+                mention_counts = (
+                    men.groupby("target_node_uuid")
+                    .count()
+                    .rename_columns(["entity_uuid", "n_mentions"])
+                    .to_pandas()
+                )
+            table_mentions = mention_counts
         ranked = _rerank(
-            lists, cfg.reranker, config.limit, qvec, vec_lookup, center_dist, mention_counts,
+            lists, cfg.reranker, config.limit, qvec, vec_lookup, table_center_dist, table_mentions,
             query=query, passage_lookup=passage_lookup,
         )
         results[table] = pd.DataFrame({"uuid": ranked})

@@ -15,6 +15,7 @@ deterministic template summary in place of the LLM tree-reduce (A6).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -47,13 +48,136 @@ def communities_per_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def detect_communities(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Membership dataset via per-group components. The per-group subgraph
-    is vocabulary-sized (distinct canonical entities), NOT corpus-sized —
-    safe to hold in one task; for groups beyond that, swap in
-    ``canonicalize.connected_components_distributed`` keyed by group."""
+def weighted_label_propagation_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Reference label propagation (community_operations.py:86-131), made
+    deterministic: weighted by edge_count between the pair (undirected),
+    labels initialised to the rank of the node uuid in sorted order,
+    synchronous rounds; a node adopts the plurality of its neighbours'
+    labels (weight = parallel-edge count) when the winning weight > 1,
+    ties broken toward the LARGER label (their rule 3), else
+    max(candidate, current). Stops at the fixpoint.
+
+    Community uuid = md5('lpc:' group ':' min-member-uuid) so the id is
+    stable under any partitioning."""
+    gid = g["group_id"].iloc[0]
+    # undirected weighted projection: edge_count per unordered pair
+    a = np.minimum(g["source_uuid"], g["target_uuid"])
+    b = np.maximum(g["source_uuid"], g["target_uuid"])
+    w = pd.DataFrame({"a": a, "b": b})
+    w = w[w["a"] != w["b"]].groupby(["a", "b"], as_index=False).size().rename(columns={"size": "w"})
+    names = {}
+    for s, t, sn, tn in zip(g["source_uuid"], g["target_uuid"], g["source_name"], g["target_name"]):
+        names[s] = sn
+        names[t] = tn
+    nodes = sorted(names)
+    rank = {u: i for i, u in enumerate(nodes)}
+    # adjacency with weights, both directions
+    nbrs: dict[int, list[tuple[int, int]]] = {i: [] for i in range(len(nodes))}
+    for ua, ub, wt in zip(w["a"], w["b"], w["w"]):
+        nbrs[rank[ua]].append((rank[ub], int(wt)))
+        nbrs[rank[ub]].append((rank[ua], int(wt)))
+    labels = list(range(len(nodes)))
+    for _ in range(100):
+        changed = False
+        new_labels = labels[:]
+        for i in range(len(nodes)):
+            cand: dict[int, int] = {}
+            for j, wt in nbrs[i]:
+                cand[labels[j]] = cand.get(labels[j], 0) + wt
+            lst = sorted(((c, lab) for lab, c in cand.items()), reverse=True)
+            top_w, top_lab = lst[0] if lst else (0, -1)
+            if top_lab != -1 and top_w > 1:
+                new = top_lab
+            else:
+                new = max(top_lab, labels[i])
+            new_labels[i] = new
+            if new != labels[i]:
+                changed = True
+        labels = new_labels
+        if not changed:
+            break
+    lab_series = pd.Series(labels, index=nodes)
+    root = lab_series.groupby(lab_series).transform(lambda s: min(s.index))
+    return pd.DataFrame(
+        {
+            "group_id": gid,
+            "community_uuid": [md5_id(f"lpc:{gid}:{r}") for r in root],
+            "member_uuid": root.index,
+            "member_name": [names[u] for u in root.index],
+        }
+    ).sort_values("member_uuid").reset_index(drop=True)
+
+
+def embedding_bucket_communities_per_group(g: pd.DataFrame, n_planes: int = 3) -> pd.DataFrame:
+    """Deterministic embedding-clustering analog of the reference's
+    kmeans/hierarchical variants (community_detector.py:297-397): cluster =
+    sign-plane bucket of the hash name-embedding. K-means-free (no RNG, no
+    sklearn) but the same shape — nodes with similar names co-cluster; the
+    reference itself falls back to components when embeddings are missing.
+    """
+    from ..functions.knn import _plane
+
+    gid = g["group_id"].iloc[0]
+    names = {}
+    for s, t, sn, tn in zip(g["source_uuid"], g["target_uuid"], g["source_name"], g["target_name"]):
+        names[s] = sn
+        names[t] = tn
+    nodes = sorted(names)
+    embs = embed_many([names[u] for u in nodes])
+    planes = np.stack([_plane(i, embs.shape[1]) for i in range(n_planes)])
+    bits = (embs @ planes.T > 0).astype(np.int64)
+    buckets = bits @ (1 << np.arange(n_planes))
+    ser = pd.Series(buckets, index=nodes)
+    root = ser.groupby(ser).transform(lambda s: min(s.index))
+    return pd.DataFrame(
+        {
+            "group_id": gid,
+            "community_uuid": [md5_id(f"ebc:{gid}:{r}") for r in root],
+            "member_uuid": root.index,
+            "member_name": [names[u] for u in root.index],
+        }
+    ).sort_values("member_uuid").reset_index(drop=True)
+
+
+ALGORITHMS = {
+    "components": communities_per_group,
+    "label_propagation": weighted_label_propagation_per_group,
+    "embedding_buckets": embedding_bucket_communities_per_group,
+    # reference fallback parity: louvain → label propagation when
+    # python-louvain is unavailable (community_detector.py:186-190);
+    # kmeans/hierarchical → embedding clustering (deterministic analog);
+    # clique_percolation → components (the connectivity degenerate case)
+    "louvain": weighted_label_propagation_per_group,
+    "kmeans": embedding_bucket_communities_per_group,
+    "hierarchical": embedding_bucket_communities_per_group,
+    "clique_percolation": communities_per_group,
+}
+
+
+def detect_communities(
+    edges: "ray.data.Dataset", algorithm: str = "components", min_cluster_size: int = 1
+) -> "ray.data.Dataset":
+    """Membership dataset via per-group community detection
+    (CommunityDetectionConfig.algorithm parity, community_detector.py:80-163).
+    The per-group subgraph is vocabulary-sized (distinct canonical
+    entities), NOT corpus-sized — safe to hold in one task; for groups
+    beyond that, swap in ``canonicalize.connected_components_distributed``
+    keyed by group."""
+    fn = ALGORITHMS.get(algorithm)
+    if fn is None:
+        raise ValueError(f"unknown community algorithm: {algorithm} (have {sorted(ALGORITHMS)})")
     proj = edges.select_columns(["group_id", "source_uuid", "target_uuid", "source_name", "target_name"])
-    return proj.groupby("group_id").map_groups(communities_per_group, batch_format="pandas")
+    membership = proj.groupby("group_id").map_groups(fn, batch_format="pandas")
+    if min_cluster_size <= 1:
+        return membership
+
+    def fil(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("community_uuid")["member_uuid"].transform("size")
+        return df[sizes >= min_cluster_size]
+
+    from .shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(membership, ["community_uuid"], fil)
 
 
 def build_community_tables(membership: pd.DataFrame, run_ts_us: int) -> tuple[pa.Table, pa.Table]:

@@ -207,6 +207,11 @@ def merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         fact=("fact", "first"),
         valid_at=("valid_at", "first"),  # == min (pre-sorted)
         n_occurrences=("episode_uuid", "size"),
+        # explicit creating episode = earliest (valid_at, episode_uuid)
+        # occurrence — the reference keys deletion on episodes[0]
+        # (graphiti.py:1097) which is insertion-ordered; ``episodes`` here
+        # is a SORTED set, so removal must key on this column instead
+        created_by=("episode_uuid", "first"),
         episodes=("episode_uuid", lambda s: ",".join(sorted(set(s)))),
     )
     agg["valid_at"] = agg["valid_at"].astype("datetime64[us]")
@@ -221,7 +226,7 @@ def merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
     return out[
         ["uuid", "source_uuid", "source_name", "target_uuid", "target_name", "name", "fact",
-         "group_id", "valid_at", "episodes", "n_occurrences"]
+         "group_id", "valid_at", "episodes", "created_by", "n_occurrences"]
     ]
 
 
@@ -322,6 +327,7 @@ def finalize_edges(edges_ds: "ray.data.Dataset", run_ts_us: int) -> "ray.data.Da
             "group_id": t.column("group_id"),
             "created_at": created,
             "episodes": t.column("episodes"),
+            "created_by": t.column("created_by"),
             "expired_at": expired,
             "valid_at": t.column("valid_at").combine_chunks().cast(pa.timestamp("us")) if isinstance(t.column("valid_at"), pa.ChunkedArray) else t.column("valid_at").cast(pa.timestamp("us")),
             "invalid_at": inv,

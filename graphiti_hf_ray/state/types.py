@@ -34,8 +34,13 @@ class EntityType:
             if fname in attributes and not isinstance(attributes[fname], ftype):
                 errors.append(f"{self.name}.{fname}: expected {ftype.__name__}")
         for fname, fn in self.validators.items():
-            if fname in attributes and not fn(attributes[fname]):
-                errors.append(f"{self.name}.{fname}: validator failed")
+            if fname in attributes:
+                try:
+                    ok = fn(attributes[fname])
+                except Exception:  # wrong-typed value → validation failure,
+                    ok = False  # matching pydantic's raise-as-error behavior
+                if not ok:
+                    errors.append(f"{self.name}.{fname}: validator failed")
         return errors
 
 
@@ -80,25 +85,72 @@ class TypeRegistry:
 def default_registry() -> TypeRegistry:
     """Built-ins mirroring custom_types.py:212-375 (Person/Company/Project/
     Document/Event entities; WorksAt/CollaboratesOn/AuthoredBy/
-    ParticipatesIn/RelatedTo edges) plus this engine's grammar predicates."""
+    ParticipatesIn/RelatedTo edges), including the reference's field-level
+    validator rules (age >= 0 :217, founded_year > 1800 :240, employee_count
+    >= 0 :246, hours_spent >= 0 :327, strength in [0,1] :369), plus this
+    engine's grammar predicates."""
     r = TypeRegistry()
-    for name, fields in [
-        ("Person", {"occupation": str, "location": str}),
-        ("Company", {"industry": str, "founded_year": int}),
-        ("Organization", {"industry": str}),
-        ("Place", {"country": str}),
-        ("Project", {"status": str}),
-        ("Document", {"title": str}),
-        ("Event", {"date": str}),
+    for name, fields, validators in [
+        (
+            "Person",
+            {"name": str, "age": int, "occupation": str, "location": str, "skills": list},
+            {"age": lambda v: v >= 0},
+        ),
+        (
+            "Company",
+            {"name": str, "industry": str, "founded_year": int, "headquarters": str, "employee_count": int},
+            {"founded_year": lambda v: v >= 1800, "employee_count": lambda v: v >= 0},
+        ),
+        ("Organization", {"industry": str}, {}),
+        ("Place", {"country": str}, {}),
+        (
+            "Project",
+            {"name": str, "description": str, "start_date": str, "end_date": str, "status": str, "tags": list},
+            {},
+        ),
+        (
+            "Document",
+            {"title": str, "content": str, "author": str, "publication_date": str, "keywords": list},
+            {},
+        ),
+        (
+            "Event",
+            {"name": str, "date": str, "location": str, "participants": list, "description": str},
+            {},
+        ),
     ]:
-        r.register_entity_type(EntityType(name, fields))
-    r.register_edge_type(EdgeType("WORKS_AT", {"role": str}), [("Person", "Organization"), ("Person", "Company")])
+        r.register_entity_type(EntityType(name, fields, validators))
+    r.register_edge_type(
+        EdgeType("WORKS_AT", {"role": str, "start_date": str, "end_date": str, "department": str}),
+        [("Person", "Organization"), ("Person", "Company")],
+    )
     r.register_edge_type(EdgeType("IS_CEO_OF"), [("Person", "Organization"), ("Person", "Company")])
     r.register_edge_type(EdgeType("ACQUIRED", {"price": float}), [("Organization", "Organization")])
     r.register_edge_type(EdgeType("MOVED_TO"), [("Person", "Place")])
     r.register_edge_type(EdgeType("FOUNDED", {"year": int}), [("Person", "Organization")])
-    r.register_edge_type(EdgeType("COLLABORATES_ON"), [("Person", "Project")])
-    r.register_edge_type(EdgeType("AUTHORED_BY"), [("Document", "Person")])
-    r.register_edge_type(EdgeType("PARTICIPATES_IN"), [("Person", "Event")])
-    r.register_edge_type(EdgeType("RELATED_TO"))  # open signature
+    r.register_edge_type(
+        EdgeType("COLLABORATES_ON", {"role": str, "contribution": str, "hours_spent": int}),
+        [("Person", "Project")],
+    )
+    r.register_edge_type(
+        EdgeType("AUTHORED_BY", {"contribution_type": str, "publication_date": str}),
+        [("Document", "Person")],
+    )
+    r.register_edge_type(
+        EdgeType("PARTICIPATES_IN", {"role": str, "attendance_status": str}),
+        [("Person", "Event")],
+    )
+    r.register_edge_type(EdgeType("RELATED_TO", {"relationship_type": str, "strength": float}))
+    # this engine's remaining grammar predicates (extract/triples.py RELATIONS)
+    r.register_edge_type(EdgeType("PARTNERED_WITH"), [("Organization", "Organization")])
+    r.register_edge_type(EdgeType("LOCATED_IN"), [("Organization", "Place")])
     return r
+
+
+BUILTIN_ENTITY_TYPES = (
+    "Person", "Company", "Organization", "Place", "Project", "Document", "Event",
+)
+BUILTIN_EDGE_TYPES = (
+    "WORKS_AT", "IS_CEO_OF", "ACQUIRED", "MOVED_TO", "FOUNDED",
+    "COLLABORATES_ON", "AUTHORED_BY", "PARTICIPATES_IN", "RELATED_TO",
+)

@@ -132,6 +132,92 @@ def test_communities_match_networkx_style_oracle(ray_session):
     assert hm.num_rows == 6
 
 
+def _edges_frame(pairs, gid="g0"):
+    return pd.DataFrame(
+        {
+            "group_id": [gid] * len(pairs),
+            "source_uuid": [a for a, _ in pairs],
+            "target_uuid": [b for _, b in pairs],
+            "source_name": [a.upper() for a, _ in pairs],
+            "target_name": [b.upper() for _, b in pairs],
+        }
+    )
+
+
+def test_weighted_label_propagation_splits_bridged_cliques(ray_session):
+    """Two dense cliques joined by one weak bridge: components → ONE
+    community; weighted label propagation → the cliques keep separate
+    labels (plurality of strongly-connected neighbours wins over the
+    single bridge edge)."""
+    clique1 = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")] * 2  # doubled weight
+    clique2 = [("z1", "z2"), ("z1", "z3"), ("z2", "z3")] * 2
+    bridge = [("a3", "z1")]
+    edges = rd.from_pandas(_edges_frame(clique1 + clique2 + bridge))
+    comp = detect_communities(edges, algorithm="components").to_pandas()
+    assert comp["community_uuid"].nunique() == 1
+    lp = detect_communities(edges, algorithm="label_propagation").to_pandas()
+    by_comm = lp.groupby("community_uuid")["member_uuid"].apply(lambda s: tuple(sorted(s)))
+    assert len(by_comm) >= 2
+    # the two cliques never merge across the bridge
+    comm_of = dict(zip(lp["member_uuid"], lp["community_uuid"]))
+    assert comm_of["a1"] == comm_of["a2"] == comm_of["a3"] or comm_of["a1"] == comm_of["a2"]
+    assert comm_of["a1"] != comm_of["z2"]
+    # min_cluster_size filter drops small communities
+    filtered = detect_communities(edges, algorithm="label_propagation", min_cluster_size=3).to_pandas()
+    assert set(filtered.groupby("community_uuid")["member_uuid"].size()) <= {3, 4, 5, 6}
+
+
+def test_community_algorithm_aliases(ray_session):
+    edges = rd.from_pandas(_edges_frame([("a", "b"), ("b", "c")]))
+    for alg in ("louvain", "kmeans", "hierarchical", "clique_percolation", "embedding_buckets"):
+        m = detect_communities(edges, algorithm=alg).to_pandas()
+        assert set(m["member_uuid"]) == {"a", "b", "c"}
+    with pytest.raises(ValueError):
+        detect_communities(edges, algorithm="nope")
+
+
+def test_resolve_conflicts_all_strategies(ray_session):
+    """TS7 strategies over one key with an overlap cluster of 3 plus one
+    disjoint singleton."""
+    from graphiti_hf_ray.functions.temporal import resolve_conflicts
+
+    base = pd.Timestamp("2024-01-01")
+    # key x: e1-e2 overlap; e3 is OPEN (null end = +inf) so e4 two hours
+    # later still joins the cluster — one 4-row cluster. Key y: singleton.
+    df = pd.DataFrame(
+        {
+            "k": ["x"] * 4 + ["y"],
+            "uuid": ["e1", "e2", "e3", "e4", "e5"],
+            "valid_at": [base, base + pd.Timedelta(minutes=5), base + pd.Timedelta(minutes=8),
+                         base + pd.Timedelta(hours=2), base],
+            "invalid_at": [base + pd.Timedelta(minutes=10), base + pd.Timedelta(minutes=20),
+                           None, base + pd.Timedelta(hours=3), base + pd.Timedelta(minutes=1)],
+        }
+    )
+    df["valid_at"] = df["valid_at"].astype("datetime64[us]")
+    df["invalid_at"] = df["invalid_at"].astype("datetime64[us]")
+
+    def run(strategy):
+        out = resolve_conflicts(rd.from_pandas(df), ["k"], strategy=strategy).to_pandas()
+        return dict(zip(out["uuid"], out["status"])), out
+
+    s, _ = run("first_wins")
+    assert s == {"e1": "kept", "e2": "invalidated", "e3": "invalidated", "e4": "invalidated", "e5": "kept"}
+    s, _ = run("last_wins")
+    assert s == {"e1": "invalidated", "e2": "invalidated", "e3": "invalidated", "e4": "kept", "e5": "kept"}
+    s, _ = run("invalidate")
+    assert s == {"e1": "invalidated", "e2": "invalidated", "e3": "invalidated", "e4": "invalidated", "e5": "kept"}
+    s, _ = run("manual")
+    assert s == {"e1": "flagged", "e2": "flagged", "e3": "flagged", "e4": "flagged", "e5": "kept"}
+    s, out = run("merge")
+    assert s == {"e1": "kept", "e2": "merged", "e3": "merged", "e4": "merged", "e5": "kept"}
+    carrier = out[out["uuid"] == "e1"].iloc[0]
+    assert carrier["valid_at"] == base
+    assert pd.isna(carrier["invalid_at"])  # e3 is open → envelope open
+    with pytest.raises(ValueError):
+        resolve_conflicts(rd.from_pandas(df), ["k"], strategy="nope")
+
+
 def test_validation_rules(ray_session):
     df = pd.DataFrame(
         {

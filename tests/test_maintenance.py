@@ -7,6 +7,7 @@ from __future__ import annotations
 import shutil
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -85,17 +86,28 @@ def test_remove_episode(ray_session, graph_dir, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("rm"))
     shutil.copytree(graph_dir, work, dirs_exist_ok=True)
     edges = gio.read_table_dir(work, "edges").to_pandas()
-    # pick an episode that created at least one edge (first provenance slot)
-    victim = edges["episodes"].iloc[0].split(",")[0]
+    men = gio.read_table_dir(work, "episodic_edges").to_pandas()
+    # pick an episode that CREATED at least one edge (explicit provenance)
+    victim = edges["created_by"].iloc[0]
+    expect_orphans = set(men.loc[men["source_node_uuid"] == victim, "target_node_uuid"]) - set(
+        men.loc[men["source_node_uuid"] != victim, "target_node_uuid"]
+    )
     removed = remove_episode(work, victim)
     assert removed["episodes"] == 1
     assert removed["edges"] >= 1
+    assert removed["nodes"] == len(expect_orphans)
     after = gio.read_table_dir(work, "edges").to_pandas()
-    assert not any(e.split(",")[0] == victim for e in after["episodes"])
+    assert victim not in set(after["created_by"])
     eps_after = gio.read_table_dir(work, "episodes").to_pandas()
     assert victim not in set(eps_after["uuid"])
     men_after = gio.read_table_dir(work, "episodic_edges").to_pandas()
     assert victim not in set(men_after["source_node_uuid"])
+    nodes_after = gio.read_table_dir(work, "nodes").to_pandas()
+    assert not (expect_orphans & set(nodes_after["uuid"]))
+    # manifests reflect the mutation (resume logic trusts these counts)
+    metrics = gio.job_metrics(work)
+    assert metrics["tables"]["episodes"]["rows"] == len(eps_after)
+    assert metrics["tables"]["edges"]["rows"] == len(after)
 
 
 def test_add_triplet_idempotent(ray_session, graph_dir, tmp_path_factory):
@@ -123,6 +135,44 @@ def test_type_registry_edge_type_map():
     assert r.entity_types["Company"].validate({"industry": "tech", "founded_year": 1999}) == []
 
 
+def test_builtin_type_catalog_parity():
+    """Built-ins mirror custom_types.py:212-375: the five reference entity
+    types + edge types with their field validator rules."""
+    from graphiti_hf_ray.state.types import BUILTIN_EDGE_TYPES, BUILTIN_ENTITY_TYPES
+
+    r = default_registry()
+    assert set(BUILTIN_ENTITY_TYPES) <= set(r.entity_types)
+    assert set(BUILTIN_EDGE_TYPES) <= set(r.edge_types)
+    # validator rules (reference custom_types.py:217,240,246)
+    assert r.entity_types["Person"].validate({"age": -1}) != []
+    assert r.entity_types["Person"].validate({"age": 30}) == []
+    assert r.entity_types["Company"].validate({"founded_year": 1500}) != []
+    assert r.entity_types["Company"].validate({"employee_count": -5}) != []
+    assert r.edge_types["WORKS_AT"].validate({"role": 7}) != []
+    assert r.edge_types["WORKS_AT"].validate({"role": "engineer"}) == []
+
+
+def test_extractor_enforces_edge_type_map(pages_parquet):
+    """A registry that forbids a pattern's signature drops those triples at
+    extraction (graphiti.py:398 edge_type_map semantics)."""
+    from graphiti_hf_ray.extract.html import extract_text_batch
+    from graphiti_hf_ray.extract.triples import TripleExtractor
+    from graphiti_hf_ray.stages.episodes import make_episode_batch
+    from graphiti_hf_ray.state.types import TypeRegistry, EdgeType
+
+    pg = pq.read_table(pages_parquet)
+    ep = make_episode_batch(extract_text_batch(pg), DEFAULT_RUN_TS_US)
+    base = TripleExtractor()(ep)
+    assert "WORKS_AT" in set(base.column("pred").to_pylist())
+    strict = TypeRegistry()
+    strict.register_edge_type(EdgeType("IS_CEO_OF"), [("Person", "Organization")])
+    # (Person, Organization) now maps ONLY to IS_CEO_OF → WORKS_AT/FOUNDED illegal
+    out = TripleExtractor(registry=strict)(ep)
+    preds = set(out.column("pred").to_pylist())
+    assert "WORKS_AT" not in preds and "FOUNDED" not in preds
+    assert "IS_CEO_OF" in preds
+
+
 def test_connected_components_distributed_matches_driver(ray_session):
     from graphiti_hf_ray.stages.canonicalize import components_driver, connected_components_distributed
 
@@ -133,6 +183,54 @@ def test_connected_components_distributed_matches_driver(ray_session):
     dist = connected_components_distributed(rd.from_pandas(pairs)).to_pandas()
     dist_map = dict(zip(dist["node"], dist["root"]))
     assert dist_map == driver
+
+
+def test_delta_apply_and_rollback(ray_session, graph_dir, tmp_path_factory):
+    """apply_delta journals a rollback pre-image; rollback_delta restores
+    the exact prior edge set (incremental_updater.py:405-565 parity)."""
+    import shutil as _sh
+
+    from graphiti_hf_ray.pipelines.deltas import (
+        DeltaOp, apply_delta, apply_delta_chunked, journal_entries, rollback_delta,
+        validate_delta,
+    )
+
+    work = str(tmp_path_factory.mktemp("delta"))
+    _sh.copytree(graph_dir, work, dirs_exist_ok=True)
+    before = gio.read_table_dir(work, "edges")
+    victim = before.column("uuid").to_pylist()[0]
+    add_rows = before.slice(1, 1).set_column(
+        before.schema.get_field_index("uuid"), "uuid", pa.array(["new-edge-uuid"])
+    )
+    ops = [
+        DeltaOp("add_edge", rows=add_rows),
+        DeltaOp("delete_edge", uuids=[victim]),
+        DeltaOp("update_edge_attrs", uuids=[before.column("uuid").to_pylist()[2]],
+                attributes='{"k": 1}'),
+    ]
+    assert validate_delta(work, ops) == []
+    r = apply_delta(work, ops, "d1")
+    assert r["status"] == "applied" and r["applied"] == 3
+    mid = gio.read_table_dir(work, "edges").to_pandas()
+    assert "new-edge-uuid" in set(mid["uuid"]) and victim not in set(mid["uuid"])
+    assert (mid.loc[mid["uuid"] == before.column("uuid").to_pylist()[2], "attributes"] == '{"k": 1}').all()
+    # validation catches bad deltas
+    assert validate_delta(work, [DeltaOp("delete_edge", uuids=["nope"])]) != []
+    assert validate_delta(work, [DeltaOp("add_edge", rows=add_rows)]) != []  # dup uuid
+
+    rb = rollback_delta(work, "d1")
+    assert rb["status"] == "rolled_back"
+    after = gio.read_table_dir(work, "edges").to_pandas().sort_values("uuid").reset_index(drop=True)
+    orig = before.to_pandas().sort_values("uuid").reset_index(drop=True)
+    assert list(after["uuid"]) == list(orig["uuid"])
+    assert list(after["attributes"]) == list(orig["attributes"])
+    assert journal_entries(work)[0]["status"] == "rolled_back"
+    # chunked application journals one entry per chunk
+    many = [DeltaOp("update_edge_attrs", uuids=[u], attributes='{"x":1}')
+            for u in orig["uuid"].head(4)]
+    rc = apply_delta_chunked(work, many, "d2", chunk_size=2)
+    assert rc["total_chunks"] == 2 and rc["applied"] == 4
+    assert len(journal_entries(work)) == 3
 
 
 def test_canonicalize_forced_distributed_paths(ray_session, pages_parquet, monkeypatch):

@@ -141,6 +141,35 @@ def test_node_distance_reranker(ray_session, store):
     center = sorted(edges["source_uuid"])[0]
     res = search(store, "works at", EDGE_HYBRID_SEARCH_NODE_DISTANCE, center_node_uuid=center)
     assert len(res.edges) > 0
+    # edge ordering must follow the SOURCE node's center distance
+    # (reference search.py:254-306), not a (missing) edge-uuid lookup
+    from graphiti_hf_ray.search.traversal import node_distances
+
+    d = node_distances(store.ds("edges"), center)
+    src_of = dict(zip(edges["uuid"], edges["source_uuid"]))
+
+    def score(u):
+        dist = d.get(src_of[u])
+        if dist is None:
+            return 0.0
+        return 1.0 / dist if dist > 0 else 1.0
+
+    got = list(res.edges["uuid"])
+    assert got == sorted(got, key=lambda u: (-score(u), u))
+    assert any(score(u) > 0 for u in got)  # lookups actually hit
+
+
+def test_edge_episode_mentions_orders_by_provenance(ray_session, store):
+    from graphiti_hf_ray.search.hybrid import EDGE_HYBRID_SEARCH_EPISODE_MENTIONS
+
+    edges = _edges_df(store)
+    res = search(store, "works at", EDGE_HYBRID_SEARCH_EPISODE_MENTIONS)
+    assert len(res.edges) > 0
+    n_eps = {
+        u: len(e.split(",")) if e else 0 for u, e in zip(edges["uuid"], edges["episodes"])
+    }
+    got = list(res.edges["uuid"])
+    assert got == sorted(got, key=lambda u: (-n_eps[u], u))
 
 
 def test_rrf_formula():
