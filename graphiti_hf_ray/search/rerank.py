@@ -89,3 +89,70 @@ class CrossEncoderStub:
             (uid, round(len(q & set(p.lower().split())) / max(1, len(q)), 6)) for uid, p in passages
         ]
         return sorted(scored, key=lambda kv: (-kv[1], kv[0]))
+
+
+class CrossEncoderScore:
+    """Actor-pool cross-encoder stage (reference
+    graphiti_core/cross_encoder/bge_reranker_client.py shape): the model
+    loads ONCE per actor in ``__init__``; ``__call__`` scores one batch of
+    (id, passage) rows against the bound query.
+
+    ``model_loader`` is an injectable zero-arg callable returning an object
+    with ``.rank(query, [(id, passage)]) -> [(id, score)]``. The real GPU
+    backend is GATED — this container ships no model weights, so
+    ``model_loader="bge"`` raises; ``"stub"`` binds the deterministic fake.
+    """
+
+    def __init__(self, query: str, model_loader="stub"):
+        self.query = query
+        if callable(model_loader):
+            self.model = model_loader()
+        elif model_loader == "stub":
+            self.model = CrossEncoderStub()
+        else:
+            raise NotImplementedError(
+                f"cross-encoder backend {model_loader!r} needs model weights not "
+                "available offline; inject a model_loader callable at deploy time"
+            )
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        ids = t.column("uuid").to_pylist()
+        texts = t.column("passage").to_pylist()
+        ranked = dict(self.model.rank(self.query, list(zip(ids, texts))))
+        return pa.table(
+            {
+                "uuid": pa.array(ids, pa.string()),
+                "ce_score": pa.array([ranked[i] for i in ids], pa.float64()),
+            }
+        )
+
+
+def cross_encoder_rerank_distributed(
+    ds,
+    query: str,
+    text_col: str,
+    id_col: str = "uuid",
+    k: int = 10,
+    model_loader="stub",
+    batch_size: int = 64,
+    concurrency: tuple[int, int] = (1, 4),
+) -> pd.DataFrame:
+    """Score a candidate Dataset with the actor-pool cross-encoder and
+    return the global top-k — the distributed form of the reference's
+    rerank loop (model state per actor, batched inference, tiny top-k
+    shuffle)."""
+    import pyarrow as pa
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"uuid": t.column(id_col), "passage": t.column(text_col)})
+
+    scored = ds.map_batches(project, batch_format="pyarrow").map_batches(
+        CrossEncoderScore,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_args=(query, model_loader),
+    )
+    return scored.sort(["ce_score", "uuid"], descending=[True, False]).limit(k).to_pandas()

@@ -194,6 +194,67 @@ def test_cross_encoder_stub_deterministic():
     assert r[0][0] == "e1" and r[0][1] > r[1][1]
 
 
+def test_vector_index_sidecar(ray_session, store, tmp_path_factory):
+    """Persisted bucket-partitioned index: full-probe query == streaming
+    exact top-k; narrow probe reads fewer buckets and stays a subset."""
+    import os
+
+    from graphiti_hf_ray.search.index import (
+        build_graph_indices, build_vector_index, load_index_manifest, query_vector_index,
+    )
+    from graphiti_hf_ray.search.vector import cosine_topk
+    from graphiti_hf_ray.stages.embed import embed_text
+
+    q = embed_text("Ada Lovelace")
+    nodes = store.ds("nodes")
+    exact = cosine_topk(nodes, q, emb_col="name_embedding", id_col="uuid", k=5, min_score=0.0)
+
+    idx_dir = str(tmp_path_factory.mktemp("vidx"))
+    man = build_vector_index(
+        nodes.select_columns(["uuid", "name_embedding"]), idx_dir, "name_embedding", "uuid",
+        n_planes=3, fingerprint="t1",
+    )
+    assert man["rows"] == nodes.count()
+    assert sum(man["buckets"].values()) == man["rows"]
+    # full probe = exact
+    full = query_vector_index(idx_dir, q, k=5, probe_hamming=3, min_score=0.0)
+    assert list(full["uuid"]) == list(exact["uuid"])
+    # narrow probe: valid subset of the corpus ranking
+    narrow = query_vector_index(idx_dir, q, k=5, probe_hamming=0, min_score=0.0)
+    assert set(narrow["uuid"]) <= set(nodes.to_pandas()["uuid"])
+    # rebuild resumes (same fingerprint → shard writes are no-ops)
+    man2 = build_vector_index(
+        nodes.select_columns(["uuid", "name_embedding"]), idx_dir, "name_embedding", "uuid",
+        n_planes=3, fingerprint="t1",
+    )
+    assert man2["buckets"] == man["buckets"]
+    # graph-level build places sidecars next to the tables
+    built = build_graph_indices(store.out_dir, n_planes=3)
+    assert "nodes" in built and "edges" in built
+    assert load_index_manifest(os.path.join(store.out_dir, "_index_nodes_name_embedding"))
+
+
+def test_cross_encoder_distributed_matches_stub(ray_session, store):
+    """The actor-pool cross-encoder path returns the stub's ranking; the
+    real backend stays gated."""
+    import pytest as _pytest
+
+    from graphiti_hf_ray.search.rerank import (
+        CrossEncoderScore, CrossEncoderStub, cross_encoder_rerank_distributed,
+    )
+
+    eps = store.ds("episodes")
+    out = cross_encoder_rerank_distributed(
+        eps, "Ada Lovelace Acme", text_col="content", id_col="uuid", k=5
+    )
+    assert len(out) == 5
+    rows = eps.select_columns(["uuid", "content"]).take_all()
+    expected = CrossEncoderStub().rank("Ada Lovelace Acme", [(r["uuid"], r["content"]) for r in rows])[:5]
+    assert list(out["uuid"]) == [u for u, _ in expected]
+    with _pytest.raises(NotImplementedError):
+        CrossEncoderScore("q", model_loader="bge")
+
+
 def test_all_recipes_run(ray_session, store):
     """Every catalog recipe (search_config_recipes.py parity) executes and
     respects the limit; cross-encoder recipes exercise the passage path."""
