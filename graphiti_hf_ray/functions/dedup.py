@@ -45,17 +45,67 @@ SHINGLE_K = 5
 MAX_BUCKET_DOCS = 512  # per-band-bucket candidate cap (log drops)
 
 
+# Per-worker token-hash cache: corpora are Zipfian, so md5-per-distinct-
+# token + a vectorized rolling mix replaces md5-per-SHINGLE (the round-1
+# hot loop — ~one md5 per token position per doc) at equal discrimination.
+_TOK_CACHE: dict[str, int] = {}
+_TOK_CACHE_MAX = 1 << 20
+
+
+def _tok_hash(tok: str) -> int:
+    h = _TOK_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        if len(_TOK_CACHE) >= _TOK_CACHE_MAX:
+            _TOK_CACHE.clear()
+        _TOK_CACHE[tok] = h
+    return h
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix_weights(n: int) -> np.ndarray:
+    """Deterministic odd position multipliers (powers of the 64-bit golden
+    ratio) so permuted windows hash differently."""
+    w = np.empty(n, np.uint64)
+    acc = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            acc = acc * _GOLDEN + np.uint64(1)
+            w[i] = acc | np.uint64(1)
+    return w
+
+
+def _finalize(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style scramble to break the linearity of the window sum."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(30))
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> np.uint64(27))
+        h = h * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    return h
+
+
 def _token_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct k-shingle hashes of ``text`` — set-equivalent to hashing
+    the shingle STRINGS (collision probability ~2^-64 per pair), which is
+    what the exact-Jaccard SQL oracles compare against."""
     toks = text.split(" ")
+    th = np.fromiter((_tok_hash(t) for t in toks), np.uint64, len(toks))
     if len(toks) < k:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in set(shingles)),
-        dtype=np.uint64,
-        count=len(set(shingles)),
-    )
+        w = _mix_weights(len(toks))
+        with np.errstate(over="ignore"):
+            acc = np.array([(th * w).sum()], np.uint64)
+        return _finalize(acc)
+    n_sh = len(toks) - k + 1
+    w = _mix_weights(k)
+    acc = np.zeros(n_sh, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc += th[j : j + n_sh] * w[j]
+    return np.unique(_finalize(acc))
 
 
 # deterministic permutation parameters (no RNG): a_i, b_i from md5 of i
@@ -172,46 +222,60 @@ def _join_pairs_to_payload(
     return bucketed_group_apply(combined, ["key"], merge)
 
 
+BROADCAST_MAX_PAIRS = 250_000  # below this, verification broadcasts
+
+
 def minhash_lsh_candidates(
     docs: "ray.data.Dataset",
     jaccard_threshold: float = 0.5,
     n_bands: int = N_BANDS,
     max_bucket_docs: int = MAX_BUCKET_DOCS,
+    broadcast_max_pairs: int = BROADCAST_MAX_PAIRS,
 ) -> "ray.data.Dataset":
     """Near-dup pairs via MinHash banding, then exact-Jaccard verified.
 
     Emits (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    Fully distributed: band rows shuffle by (band_id, band_hash) with a
-    per-bucket pair cap; verification attaches each candidate doc's shingle
-    set via two bucketed shuffle joins (one per pair side) and computes the
-    exact Jaccard inside the bucket — no ``take_all``/``to_pandas`` of
-    corpus- or candidate-sized data on the driver. Scale cost: the shingle
-    payload (≈ corpus token hashes) moves through two shuffles; candidate
-    pairs (≪ corpus by LSH design) move three times.
+    Band rows shuffle by (band_id, band_hash) with a per-bucket pair cap
+    (logged drops). Verification is two-path, gated on the candidate count
+    (candidates ≪ corpus by LSH design — the cap above bounds them even on
+    boilerplate clusters):
+
+    - ``n_pairs <= broadcast_max_pairs``: the shingle payloads of ONLY the
+      candidate docs are gathered (distributed ``is_in`` filter, then one
+      ``ray.put`` broadcast) and verification is a single map over the pair
+      rows — 1 tiny collect instead of 2 corpus-wide shuffles.
+    - above the gate: fall back to two bucketed shuffle joins (one per pair
+      side) — nothing driver-sized materializes at ANY candidate count.
 
     With ``n_bands=16`` (4 rows/band) the per-pair miss probability at the
     fixture's near-dup similarity (J ≥ 0.85) is < 1e-6, so the verified
     output equals the exact-Jaccard O(n²) scan and is SQL-oracle-able.
     """
     rows_per_band = N_PERM // n_bands
+    band_w = _mix_weights(rows_per_band)
 
     def sig_rows(t: pa.Table) -> pa.Table:
         """Band rows carry (band_id, band_hash, doc_id) ONLY — text never
-        enters the shuffle (n_bands band rows per doc would ship it n×)."""
+        enters the shuffle (n_bands band rows per doc would ship it n×).
+        Band hashes are int64 (vectorized mix over the signature rows, no
+        per-band md5) — integers sort ~2.5× cheaper than hex strings in
+        the band-bucket exchange."""
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        band_id, band_hash, doc_id = [], [], []
-        for d, x in zip(ids, texts):
-            sig = minhash_signature(x)
-            for b in range(n_bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                band_id.append(b)
-                band_hash.append(hashlib.md5(chunk.tobytes()).hexdigest())
-                doc_id.append(d)
+        n = len(ids)
+        sigs = np.empty((n, N_PERM), np.uint64)
+        for i, x in enumerate(texts):
+            sigs[i] = minhash_signature(x)
+        with np.errstate(over="ignore"):
+            bh = _finalize(
+                (sigs.reshape(n, n_bands, rows_per_band) * band_w[None, None, :])
+                .sum(axis=2)
+                .astype(np.uint64)
+            )
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
-                "band_hash": pa.array(band_hash, pa.string()),
-                "doc_id": pa.array(doc_id, pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(np.asarray(ids, np.int64), n_bands)),
             }
         )
 
@@ -220,14 +284,13 @@ def minhash_lsh_candidates(
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return _candidate_pairs_from_buckets(df, ["band_id", "band_hash"], max_bucket_docs)
 
+    # pairs are deduped within each hash bucket here; the cross-band global
+    # distinct happens per verify path (driver-side for the broadcast path,
+    # one bucketed shuffle for the join path)
     cand_pairs = bucketed_group_apply(
         docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
         ["band_id", "band_hash"], per_bucket,
-    )
-    # distinct across bands (each pair verifies exactly once)
-    cand_pairs = bucketed_group_apply(
-        cand_pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"])
-    )
+    ).materialize()  # tiny by LSH design; reused by both verify paths
 
     # shingle payload per doc: sorted hash csv (the exact-Jaccard basis)
     def shingles_of(t: pa.Table) -> pa.Table:
@@ -237,14 +300,7 @@ def minhash_lsh_candidates(
 
     sh_rows = docs.map_batches(shingles_of, batch_format="pyarrow")
 
-    with_a = _join_pairs_to_payload(cand_pairs, sh_rows, "doc_a", "sh_a")
-    with_ab = _join_pairs_to_payload(with_a, sh_rows, "doc_b", "sh_b")
-
-    def verify(t: pa.Table) -> pa.Table:
-        a_ids = t.column("doc_a").to_pylist()
-        b_ids = t.column("doc_b").to_pylist()
-        sh_a = t.column("sh_a").to_pylist()
-        sh_b = t.column("sh_b").to_pylist()
+    def _verify_pair_lists(a_ids, b_ids, sh_a, sh_b) -> pa.Table:
         a_out, b_out, j_out = [], [], []
         for a, b, xa, xb in zip(a_ids, b_ids, sh_a, sh_b):
             sa = set(map(int, xa.split(","))) if xa else set()
@@ -263,17 +319,82 @@ def minhash_lsh_candidates(
             }
         )
 
+    n_pairs = cand_pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+
+    if n_pairs <= broadcast_max_pairs:
+        # small-candidate fast path: gather ONLY candidate docs' shingles
+        # (distributed filter first — the collect is candidate-sized, never
+        # corpus-sized) and verify in one map over the pair rows. The
+        # global cross-band dedupe happens here, in the same collect.
+        # Blocks are fetched as whole Arrow refs (one parallel ray.get),
+        # not row-iterated — take_all over many post-shuffle mini-blocks
+        # costs seconds of pure round-trip overhead.
+        blocks = [b for b in ray.get(cand_pairs.to_arrow_refs()) if b.num_rows]
+        pairs_df = (
+            pa.concat_tables(blocks)
+            .to_pandas()
+            .drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"])
+        )
+        cand_pairs = ray.data.from_arrow(pa.Table.from_pandas(pairs_df[["doc_a", "doc_b"]], preserve_index=False))
+        cand_ids = np.union1d(pairs_df["doc_a"].to_numpy(), pairs_df["doc_b"].to_numpy())
+        want = pa.array(cand_ids, pa.int64())
+
+        def only_cands(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t.column("doc_id"), value_set=want))
+
+        sh_blocks = [
+            b for b in ray.get(
+                sh_rows.map_batches(only_cands, batch_format="pyarrow").to_arrow_refs()
+            )
+            if b.num_rows
+        ]
+        sh_tbl = pa.concat_tables(sh_blocks) if sh_blocks else pa.table({"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.string())})
+        sh_map = dict(zip(sh_tbl.column("doc_id").to_pylist(), sh_tbl.column("sh").to_pylist()))
+        ref = ray.put(sh_map)
+
+        def verify_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            a_ids = t.column("doc_a").to_pylist()
+            b_ids = t.column("doc_b").to_pylist()
+            return _verify_pair_lists(
+                a_ids, b_ids, [m.get(int(a), "") for a in a_ids], [m.get(int(b), "") for b in b_ids]
+            )
+
+        return cand_pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
+    # large-candidate path: global distinct + two bucketed shuffle joins,
+    # no driver collect at any size
+    cand_pairs = bucketed_group_apply(
+        cand_pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"])
+    )
+    with_a = _join_pairs_to_payload(cand_pairs, sh_rows, "doc_a", "sh_a")
+    with_ab = _join_pairs_to_payload(with_a, sh_rows, "doc_b", "sh_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        return _verify_pair_lists(
+            t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
+            t.column("sh_a").to_pylist(), t.column("sh_b").to_pylist(),
+        )
+
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5 token hashes)."""
-    acc = np.zeros(64, np.int64)
+    """64-bit SimHash over whitespace tokens (md5 token hashes, cached per
+    distinct token; bit unpacking vectorized across the token axis)."""
+    toks = text.split(" ")
+    th = np.fromiter((_tok_hash(t) for t in toks), np.uint64, len(toks))
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in text.split(" "):
-        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == np.uint64(1), 1, -1)
+    bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
@@ -362,20 +483,18 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float =
     """
 
     def shingle_rows(t: pa.Table) -> pa.Table:
+        """Distinct shingles as int64 hashes (vectorized rolling mix over
+        cached token hashes — set-equivalent to the shingle strings the SQL
+        oracle joins on, and ~3× cheaper to shuffle than md5 hex strings)."""
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        sid, did, nsh = [], [], []
-        for d, x in zip(ids, texts):
-            toks = x.split(" ")
-            sh = set(" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1)))
-            for s in sh:
-                sid.append(hashlib.md5(s.encode()).hexdigest())
-                did.append(d)
-                nsh.append(len(sh))
+        per_doc = [_token_hashes(x, k) for x in texts]
+        counts = np.array([len(h) for h in per_doc], np.int64)
+        sid = np.concatenate(per_doc) if per_doc else np.array([], np.uint64)
         return pa.table(
             {
-                "shingle": pa.array(sid),
-                "doc_id": pa.array(did, pa.int64()),
-                "n_shingles": pa.array(nsh, pa.int64()),
+                "shingle": pa.array(sid.astype(np.int64)),
+                "doc_id": pa.array(np.repeat(np.asarray(ids, np.int64), counts)),
+                "n_shingles": pa.array(np.repeat(counts, counts)),
             }
         )
 

@@ -45,6 +45,13 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     ds = rd.from_pandas(pd.DataFrame(rows))
     pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.5).to_pandas()
     assert (100, 101) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # the shuffle-join verification path (forced by zeroing the broadcast
+    # gate) returns the identical verified pair set
+    joined = minhash_lsh_candidates(ds, jaccard_threshold=0.5, broadcast_max_pairs=0).to_pandas()
+    assert set(zip(joined["doc_a"], joined["doc_b"])) == set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert dict(zip(zip(joined["doc_a"], joined["doc_b"]), joined["jaccard"])) == dict(
+        zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["jaccard"])
+    )
 
 
 def test_simhash_near_dup():
