@@ -586,6 +586,24 @@ def oracle_sql() -> dict[str, str]:
         FROM sized
     """
 
+    # q43: as-of join — clicks sort before other events at equal ts (the
+    # engine's allow_equal=True side ordering), ties among clicks break to
+    # the larger event_id (the engine's tiebreak column)
+    sql["q43_asof_join"] = """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                                event_id) AS rn
+            FROM events
+        )
+        SELECT event_id,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS UNBOUNDED PRECEDING) AS prev_click_id
+        FROM ordered
+    """
+
     sql["q40_episodes_by_mention"] = f"""
         WITH {cte},
         seed AS (

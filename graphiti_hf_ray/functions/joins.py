@@ -74,6 +74,75 @@ def hash_join(
     return bucketed_group_apply(combined, ["_join_key"], merge_bucket, num_buckets=num_buckets)
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    tiebreak: str | None = None,
+    allow_equal: bool = True,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """AS-OF join: each left row gets the LATEST right row with
+    ``right_ts <= left_ts`` (or ``<`` when ``allow_equal=False``) per key —
+    the temporal dimension lookup Ray Data lacks natively.
+
+    Shuffle shape: tag + union both sides, ONE hash-bucket shuffle on the
+    key, and a vectorized carry-forward per bucket: rows sort by
+    (key, ts, side, tiebreak) with right rows ordered before left rows at
+    equal ts (after, when ``allow_equal=False``), right values are
+    forward-filled within each key group, and only left rows are emitted.
+    Deterministic under timestamp ties: among right rows sharing (key, ts)
+    the one with the greatest ``tiebreak`` wins. Null right values for left
+    rows with no prior right row (LEFT-join semantics).
+    """
+    from ..stages.shuffle import bucketed_group_apply
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_r = [c for c in right_value_cols]
+    side_right = 0 if allow_equal else 2  # vs left side = 1
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("_asof_ts", t.column(left_ts))
+        t = t.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
+        for c in out_r:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, r_types[c]))
+        return t.replace_schema_metadata(None)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in key_cols}
+        cols["_asof_ts"] = t.column(right_ts)
+        cols["_side"] = pa.array([side_right] * t.num_rows, pa.int8())
+        for c in out_r:
+            cols[c] = t.column(c)
+        if tiebreak and tiebreak not in cols:
+            cols[tiebreak] = t.column(tiebreak)
+        return pa.table(cols)
+
+    combined = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def carry_forward(df: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [*key_cols, "_asof_ts", "_side"] + ([tiebreak] if tiebreak else [])
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        is_right = df["_side"] != 1
+        gb = [df[k] for k in key_cols]
+        for c in out_r:
+            carried = df[c].where(is_right)
+            df[c] = carried.groupby(gb, sort=False).ffill()
+        out = df.loc[~is_right, [c for c in l_cols if c in df.columns] + out_r]
+        return out
+
+    return bucketed_group_apply(combined, key_cols, carry_forward, num_buckets=num_buckets)
+
+
 def broadcast_lookup(ds: "ray.data.Dataset", key_col: str, mapping: dict, out_col: str) -> "ray.data.Dataset":
     """Small-side join: broadcast ``mapping`` once, vectorized .map per
     batch. Missing keys → null."""

@@ -770,9 +770,32 @@ def q42_conflict_resolution(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "n_cluster", "status"]]
 
 
+def q43_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF join: each event matched to the user's latest click with
+    click.ts <= event.ts (one bucketed carry-forward shuffle — the temporal
+    dimension lookup Ray Data lacks natively)."""
+    from ..functions.joins import asof_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("event_type"), pa.scalar("click")))
+        return pa.table(
+            {"user_id": m.column("user_id"), "ts": m.column("ts"),
+             "prev_click_id": m.column("event_id")}
+        )
+
+    right = ds.map_batches(clicks, batch_format="pyarrow")
+    out = asof_join(
+        ds, right, ["user_id"], "ts", "ts", ["prev_click_id"], tiebreak="prev_click_id"
+    ).to_pandas()
+    return out[["event_id", "prev_click_id"]]
+
+
 QUERIES.update(
     {
         "q41_kg_communities_lp": q41_kg_communities_lp,
         "q42_conflict_resolution": q42_conflict_resolution,
+        "q43_asof_join": q43_asof_join,
     }
 )

@@ -225,6 +225,37 @@ def test_resolve_conflicts_all_strategies(ray_session):
         resolve_conflicts(rd.from_pandas(df), ["k"], strategy="nope")
 
 
+def test_asof_join_ties_and_strict(ray_session):
+    from graphiti_hf_ray.functions.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "lid": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-01"]).astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "a"],
+            "ts": pd.to_datetime(["2024-01-02", "2024-01-02", "2024-01-03"]).astype("datetime64[us]"),
+            "rid": [10, 11, 12],
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"], "ts", "ts", ["rid"], tiebreak="rid"
+    ).to_pandas().sort_values("lid")
+    # lid=1: no right <= ts → null; lid=2: tie at 01-02 → max rid 11
+    # (allow_equal); lid=3: rid 12; lid=4 (key b): null
+    got = out.set_index("lid")["rid"]
+    assert pd.isna(got[1]) and got[2] == 11 and got[3] == 12 and pd.isna(got[4])
+    strict = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"], "ts", "ts", ["rid"],
+        tiebreak="rid", allow_equal=False,
+    ).to_pandas().sort_values("lid").set_index("lid")["rid"]
+    assert pd.isna(strict[1]) and pd.isna(strict[2]) and strict[3] == 11
+
+
 def test_validation_rules(ray_session):
     df = pd.DataFrame(
         {
