@@ -586,6 +586,31 @@ def oracle_sql() -> dict[str, str]:
         FROM sized
     """
 
+    sql["q45_range_join"] = """
+        WITH sign AS (
+            SELECT user_id, event_id AS signup_id, ts AS s_ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e_ts
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT e.event_id, s.signup_id
+        FROM events e LEFT JOIN sign s
+          ON s.user_id = e.user_id AND s.s_ts <= e.ts
+         AND (s.e_ts IS NULL OR e.ts < s.e_ts)
+    """
+
+    sql["q44_rolling_window"] = """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, bucket,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_window
+        FROM daily
+    """
+
     # q43: as-of join — clicks sort before other events at equal ts (the
     # engine's allow_equal=True side ordering), ties among clicks break to
     # the larger event_id (the engine's tiebreak column)

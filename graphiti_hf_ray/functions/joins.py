@@ -130,17 +130,67 @@ def asof_join(
     )
 
     def carry_forward(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         sort_cols = [*key_cols, "_asof_ts", "_side"] + ([tiebreak] if tiebreak else [])
         df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        is_right = df["_side"] != 1
-        gb = [df[k] for k in key_cols]
+        is_right = (df["_side"] != 1).to_numpy()
+        # forward-fill the right ROW POSITION, not the values: a right row
+        # whose value column is genuinely NULL (e.g. an open interval end)
+        # must still win over an earlier non-null one — value-level ffill
+        # would skip it and carry the stale value through
+        ridx = pd.Series(np.where(is_right, np.arange(len(df), dtype=float), np.nan))
+        filled = ridx.groupby([df[k] for k in key_cols], sort=False).ffill().to_numpy()
+        valid = ~np.isnan(filled)
+        pos = np.where(valid, filled, 0).astype(np.int64)
         for c in out_r:
-            carried = df[c].where(is_right)
-            df[c] = carried.groupby(gb, sort=False).ffill()
-        out = df.loc[~is_right, [c for c in l_cols if c in df.columns] + out_r]
+            src = df[c].reset_index(drop=True)
+            df[c] = src.iloc[pos].reset_index(drop=True).where(pd.Series(valid))
+        out = df.loc[~pd.Series(is_right), [c for c in l_cols if c in df.columns] + out_r]
         return out
 
     return bucketed_group_apply(combined, key_cols, carry_forward, num_buckets=num_buckets)
+
+
+def range_join(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Interval-containment join for NON-OVERLAPPING intervals per key
+    (the bi-temporal invariant after invalidation): each point row gets the
+    value columns of the interval with ``start <= ts`` and (``end`` NULL or
+    ``ts < end``), LEFT-join semantics (no containing interval → nulls).
+
+    Composition: the as-of carry-forward finds the latest interval
+    STARTING at-or-before the point (one shuffle); a stateless filter then
+    nulls the match when the point falls past that interval's end. With
+    non-overlapping intervals this is exactly interval containment —
+    overlapping inputs need ``resolve_conflicts`` first."""
+    out = asof_join(
+        points, intervals, key_cols, ts_col, start_col,
+        [*value_cols, end_col], tiebreak=tiebreak, num_buckets=num_buckets,
+    )
+
+    def mask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        contained = pc.or_kleene(
+            pc.is_null(t.column(end_col)), pc.less(t.column(ts_col), t.column(end_col))
+        )
+        contained = pc.fill_null(contained, False)
+        for c in value_cols:
+            idx = t.schema.get_field_index(c)
+            t = t.set_column(idx, c, pc.if_else(contained, t.column(c), pa.nulls(t.num_rows, t.schema.field(c).type)))
+        return t.drop_columns([end_col])
+
+    return out.map_batches(mask, batch_format="pyarrow")
 
 
 def broadcast_lookup(ds: "ray.data.Dataset", key_col: str, mapping: dict, out_col: str) -> "ray.data.Dataset":

@@ -87,6 +87,44 @@ def interval_sweep(
     return bucketed_group_apply(events, key_cols, sweep)
 
 
+def rolling_window_aggregate(
+    events: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 86400,
+    window_buckets: int = 7,
+) -> "ray.data.Dataset":
+    """Sliding-window aggregate: per (key, bucket), the event count over
+    the trailing ``window_buckets`` buckets (calendar window — missing
+    buckets contribute zero). Two-level shape: the tumbling
+    ``bucket_aggregate`` pre-reduces the stream to one row per (key,
+    bucket), then one bucketed shuffle per key computes every trailing
+    window with a vectorized prefix-sum + searchsorted — no per-window
+    rescan, no window explosion in the shuffle."""
+    import numpy as np
+
+    daily = bucket_aggregate(events, key_col, ts_col, value_col, bucket_seconds)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(key_col, sort=False):
+            g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+            b = g["bucket"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            lo = np.searchsorted(b, b - window_buckets + 1, side="left")
+            prev = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+            g["n_window"] = cum - prev
+            outs.append(g[[key_col, "bucket", "n_window"]])
+        if not outs:
+            return pd.DataFrame({key_col: [], "bucket": [], "n_window": []})
+        return pd.concat(outs, ignore_index=True)
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(daily, [key_col], roll)
+
+
 RESOLUTION_STRATEGIES = ("first_wins", "last_wins", "merge", "invalidate", "manual")
 
 

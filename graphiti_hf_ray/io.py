@@ -171,13 +171,87 @@ def completed_shards(out_dir: str, table: str, fingerprints: dict[int, str]) -> 
     return done
 
 
+BRANCHES_DIR = "_branches"
+
+
+def create_branch(out_dir: str, name: str, tables: list[str] | None = None) -> dict:
+    """TS9 branch: an immutable named snapshot of the graph's table dirs
+    under ``out_dir/_branches/<name>/`` (reference: HF-Hub branch commits,
+    huggingface_driver.py:394-419). Parquet part files are HARDLINKED, not
+    copied — O(metadata) regardless of table size; manifests are copied so
+    the branch carries its own lineage. In-place mutations rewrite via
+    tmp+``os.replace`` (new inode), so the branch's linked files are
+    untouched by later edits to main."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad branch name {name!r}")
+    broot = os.path.join(out_dir, BRANCHES_DIR, name)
+    if os.path.exists(broot):
+        raise FileExistsError(f"branch {name!r} already exists")
+    tmp = broot + ".tmp-branch"
+    shutil.rmtree(tmp, ignore_errors=True)
+    n_files = 0
+    tables = tables or [
+        t for t in sorted(os.listdir(out_dir))
+        if os.path.isdir(os.path.join(out_dir, t)) and not t.startswith("_")
+    ]
+    try:
+        for table in tables:
+            troot = os.path.join(out_dir, table)
+            for dirpath, dirnames, files in os.walk(troot):
+                _prune_tmp(dirnames)
+                rel = os.path.relpath(dirpath, out_dir)
+                dest = os.path.join(tmp, rel)
+                os.makedirs(dest, exist_ok=True)
+                for fn in files:
+                    src = os.path.join(dirpath, fn)
+                    if fn.endswith(".parquet"):
+                        os.link(src, os.path.join(dest, fn))
+                        n_files += 1
+                    elif fn == MANIFEST:
+                        shutil.copy2(src, os.path.join(dest, fn))
+        man = {"name": name, "created_at": time.time(), "tables": tables, "files": n_files}
+        with open(os.path.join(tmp, "_branch.json"), "w") as f:
+            json.dump(man, f)
+        os.makedirs(os.path.dirname(broot), exist_ok=True)
+        os.rename(tmp, broot)
+        return man
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def list_branches(out_dir: str) -> list[dict]:
+    broot = os.path.join(out_dir, BRANCHES_DIR)
+    out = []
+    if os.path.isdir(broot):
+        for name in sorted(os.listdir(broot)):
+            p = os.path.join(broot, name, "_branch.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+    return out
+
+
+def branch_dir(out_dir: str, name: str) -> str:
+    """Root to read a branch's tables from (pass to ``read_table_dir`` /
+    ``GraphStore``)."""
+    d = os.path.join(out_dir, BRANCHES_DIR, name)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no branch {name!r} under {out_dir}")
+    return d
+
+
+def delete_branch(out_dir: str, name: str) -> None:
+    shutil.rmtree(branch_dir(out_dir, name))
+
+
 def job_metrics(out_dir: str) -> dict:
     """Aggregate all shard manifests into one job-level metrics dict."""
     agg: dict = {"tables": {}}
     for table in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
         troot = os.path.join(out_dir, table)
-        if not os.path.isdir(troot):
-            continue
+        if not os.path.isdir(troot) or table.startswith("_"):
+            continue  # _branches / _journal / _index_* are not data tables
         rows = 0
         shards = 0
         for dirpath, dirnames, filenames in os.walk(troot):

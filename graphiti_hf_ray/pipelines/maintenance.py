@@ -266,11 +266,16 @@ def add_triplet(
             "fact_embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel(), pa.float32()), EMBED_DIM),
         }
     )
+    from .. import io as gio
+
     dest = os.path.join(out_dir, "edges", "triplets.parquet")
     if os.path.exists(dest):
         old = pq.read_table(dest)
         if eu in set(old.column("uuid").to_pylist()):
             return {"edge_uuid": eu, "status": "exists"}
         row = pa.concat_tables([old, row.cast(old.schema)])
-    pq.write_table(row, dest)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    # tmp + os.replace (new inode): in-place truncation would corrupt the
+    # same file hardlinked into _branches snapshots
+    gio.rewrite_file_atomic(row, dest)
     return {"edge_uuid": eu, "status": "inserted"}

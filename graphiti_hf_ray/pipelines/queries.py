@@ -792,10 +792,60 @@ def q43_asof_join(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "prev_click_id"]]
 
 
+def q44_rolling_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding 7-day event count per (event_type, day): tumbling pre-agg +
+    one per-key prefix-sum shuffle."""
+    from ..functions.temporal import rolling_window_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = rolling_window_aggregate(ds, "event_type", bucket_seconds=86400, window_buckets=7)
+    df = out.to_pandas()
+    df["n_window"] = df["n_window"].astype("int64")
+    return df[["event_type", "bucket", "n_window"]]
+
+
+def q45_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range join: each event matched to the signup interval containing it
+    ([signup.ts, next signup.ts) per user — non-overlapping by
+    construction). LEFT semantics: events before any signup get null."""
+    from ..functions.joins import range_join
+    from ..functions.temporal import interval_sweep
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+
+    def signups(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("event_type"), pa.scalar("signup")))
+        return pa.table(
+            {"user_id": m.column("user_id"), "event_id": m.column("event_id"), "ts": m.column("ts")}
+        )
+
+    iv = interval_sweep(ds.map_batches(signups, batch_format="pyarrow"), ["user_id"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s_ts": t.column("ts"),
+                "e_ts": t.column("valid_until").combine_chunks().cast(pa.timestamp("us"))
+                if isinstance(t.column("valid_until"), pa.ChunkedArray)
+                else t.column("valid_until").cast(pa.timestamp("us")),
+                "signup_id": t.column("event_id"),
+            }
+        )
+
+    intervals = iv.map_batches(shape, batch_format="pyarrow")
+    out = range_join(
+        ds, intervals, ["user_id"], "ts", "s_ts", "e_ts", ["signup_id"], tiebreak="signup_id"
+    ).to_pandas()
+    return out[["event_id", "signup_id"]]
+
+
 QUERIES.update(
     {
         "q41_kg_communities_lp": q41_kg_communities_lp,
         "q42_conflict_resolution": q42_conflict_resolution,
         "q43_asof_join": q43_asof_join,
+        "q44_rolling_window": q44_rolling_window,
+        "q45_range_join": q45_range_join,
     }
 )

@@ -256,6 +256,35 @@ def test_asof_join_ties_and_strict(ray_session):
     assert pd.isna(strict[1]) and pd.isna(strict[2]) and strict[3] == 11
 
 
+def test_range_join_open_intervals(ray_session):
+    """A later interval with an OPEN (null) end must win over an earlier
+    closed one — the carry-forward fills row positions, not values."""
+    from graphiti_hf_ray.functions.joins import range_join
+
+    points = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "pid": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-04", "2024-01-07", "2023-12-25"]).astype("datetime64[us]"),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "s": pd.to_datetime(["2024-01-01", "2024-01-05"]).astype("datetime64[us]"),
+            "e": pd.to_datetime(["2024-01-03", None]).astype("datetime64[us]"),
+            "vid": [100, 200],
+        }
+    )
+    out = range_join(
+        rd.from_pandas(points), rd.from_pandas(iv), ["k"], "ts", "s", "e", ["vid"], tiebreak="vid"
+    ).to_pandas().sort_values("pid").set_index("pid")["vid"]
+    assert out[1] == 100  # inside [01-01, 01-03)
+    assert pd.isna(out[2])  # gap between intervals
+    assert out[3] == 200  # inside the open interval
+    assert pd.isna(out[4])  # before all intervals
+
+
 def test_validation_rules(ray_session):
     df = pd.DataFrame(
         {

@@ -185,6 +185,36 @@ def test_connected_components_distributed_matches_driver(ray_session):
     assert dist_map == driver
 
 
+def test_branches_immutable_under_mutation(ray_session, graph_dir, tmp_path_factory):
+    """TS9: a branch snapshot (hardlinked parts) is unaffected by later
+    in-place mutations of main (remove_episode, add_triplet)."""
+    import shutil as _sh
+
+    work = str(tmp_path_factory.mktemp("branch"))
+    _sh.copytree(graph_dir, work, dirs_exist_ok=True)
+    before = gio.read_table_dir(work, "edges").to_pandas()
+    man = gio.create_branch(work, "v1")
+    assert man["files"] > 0
+    assert [b["name"] for b in gio.list_branches(work)] == ["v1"]
+    # mutate main: remove an episode AND add a triplet
+    victim = before["created_by"].iloc[0]
+    remove_episode(work, victim)
+    add_triplet(work, "g0", ("Person", "Branch Test"), "WORKS_AT", ("Organization", "Branch Org"),
+                "Branch Test works at Branch Org.", 1704067200_000_000, DEFAULT_RUN_TS_US)
+    main_after = gio.read_table_dir(work, "edges").to_pandas()
+    assert len(main_after) != len(before) or set(main_after["uuid"]) != set(before["uuid"])
+    # branch still reads the pre-mutation state
+    branch = gio.read_table_dir(gio.branch_dir(work, "v1"), "edges").to_pandas()
+    assert sorted(branch["uuid"]) == sorted(before["uuid"])
+    # metrics ignore the _branches subtree
+    metrics = gio.job_metrics(work)
+    assert "_branches" not in metrics["tables"]
+    with pytest.raises(FileExistsError):
+        gio.create_branch(work, "v1")
+    gio.delete_branch(work, "v1")
+    assert gio.list_branches(work) == []
+
+
 def test_delta_apply_and_rollback(ray_session, graph_dir, tmp_path_factory):
     """apply_delta journals a rollback pre-image; rollback_delta restores
     the exact prior edge set (incremental_updater.py:405-565 parity)."""
