@@ -90,7 +90,9 @@ def run_bench() -> dict:
     # representative operator benches (each timed on its own); skipped in
     # scaling mode (GRAFT_BENCH_KG_ONLY) where only the headline matters
     op_queries = () if os.environ.get("GRAFT_BENCH_KG_ONLY") else (
-        "q01_pricing_summary", "q08_events_daily", "q12_dedup_exact", "q16_knn", "q19_minhash_neardup",
+        "q01_pricing_summary", "q08_events_daily", "q12_dedup_exact", "q16_knn",
+        "q17_embedding_neardup", "q19_minhash_neardup", "q35_bm25_docs",
+        "q43_asof_join", "q44_rolling_window",
     )
     for name in op_queries:
         t0 = time.time()

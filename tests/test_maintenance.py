@@ -185,6 +185,28 @@ def test_connected_components_distributed_matches_driver(ray_session):
     assert dist_map == driver
 
 
+def test_reads_skip_stale_tmp_dirs(ray_session, graph_dir, tmp_path_factory):
+    """A SIGKILLed writer's leftover .tmp-* dir (partial/duplicate part
+    files) must not leak rows into reads or metrics."""
+    import os
+
+    import shutil as _sh
+
+    work = str(tmp_path_factory.mktemp("tmpskip"))
+    _sh.copytree(graph_dir, work, dirs_exist_ok=True)
+    clean = gio.read_table_dir(work, "edges")
+    # simulate an aborted distributed write: tmp dir with a duplicate part
+    stale = os.path.join(work, "edges", ".tmp-dist-dead")
+    os.makedirs(stale)
+    pq.write_table(clean, os.path.join(stale, "part-0.parquet"))
+    with open(os.path.join(stale, gio.MANIFEST), "w") as f:
+        f.write('{"rows": 999999, "complete": true}')
+    after = gio.read_table_dir(work, "edges")
+    assert after.num_rows == clean.num_rows
+    metrics = gio.job_metrics(work)
+    assert metrics["tables"]["edges"]["rows"] != 999999
+
+
 def test_branches_immutable_under_mutation(ray_session, graph_dir, tmp_path_factory):
     """TS9: a branch snapshot (hardlinked parts) is unaffected by later
     in-place mutations of main (remove_episode, add_triplet)."""
