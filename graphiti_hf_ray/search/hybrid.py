@@ -44,6 +44,39 @@ class Reranker(Enum):
     node_distance = "node_distance"
     episode_mentions = "episode_mentions"
     cross_encoder = "cross_encoder"
+    weighted = "hybrid_weighted"
+
+
+# HF weighted hybrid combine (hybrid_search.py:64-79): min-max-normalized
+# component scores summed as semantic 0.4 + keyword 0.3 + graph 0.3
+WEIGHTED_COMBINE_WEIGHTS = {
+    SearchMethod.cosine_similarity: 0.4,
+    SearchMethod.bm25: 0.3,
+    SearchMethod.bfs: 0.3,
+}
+
+
+def weighted_combine(
+    score_maps: "dict[SearchMethod, dict[str, float]]",
+    weights: "dict[SearchMethod, float]" = WEIGHTED_COMBINE_WEIGHTS,
+    limit: int = DEFAULT_SEARCH_LIMIT,
+) -> list[str]:
+    """Min-max normalize each method's scores over the candidate union,
+    sum with the HF weights, sort desc (tie → uuid asc)."""
+    union = sorted(set().union(*[set(m) for m in score_maps.values()]) if score_maps else set())
+    totals: dict[str, float] = {u: 0.0 for u in union}
+    for method, scores in score_maps.items():
+        w = weights.get(method, 0.0)
+        if not scores or w == 0.0:
+            continue
+        vals = list(scores.values())
+        lo, hi = min(vals), max(vals)
+        span = (hi - lo) or 1.0
+        for u in union:
+            if u in scores:
+                totals[u] += w * ((scores[u] - lo) / span if hi > lo else 1.0)
+    ranked = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [u for u, _ in ranked][:limit]
 
 
 @dataclass
@@ -111,6 +144,16 @@ NODE_HYBRID_SEARCH_RRF = SearchConfig(
     node_config=NodeSearchConfig([SearchMethod.bm25, SearchMethod.cosine_similarity], Reranker.rrf)
 )
 EDGE_BFS_RRF = SearchConfig(edge_config=EdgeSearchConfig([SearchMethod.bfs], Reranker.rrf))
+EDGE_HYBRID_SEARCH_WEIGHTED = SearchConfig(
+    edge_config=EdgeSearchConfig(
+        [SearchMethod.bm25, SearchMethod.cosine_similarity, SearchMethod.bfs], Reranker.weighted
+    )
+)
+NODE_HYBRID_SEARCH_WEIGHTED = SearchConfig(
+    node_config=NodeSearchConfig(
+        [SearchMethod.bm25, SearchMethod.cosine_similarity, SearchMethod.bfs], Reranker.weighted
+    )
+)
 
 # full recipe catalog parity (search_config_recipes.py:34-223 — 15 recipes)
 _HY = [SearchMethod.bm25, SearchMethod.cosine_similarity]
@@ -167,6 +210,8 @@ ALL_RECIPES: dict[str, SearchConfig] = {
     "COMMUNITY_HYBRID_SEARCH_MMR": COMMUNITY_HYBRID_SEARCH_MMR,
     "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER": COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER,
     "EDGE_BFS_RRF": EDGE_BFS_RRF,
+    "EDGE_HYBRID_SEARCH_WEIGHTED": EDGE_HYBRID_SEARCH_WEIGHTED,
+    "NODE_HYBRID_SEARCH_WEIGHTED": NODE_HYBRID_SEARCH_WEIGHTED,
 }
 
 
@@ -213,13 +258,16 @@ def _candidates(
     ds = store.ds(table, group_ids)
     ds = apply_filters(ds, filters, "edge" if table == "edges" else "node")
     out: list[list[str]] = []
+    score_maps: dict[SearchMethod, dict[str, float]] = {}
     for m in methods:
         if m == SearchMethod.bm25:
             r = bm25_topk(ds, query, text_col=text_col, id_col="uuid", k=budget)
             out.append(list(r["uuid"]))
+            score_maps[m] = dict(zip(r["uuid"], r["score"]))
         elif m == SearchMethod.cosine_similarity and emb_col is not None:
             r = cosine_topk(ds, qvec, emb_col=emb_col, id_col="uuid", k=budget)
             out.append(list(r["uuid"]))
+            score_maps[m] = dict(zip(r["uuid"], r["score"]))
         elif m == SearchMethod.bfs and bfs_origins:
             edges = store.ds("edges", group_ids)
             reach = bfs_reachable(edges, bfs_origins)
@@ -243,9 +291,12 @@ def _candidates(
                     .take_all()
                 ]
                 out.append(sorted(ids)[: budget])
+                score_maps[m] = {u: 1.0 for u in sorted(ids)[:budget]}
             else:
                 out.append(list(reach["uuid"])[:budget])
-    return out
+                # graph proximity score = 1/depth (hybrid_search.py:322-415)
+                score_maps[m] = {u: 1.0 / d for u, d in zip(reach["uuid"], reach["depth"]) if d > 0}
+    return out, score_maps
 
 
 def _rerank(
@@ -305,11 +356,16 @@ def search(
 
     def finish(table: str, cfg, text_col: str, emb_col: str | None):
         nonlocal mention_counts
-        lists = _candidates(
+        lists, score_maps = _candidates(
             store, table, cfg.search_methods, query, qvec, group_ids, search_filter,
             bfs_origin_node_uuids or ([center_node_uuid] if center_node_uuid else None),
             budget, text_col, emb_col,
         )
+        if cfg.reranker == Reranker.weighted:
+            results[table] = pd.DataFrame(
+                {"uuid": weighted_combine(score_maps, limit=config.limit)}
+            )
+            return
         vec_lookup = None
         passage_lookup = None
         union = set().union(*lists) if lists else set()

@@ -67,6 +67,98 @@ def bfs_reachable(
     return pd.DataFrame({"uuid": [r[0] for r in rows], "depth": [r[1] for r in rows]})
 
 
+def extract_subgraph(
+    edges: "ray.data.Dataset",
+    seed_uuids: list[str],
+    max_depth: int = MAX_SEARCH_DEPTH,
+    directed: bool = False,
+    at_time=None,
+) -> "ray.data.Dataset":
+    """Induced subgraph around the seeds (graph_traversal.py:413-470
+    get_subgraph parity): nodes within ``max_depth`` hops, plus every edge
+    whose BOTH endpoints are in that node set. One BFS (broadcast-frontier)
+    then one map-only filter pass — the edge table streams, only the node
+    id set is broadcast."""
+    reach = bfs_reachable(edges, seed_uuids, max_depth=max_depth, directed=directed, at_time=at_time)
+    keep = sorted(set(seed_uuids) | set(reach["uuid"]))
+    kref = ray.put(keep)
+
+    def induced(t: pa.Table) -> pa.Table:
+        ks = pa.array(ray.get(kref), pa.string())
+        m = pc.and_(
+            pc.is_in(t.column("source_uuid"), value_set=ks),
+            pc.is_in(t.column("target_uuid"), value_set=ks),
+        )
+        return t.filter(m)
+
+    return edges.map_batches(induced, batch_format="pyarrow")
+
+
+def find_paths(
+    edges: "ray.data.Dataset",
+    src_uuid: str,
+    dst_uuid: str,
+    max_depth: int = MAX_SEARCH_DEPTH,
+    directed: bool = True,
+) -> list[list[str]]:
+    """ALL shortest paths src → dst up to ``max_depth`` hops
+    (graph_traversal.py:268-340 find_paths, limited to shortest length —
+    the reference's DFS enumeration is unbounded on dense graphs). BFS
+    layers with per-layer parent sets (each hop emits (parent, child)
+    pairs via one broadcast-filter pass), then a driver-side backtrack over
+    the layer-sized parent map."""
+    edges = edges.select_columns(["source_uuid", "target_uuid"]).materialize()
+    parents: dict[str, set[str]] = {}
+    layer_of: dict[str, int] = {src_uuid: 0}
+    frontier = {src_uuid}
+    found_depth = None
+    for depth in range(1, max_depth + 1):
+        fref = ray.put(sorted(frontier))
+
+        def hop_pairs(t: pa.Table) -> pa.Table:
+            fr = pa.array(ray.get(fref), pa.string())
+            outs = []
+            m = pc.is_in(t.column("source_uuid"), value_set=fr)
+            hit = t.filter(m)
+            outs.append(pa.table({"parent": hit.column("source_uuid"), "child": hit.column("target_uuid")}))
+            if not directed:
+                m2 = pc.is_in(t.column("target_uuid"), value_set=fr)
+                hit2 = t.filter(m2)
+                outs.append(pa.table({"parent": hit2.column("target_uuid"), "child": hit2.column("source_uuid")}))
+            return pa.concat_tables(outs)
+
+        nxt: set[str] = set()
+        for b in edges.map_batches(hop_pairs, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            for p, c in zip(b.column("parent").to_pylist(), b.column("child").to_pylist()):
+                if c in layer_of and layer_of[c] <= depth - 1:
+                    continue  # already reached at an earlier layer
+                parents.setdefault(c, set()).add(p)
+                nxt.add(c)
+        for c in nxt:
+            layer_of.setdefault(c, depth)
+        if dst_uuid in nxt:
+            found_depth = depth
+            break
+        frontier = nxt
+        if not frontier:
+            return []
+    if found_depth is None:
+        return []
+
+    paths: list[list[str]] = []
+
+    def backtrack(node: str, acc: list[str]) -> None:
+        if node == src_uuid:
+            paths.append([src_uuid, *reversed(acc)])
+            return
+        for p in sorted(parents.get(node, ())):
+            if layer_of.get(p, 10**9) == layer_of[node] - 1:
+                backtrack(p, acc + [node])
+
+    backtrack(dst_uuid, [])
+    return sorted(paths)
+
+
 def node_distances(
     edges: "ray.data.Dataset", center_uuid: str, max_depth: int = MAX_SEARCH_DEPTH
 ) -> dict[str, int]:

@@ -90,3 +90,54 @@ def test_canonical_map_total_and_idempotent(mentions):
     assert len(cmap) == len(df)
     surfaces = set(df["surface"])
     assert set(cmap["canon_name"]) <= surfaces
+
+
+@given(
+    st.lists(  # left points: (key, ts-offset, id)
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 20)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right rows: (key, ts-offset, value)
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0, max_size=25,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_asof_join_matches_bruteforce(ray_session, lefts, rights):
+    """asof_join == the O(n²) definition: per left row, the right row with
+    max (ts, tiebreak) among those with right_ts <= left_ts on the key —
+    including timestamp ties and duplicate right rows."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": [k for k, _ in lefts],
+            "lid": range(len(lefts)),
+            "ts": [base + pd.Timedelta(hours=o) for _, o in lefts],
+        }
+    )
+    left["ts"] = left["ts"].astype("datetime64[us]")
+    right = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in rights],
+            "rts": [base + pd.Timedelta(hours=o) for _, o, _ in rights],
+            "val": [v for _, _, v in rights],
+        }
+    )
+    right["rts"] = right["rts"].astype("datetime64[us]")
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), ["k"], "ts", "rts", ["val"], tiebreak="val")
+        .to_pandas()
+        .set_index("lid")["val"]
+    )
+    for _, lrow in left.iterrows():
+        cands = right[(right["k"] == lrow["k"]) & (right["rts"] <= lrow["ts"])]
+        expect = None if cands.empty else cands.sort_values(["rts", "val"]).iloc[-1]["val"]
+        g = got[lrow["lid"]]
+        if expect is None:
+            assert pd.isna(g)
+        else:
+            assert g == expect

@@ -194,6 +194,63 @@ def test_cross_encoder_stub_deterministic():
     assert r[0][0] == "e1" and r[0][1] > r[1][1]
 
 
+def test_weighted_combine_formula():
+    """HF min-max weighted combine (hybrid_search.py:64-79): 0.4 semantic
+    + 0.3 keyword + 0.3 graph, each min-max normalized over its own
+    candidate scores."""
+    from graphiti_hf_ray.search.hybrid import SearchMethod, weighted_combine
+
+    maps = {
+        SearchMethod.cosine_similarity: {"a": 1.0, "b": 0.5, "c": 0.0},
+        SearchMethod.bm25: {"b": 2.0, "c": 4.0},
+        SearchMethod.bfs: {"a": 1.0},
+    }
+    ranked = weighted_combine(maps, limit=10)
+    # a: 0.4*1 + 0.3(graph, sole candidate → 1) = 0.7
+    # b: 0.4*0.5 + 0.3*0 = 0.2 ; c: 0.4*0 + 0.3*1 = 0.3
+    assert ranked == ["a", "c", "b"]
+    assert weighted_combine({}, limit=5) == []
+
+
+def test_weighted_recipes_run(ray_session, store):
+    from graphiti_hf_ray.search.hybrid import (
+        EDGE_HYBRID_SEARCH_WEIGHTED, NODE_HYBRID_SEARCH_WEIGHTED,
+    )
+
+    edges = _edges_df(store)
+    center = sorted(edges["source_uuid"])[0]
+    r1 = search(store, "Ada Lovelace Acme", NODE_HYBRID_SEARCH_WEIGHTED, center_node_uuid=center)
+    assert 0 < len(r1.nodes) <= NODE_HYBRID_SEARCH_WEIGHTED.limit
+    r2 = search(store, "works at", EDGE_HYBRID_SEARCH_WEIGHTED, center_node_uuid=center)
+    assert 0 < len(r2.edges) <= EDGE_HYBRID_SEARCH_WEIGHTED.limit
+
+
+def test_subgraph_and_paths(ray_session):
+    import ray.data as rd
+
+    from graphiti_hf_ray.search.traversal import extract_subgraph, find_paths
+
+    edges = pd.DataFrame(
+        {
+            "source_uuid": ["a", "b", "a", "c", "d", "x"],
+            "target_uuid": ["b", "c", "c", "d", "e", "y"],
+        }
+    )
+    ds = rd.from_pandas(edges)
+    sub = extract_subgraph(ds, ["a"], max_depth=2, directed=True).to_pandas()
+    got = set(zip(sub["source_uuid"], sub["target_uuid"]))
+    # nodes within 2 hops of a: {a,b,c,d}; induced edges exclude d→e and x→y
+    assert got == {("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")}
+    # both shortest a→c paths of length <= 2
+    paths = find_paths(ds, "a", "c", max_depth=3)
+    assert paths == [["a", "c"]]  # shortest length 1 only
+    paths2 = find_paths(ds, "a", "d", max_depth=3)
+    assert paths2 == [["a", "c", "d"]]
+    assert find_paths(ds, "a", "y", max_depth=3) == []
+    # undirected reaches backwards
+    assert find_paths(ds, "e", "c", max_depth=2, directed=False) == [["e", "d", "c"]]
+
+
 def test_vector_index_sidecar(ray_session, store, tmp_path_factory):
     """Persisted bucket-partitioned index: full-probe query == streaming
     exact top-k; narrow probe reads fewer buckets and stays a subset."""
@@ -262,7 +319,7 @@ def test_all_recipes_run(ray_session, store):
 
     for name, cfg in ALL_RECIPES.items():
         kwargs = {}
-        if "NODE_DISTANCE" in name or "BFS" in name:
+        if "NODE_DISTANCE" in name or "BFS" in name or "WEIGHTED" in name:
             edges = _edges_df(store)
             kwargs["center_node_uuid"] = sorted(edges["source_uuid"])[0]
         res = search(store, "Ada Lovelace works at Acme", cfg, **kwargs)
