@@ -598,6 +598,41 @@ def oracle_sql() -> dict[str, str]:
          AND (s.e_ts IS NULL OR e.ts < s.e_ts)
     """
 
+    # q46: winnowing fingerprints — gram hash = first 8 hex chars of
+    # md5(gram) as int, windows of 5 gram hashes, min per window, distinct
+    hex_to_int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    sql["q46_winnow_fingerprints"] = f"""
+        WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t, unnest(list_transform(range(1, len(t) - 2), i -> i)) AS i
+            FROM toks WHERE len(t) >= 4
+        ),
+        grams AS (
+            SELECT doc_id, i,
+                   md5(t[i] || chr(32) || t[i+1] || chr(32) || t[i+2] || chr(32) || t[i+3]) AS hh
+            FROM pos
+            UNION ALL
+            SELECT doc_id, 1 AS i, md5(text) AS hh
+            FROM documents WHERE len(string_split(text, chr(32))) < 4
+        ),
+        hashes AS (SELECT doc_id, i, CAST({hex_to_int} AS BIGINT) AS h FROM grams),
+        ng AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
+        wpos AS (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(n - 3, 2)), x -> x)) AS j
+            FROM ng
+        ),
+        wins AS (
+            SELECT w.doc_id, w.j, min(g.h) AS fp
+            FROM wpos w JOIN hashes g
+              ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 4
+            GROUP BY 1, 2
+        )
+        SELECT DISTINCT doc_id, fp FROM wins
+    """
+
     sql["q44_rolling_window"] = """
         WITH daily AS (
             SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS bucket,

@@ -119,3 +119,44 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
 def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
     fps = pa.array([rolling_fingerprint(t) for t in batch.column("text").to_pylist()], pa.int64())
     return pa.table({"doc_id": batch.column("doc_id"), "rolling_fp": fps})
+
+
+def winnow_fingerprints(
+    docs: "pa.Table | object", k: int = 4, w: int = 5
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    k-token-gram hashes, sliding windows of ``w`` consecutive gram hashes,
+    one fingerprint per window = the window MINIMUM, deduplicated per doc.
+    Guarantees any shared run of ``w + k - 1`` tokens yields a shared
+    fingerprint — the local-fingerprint basis for plagiarism-style overlap
+    detection at corpus scale.
+
+    Gram hash = first 8 hex chars of md5(gram) as int (SQL-reproducible);
+    the window minimum is a vectorized numpy sliding-window min. Returns a
+    Dataset of distinct (doc_id, fp) rows.
+    """
+    import ray
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id, out_fp = [], []
+        for d, x in zip(ids, texts):
+            toks = x.split(" ")
+            if len(toks) < k:
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            h = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams], np.int64
+            )
+            if len(h) <= w:
+                fps = {int(h.min())}
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+                fps = set(int(v) for v in np.unique(wins))
+            out_id.extend([d] * len(fps))
+            out_fp.extend(sorted(fps))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()), "fp": pa.array(out_fp, pa.int64())})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")

@@ -840,6 +840,14 @@ def q45_range_join(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "signup_id"]]
 
 
+def q46_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing rolling-hash fingerprints (4-gram hashes, window 5)."""
+    from ..functions.textstats import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(ds, k=4, w=5).to_pandas()
+
+
 QUERIES.update(
     {
         "q41_kg_communities_lp": q41_kg_communities_lp,
@@ -847,5 +855,6 @@ QUERIES.update(
         "q43_asof_join": q43_asof_join,
         "q44_rolling_window": q44_rolling_window,
         "q45_range_join": q45_range_join,
+        "q46_winnow_fingerprints": q46_winnow_fingerprints,
     }
 )

@@ -329,6 +329,29 @@ def test_multimodal_real_backend_gated():
         DecodeImage(backend="pil")
 
 
+def test_winnow_shared_run_guarantee(ray_session):
+    """Winnowing guarantee: two docs sharing a run of >= w + k - 1 tokens
+    share at least one fingerprint; disjoint docs share none."""
+    from graphiti_hf_ray.functions.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = 5 + 4 - 1
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "one two " + shared + " three four five six",
+                "nine ten " + shared + " eleven twelve thirteen fourteen",
+                " ".join(f"z{i}" for i in range(20)),
+            ],
+        }
+    )
+    out = winnow_fingerprints(rd.from_pandas(df), k=4, w=5).to_pandas()
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_hash_sample_deterministic_and_stratified(ray_session, sf_small):
     from graphiti_hf_ray.functions.sample import hash_sample, stratified_hash_sample
 
