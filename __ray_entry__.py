@@ -598,6 +598,16 @@ def oracle_sql() -> dict[str, str]:
          AND (s.e_ts IS NULL OR e.ts < s.e_ts)
     """
 
+    sql["q47_knn_multi"] = " UNION ALL ".join(
+        f"""(
+            SELECT {qi} AS query_idx, vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = {qi})) DESC, vec_id
+            LIMIT 10
+        )"""
+        for qi in range(3)
+    )
+
     # q46: winnowing fingerprints — gram hash = first 8 hex chars of
     # md5(gram) as int, windows of 5 gram hashes, min per window, distinct
     hex_to_int = " + ".join(

@@ -54,6 +54,59 @@ def knn_brute(emb: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10) -> pd
     return top.to_pandas()
 
 
+def knn_brute_multi(
+    emb: "ray.data.Dataset", query_mat: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Batched exact top-k: ALL queries broadcast as one matrix
+    (``ray.put`` once), ONE matmul per batch scores every query against the
+    batch, per-(query, batch) local top-k rows survive, then one bucketed
+    per-query merge — the corpus streams once no matter how many queries.
+
+    Returns (query_idx, vec_id, cosine) with k rows per query, ranked
+    (cosine desc, vec_id asc)."""
+    q = _normalize(np.asarray(query_mat, np.float64))
+    qref = ray.put(q)
+
+    class Score:
+        def __init__(self, qref, k):
+            self.q = ray.get(qref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+            m = _normalize(np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]))
+            sims = self.q @ m.T  # (n_queries, batch)
+            kk = min(self.k, sims.shape[1])
+            out_q, out_i, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                order = np.lexsort((ids, -sims[qi]))[:kk]
+                out_q.append(np.full(kk, qi, np.int64))
+                out_i.append(ids[order])
+                out_s.append(np.round(sims[qi][order], 6))
+            return pa.table(
+                {
+                    "query_idx": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_i)),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    cands = emb.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4), fn_constructor_args=(qref, k))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_idx", sort=False).head(k)
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    return (
+        bucketed_group_apply(cands, ["query_idx"], topk)
+        .to_pandas()
+        .sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
 def bucket_of(vec: np.ndarray, n_planes: int = 4) -> int:
     """Deterministic LSH sign-bucket: sign bits vs md5-seeded hyperplanes."""
     dim = vec.shape[-1]

@@ -858,3 +858,25 @@ QUERIES.update(
         "q46_winnow_fingerprints": q46_winnow_fingerprints,
     }
 )
+
+
+def q47_knn_multi(sf_dir: str) -> pd.DataFrame:
+    """Batched similarity search: 3 queries broadcast as one matrix, the
+    corpus streamed ONCE (one matmul per batch scores all queries)."""
+    from ..functions.knn import knn_brute_multi
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=pa.array([0, 1, 2], pa.int64())))
+
+    rows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.map_batches(pick, batch_format="pyarrow").take_all()
+    )
+    Q = np.stack([np.asarray(v, np.float64) for _, v in rows])
+    out = knn_brute_multi(emb, Q, k=10)
+    return out[["query_idx", "vec_id"]]
+
+
+QUERIES["q47_knn_multi"] = q47_knn_multi

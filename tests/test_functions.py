@@ -110,6 +110,24 @@ def test_embedding_neardup_lsh_subset_of_exact(ray_session, sf_small):
     assert len(a) >= max(1, len(e) // 10)
 
 
+def test_knn_multi_matches_single(ray_session, sf_small):
+    """Batched multi-query top-k == per-query brute force; corpus streams
+    once for all queries."""
+    import pyarrow.parquet as pq
+
+    from graphiti_hf_ray.functions.knn import knn_brute, knn_brute_multi
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    Q = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:3]])
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    multi = knn_brute_multi(emb, Q, k=5)
+    assert len(multi) == 15
+    for qi in range(3):
+        single = knn_brute(emb, Q[qi], k=5)
+        part = multi[multi["query_idx"] == qi]
+        assert list(part["vec_id"]) == list(single["vec_id"])
+
+
 def test_knn_ivf_recall_vs_brute(ray_session, sf_small):
     import pyarrow.parquet as pq
 
