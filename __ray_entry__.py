@@ -598,6 +598,12 @@ def oracle_sql() -> dict[str, str]:
          AND (s.e_ts IS NULL OR e.ts < s.e_ts)
     """
 
+    sql["q48_bpe_token_count"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+        FROM documents
+    """
+
     sql["q47_knn_multi"] = " UNION ALL ".join(
         f"""(
             SELECT {qi} AS query_idx, vec_id FROM embeddings

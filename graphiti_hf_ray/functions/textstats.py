@@ -160,3 +160,26 @@ def winnow_fingerprints(
         return pa.table({"doc_id": pa.array(out_id, pa.int64()), "fp": pa.array(out_fp, pa.int64())})
 
     return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 style minus lookaheads, which RE2 —
+# and hence the DuckDB oracle — cannot express): letter runs, digit runs,
+# single punctuation marks. Compiled once per actor.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+class BpeTokenCount:
+    """Actor-pool stage: doc_id, n_bpe_tokens via one compiled-regex pass
+    per document (the whitespace counter in doc_stats_batch is the cheap
+    path; this approximates subword pre-tokenization for budget checks)."""
+
+    def __init__(self, pattern: str = BPE_PATTERN):
+        import re
+
+        self._rx = re.compile(pattern)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        counts = [len(self._rx.findall(x)) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(counts, pa.int64())}
+        )

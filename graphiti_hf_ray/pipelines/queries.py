@@ -880,3 +880,14 @@ def q47_knn_multi(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q47_knn_multi"] = q47_knn_multi
+
+
+def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex token counting (actor pool, compiled once per actor)."""
+    from ..functions.textstats import BpeTokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(BpeTokenCount, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+
+
+QUERIES["q48_bpe_token_count"] = q48_bpe_token_count
