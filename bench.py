@@ -82,7 +82,10 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     t0 = time.time()
-    metrics = build_graph([pages_path], out_dir, num_shards=max(16, num_cpus))
+    # 2 shards per CPU: finer write groups pipeline the extract exchange
+    # and the shard writes much better than 1/CPU (measured 12.5 s vs
+    # 15.9 s at 32 cpus on the sf0.1 fixture)
+    metrics = build_graph([pages_path], out_dir, num_shards=max(16, 2 * num_cpus))
     kg_sec = time.time() - t0
     triples = metrics["tables"]["triples"]["rows"]
     timings["kg_build"] = round(kg_sec, 3)

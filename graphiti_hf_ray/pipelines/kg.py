@@ -164,10 +164,24 @@ def extract_phase(
     stats.materialize()  # execute
 
 
-def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US, timings: dict | None = None) -> dict:
-    """P2+P3: global canonicalization + edge build from extracted shards."""
+def link_and_edges_phase(
+    out_dir: str,
+    run_ts_us: int = DEFAULT_RUN_TS_US,
+    timings: dict | None = None,
+    distributed_canon: bool | None = None,
+) -> dict:
+    """P2+P3: global canonicalization + edge build from extracted shards.
+
+    ``distributed_canon`` (env ``GRAFT_CANON_DISTRIBUTED=1``) switches P2+P3
+    to the zero-driver-materialization path: canonical map stays a Dataset
+    (``canonicalize_distributed``), nodes/duplicate-edges build as bucketed
+    shuffles, pointer rewrite goes through the hash-join path — for corpora
+    whose distinct-mention set outgrows the driver. Default stays the
+    vocabulary-sized broadcast path (faster below ~10⁷ entities)."""
     import time as _time
 
+    if distributed_canon is None:
+        distributed_canon = os.environ.get("GRAFT_CANON_DISTRIBUTED") == "1"
     timings = timings if timings is not None else {}
     t0 = _time.time()
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -181,6 +195,8 @@ def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US, timin
             "pred", "obj_surface", "obj_label", "fact",
         ],
     )
+    if distributed_canon:
+        return _link_and_edges_distributed(triples, out_dir, run_ts_us, timings, t0)
 
     # P2: canonical map (driver-side DataFrame — vocabulary-sized) + nodes
     canon_map = canonicalize(triples)
@@ -231,6 +247,107 @@ def link_and_edges_phase(out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US, timin
 
     # mentions job: independent light path over the same triples parquet
     mentions = mentions_edges_from_triples(triples, map_ref, run_ts_us)
+    gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
+    timings["mentions"] = round(_time.time() - t0, 2)
+
+    metrics = gio.job_metrics(out_dir)
+    metrics["timings"] = dict(timings)
+    with open(os.path.join(out_dir, "_job_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def _link_fingerprint(out_dir: str, run_ts_us: int) -> str:
+    shard_fps = []
+    troot = os.path.join(out_dir, "triples")
+    for dirpath, _d, files in sorted(os.walk(troot)):
+        if gio.MANIFEST in files:
+            with open(os.path.join(dirpath, gio.MANIFEST)) as f:
+                shard_fps.append(json.load(f).get("fingerprint", ""))
+    return "run:" + str(run_ts_us) + ":" + hashlib.md5("|".join(sorted(shard_fps)).encode()).hexdigest()
+
+
+def _link_and_edges_distributed(
+    triples: "rd.Dataset", out_dir: str, run_ts_us: int, timings: dict, t0: float
+) -> dict:
+    """Zero-driver-materialization P2+P3: every artifact builds as a
+    bucketed shuffle over the canonical-map DATASET; the only driver-side
+    values are counts and manifests."""
+    import time as _time
+
+    from ..ids import entity_uuid, md5_id
+    from ..schemas import EMBED_DIM  # noqa: F401 (embeddings stay list<float> here)
+    from ..stages.canonicalize import canonicalize_distributed
+    from ..stages.edges import mentions_edges, rewrite_via_join
+    from ..stages.embed import embed_many
+    from ..stages.shuffle import bucketed_group_apply
+
+    fp = _link_fingerprint(out_dir, run_ts_us) + ":distcanon"
+    canon_ds = canonicalize_distributed(triples).materialize()
+    timings["canonicalize"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
+
+    # nodes: one row per canonical entity (bucketed by canon_uuid)
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["group_id", "label", "canon_name", "canon_uuid"], as_index=False)["n"].sum()
+        agg = agg.sort_values("canon_uuid")
+        embs = embed_many(agg["canon_name"].tolist())
+        return pd.DataFrame(
+            {
+                "uuid": agg["canon_uuid"].values,
+                "name": agg["canon_name"].values,
+                "group_id": agg["group_id"].values,
+                "labels": [[l] for l in agg["label"]],
+                "created_at": pd.Timestamp(run_ts_us, unit="us"),
+                "name_embedding": [list(map(float, e)) for e in embs],
+                "summary": [f"{l} entity: {c}" for l, c in zip(agg["label"], agg["canon_name"])],
+                "attributes": "{}",
+            }
+        )
+
+    nodes_ds = bucketed_group_apply(canon_ds, ["canon_uuid"], node_rows)
+    gio.write_table_distributed(nodes_ds, os.path.join(out_dir, "nodes"), fp)
+
+    # IS_DUPLICATE_OF audit edges: stateless map over the alias rows
+    def dup_rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        alias = df[df["surface"] != df["canon_name"]]
+        src = [
+            entity_uuid(g, l, s)
+            for g, l, s in zip(alias["group_id"], alias["label"], alias["surface"])
+        ]
+        return pa.table(
+            {
+                "uuid": pa.array([md5_id(f"dup:{a}:{b}") for a, b in zip(src, alias["canon_uuid"])]),
+                "source_uuid": pa.array(src, pa.string()),
+                "source_name": pa.array(alias["surface"].tolist(), pa.string()),
+                "target_uuid": pa.array(alias["canon_uuid"].tolist(), pa.string()),
+                "target_name": pa.array(alias["canon_name"].tolist(), pa.string()),
+                "name": pa.array(["IS_DUPLICATE_OF"] * len(alias), pa.string()),
+                "group_id": pa.array(alias["group_id"].tolist(), pa.string()),
+                "created_at": pa.array([run_ts_us] * len(alias), pa.timestamp("us")),
+            }
+        )
+
+    gio.write_table_distributed(
+        canon_ds.map_batches(dup_rows, batch_format="pyarrow"),
+        os.path.join(out_dir, "duplicate_edges"), fp,
+    )
+
+    # rewrite via the hash-join path (no broadcast dict), then the same
+    # fused dedup+invalidate shuffle; rewritten is pinned because both the
+    # edges job and the MENTIONS job consume it (spill-backed)
+    rewritten = rewrite_via_join(triples, canon_ds).materialize()
+    swept = merge_and_invalidate(rewritten)
+    final = finalize_edges(swept, run_ts_us)
+    from ..stages.embed import Embedder as _E
+
+    final = final.map_batches(_E("fact", "fact_embedding"), batch_format="pyarrow")
+    gio.write_table_distributed(final, os.path.join(out_dir, "edges"), fp)
+    timings["edges_job"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
+
+    mentions = mentions_edges(rewritten, run_ts_us)
     gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
     timings["mentions"] = round(_time.time() - t0, 2)
 

@@ -376,6 +376,84 @@ def canonicalize(triples: "ray.data.Dataset") -> pd.DataFrame:
     return build_canonical_map(mentions_df, node_to_root)
 
 
+def canonicalize_distributed(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Fully-distributed canonicalization: triples Dataset → canonical-map
+    Dataset with the SAME rows as ``canonicalize`` (parity-tested), but no
+    driver materialization at ANY size — the path for corpora whose
+    distinct-mention set outgrows the driver (beyond the vocabulary-sized
+    regime the default path assumes).
+
+    Shuffle chain: distinct mentions (1) → blocking pairs (1) →
+    distributed CC (O(diameter)) → mention⋈root co-group (1) → per-root
+    canonical pick (1) → root⋈canon join (1). Every step is a
+    ``bucketed_group_apply`` with a vectorized bucket body."""
+    from .shuffle import bucketed_group_apply
+
+    mentions = distinct_mentions(triples)
+    pairs_ds = duplicate_pairs(mentions)
+    cc = connected_components_distributed(pairs_ds)
+
+    # 1) attach component roots: co-group mention rows with (node, root)
+    #    rows on the mention key; mentions without a pair keep themselves
+    def tag_mentions(t: pa.Table) -> pa.Table:
+        keys = [
+            mention_key(g, l, s)
+            for g, l, s in zip(
+                t.column("group_id").to_pylist(), t.column("label").to_pylist(), t.column("surface").to_pylist()
+            )
+        ]
+        return t.append_column("key", pa.array(keys, pa.string())).replace_schema_metadata(None)
+
+    def tag_cc(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t.column("node"), "_root": t.column("root")})
+
+    def attach_root(df: pd.DataFrame) -> pd.DataFrame:
+        is_cc = df["_root"].notna() if "_root" in df else pd.Series(False, index=df.index)
+        m = df.loc[is_cc].drop_duplicates("key").set_index("key")["_root"]
+        rows = df.loc[~is_cc].drop(columns=["_root"], errors="ignore").copy()
+        if rows.empty:
+            return rows.drop(columns=["key"], errors="ignore")
+        rows["root"] = rows["key"].map(m).fillna(rows["key"])
+        return rows.drop(columns=["key"])
+
+    with_root = bucketed_group_apply(
+        mentions.map_batches(tag_mentions, batch_format="pyarrow").union(
+            cc.map_batches(tag_cc, batch_format="pyarrow")
+        ),
+        ["key"], attach_root,
+    )
+
+    # 2) canonical surface per root: longest, tie → lexicographic min
+    def pick_canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_len=df["surface"].str.len())
+        df = df.sort_values(["root", "_len", "surface"], ascending=[True, False, True], kind="mergesort")
+        first = df.drop_duplicates("root")
+        return pd.DataFrame({"root": first["root"], "_canon": first["surface"]})
+
+    canon_per_root = bucketed_group_apply(
+        with_root.map_batches(
+            lambda t: t.select(["root", "surface"]).replace_schema_metadata(None), batch_format="pyarrow"
+        ),
+        ["root"], pick_canon,
+    )
+
+    # 3) join canonical names back and derive uuids per row
+    def attach_canon(df: pd.DataFrame) -> pd.DataFrame:
+        is_c = df["_canon"].notna() if "_canon" in df else pd.Series(False, index=df.index)
+        m = df.loc[is_c].drop_duplicates("root").set_index("root")["_canon"]
+        rows = df.loc[~is_c].drop(columns=["_canon"], errors="ignore").copy()
+        if rows.empty:
+            return rows.drop(columns=["root"], errors="ignore")
+        rows["canon_name"] = rows["root"].map(m)
+        rows["canon_uuid"] = [
+            entity_uuid(g, l, c)
+            for g, l, c in zip(rows["group_id"], rows["label"], rows["canon_name"])
+        ]
+        return rows[["group_id", "label", "surface", "canon_name", "canon_uuid", "n"]]
+
+    return bucketed_group_apply(with_root.union(canon_per_root), ["root"], attach_canon)
+
+
 def build_nodes_table(canon_map: pd.DataFrame, run_ts_us: int) -> pa.Table:
     """Canonical map → EntityNode rows (schemas.NODES)."""
     agg = (

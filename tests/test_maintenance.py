@@ -305,6 +305,29 @@ def test_canonicalize_forced_distributed_paths(ray_session, pages_parquet, monke
     pd.testing.assert_frame_equal(base, forced)
 
 
+def test_canonicalize_distributed_matches_driver(ray_session, pages_parquet):
+    """The zero-driver-materialization canonical map equals the default
+    (driver-side) canonicalize output row for row."""
+    import graphiti_hf_ray.stages.canonicalize as C
+    from graphiti_hf_ray.extract.html import extract_text_batch
+    from graphiti_hf_ray.extract.triples import TripleExtractor
+    from graphiti_hf_ray.stages.episodes import make_episode_batch
+
+    pg = pq.read_table(pages_parquet)
+    ep = make_episode_batch(extract_text_batch(pg), DEFAULT_RUN_TS_US)
+    tr = TripleExtractor()(ep)
+    triples = rd.from_arrow(tr)
+    key = ["group_id", "label", "surface"]
+    base = C.canonicalize(triples).sort_values(key).reset_index(drop=True)
+    dist = (
+        C.canonicalize_distributed(triples)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, dist[base.columns.tolist()], check_dtype=False)
+
+
 def test_rewrite_via_join_matches_broadcast(ray_session, pages_parquet):
     """The large-map hash-join rewrite path returns the same canonical
     triples as the broadcast-dict path."""

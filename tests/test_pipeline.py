@@ -264,3 +264,31 @@ def test_salted_aggregate_hot_key(ray_session):
     a = out.sort_values("k").reset_index(drop=True)
     b = exp.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["k", "s", "c"]], b[["k", "s", "c"]], check_dtype=False)
+
+
+def test_distributed_canon_build_matches_default(ray_session, pages_parquet, graph_out, tmp_path_factory):
+    """The zero-driver-materialization link path (GRAFT_CANON_DISTRIBUTED
+    analog) produces the same graph: same node/edge/mention uuid sets and
+    the same edge business columns."""
+    from graphiti_hf_ray.pipelines.kg import extract_phase, link_and_edges_phase
+
+    out = str(tmp_path_factory.mktemp("graph_dist"))
+    extract_phase([pages_parquet], out, num_shards=4)
+    link_and_edges_phase(out, distributed_canon=True)
+
+    for table in ("nodes", "edges", "episodic_edges", "duplicate_edges"):
+        a = gio.read_table_dir(graph_out, table).to_pandas()
+        b = gio.read_table_dir(out, table).to_pandas()
+        assert sorted(a["uuid"]) == sorted(b["uuid"]), table
+    cols = ["uuid", "source_uuid", "target_uuid", "name", "fact", "group_id",
+            "valid_at", "invalid_at", "episodes", "created_by", "n_occurrences"]
+    a = gio.read_table_dir(graph_out, "edges").to_pandas()[cols].sort_values("uuid").reset_index(drop=True)
+    b = gio.read_table_dir(out, "edges").to_pandas()[cols].sort_values("uuid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    n = gio.read_table_dir(graph_out, "nodes").to_pandas()
+    m = gio.read_table_dir(out, "nodes").to_pandas()
+    pd.testing.assert_frame_equal(
+        n[["uuid", "name", "group_id", "summary"]].sort_values("uuid").reset_index(drop=True),
+        m[["uuid", "name", "group_id", "summary"]].sort_values("uuid").reset_index(drop=True),
+        check_dtype=False,
+    )
