@@ -598,6 +598,19 @@ def oracle_sql() -> dict[str, str]:
          AND (s.e_ts IS NULL OR e.ts < s.e_ts)
     """
 
+    sql["q49_gopher_quality"] = f"""
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len,
+               len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) AS n_stopwords,
+               (len(t) BETWEEN 50 AND 100000
+                AND 3 * len(t) <= list_sum(list_transform(t, x -> length(x)))
+                AND list_sum(list_transform(t, x -> length(x))) <= 10 * len(t)
+                AND 100 * len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) >= 2 * len(t)
+               ) AS passes_gopher
+        FROM (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents)
+    """
+
     sql["q48_bpe_token_count"] = r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens

@@ -183,3 +183,43 @@ class BpeTokenCount:
         return pa.table(
             {"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(counts, pa.int64())}
         )
+
+
+# Gopher-style document quality rules (Rae et al. 2021, public thresholds):
+# token-count window, mean-token-length window, stopword-fraction floor.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_TOKEN_LEN = 3.0
+GOPHER_MAX_MEAN_TOKEN_LEN = 10.0
+GOPHER_MIN_STOPWORD_FRAC = 0.02
+
+
+def gopher_quality_batch(t: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, sum_token_len, n_stopwords, passes_gopher — all
+    INTEGER-exact (ratio thresholds compare as cross-multiplied ints, so
+    the SQL oracle can never diverge on float rounding)."""
+    ids = t.column("doc_id")
+    texts = t.column("text").to_pylist()
+    n_tok, sum_len, n_stop, passes = [], [], [], []
+    for x in texts:
+        toks = x.split(" ")
+        n = len(toks)
+        sl = sum(len(w) for w in toks)
+        st = sum(1 for w in toks if w in _STOP)
+        n_tok.append(n)
+        sum_len.append(sl)
+        n_stop.append(st)
+        passes.append(
+            GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+            and 3 * n <= sl <= 10 * n  # mean token length in [3, 10]
+            and 100 * st >= 2 * n  # stopword fraction >= 0.02
+        )
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "sum_token_len": pa.array(sum_len, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "passes_gopher": pa.array(passes, pa.bool_()),
+        }
+    )

@@ -891,3 +891,14 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q48_bpe_token_count"] = q48_bpe_token_count
+
+
+def q49_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality filter flags per document (public thresholds)."""
+    from ..functions.textstats import gopher_quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow").to_pandas()
+
+
+QUERIES["q49_gopher_quality"] = q49_gopher_quality
