@@ -598,6 +598,50 @@ def oracle_sql() -> dict[str, str]:
          AND (s.e_ts IS NULL OR e.ts < s.e_ts)
     """
 
+    # q50: fixed-point integer PageRank, 10 unrolled rounds (MATERIALIZED —
+    # see the q41 note on exponential CTE inlining)
+    _PR_ITERS = 10
+    pr_rounds = []
+    for i in range(_PR_ITERS):
+        pr_rounds.append(f"""
+            c{i} AS MATERIALIZED (
+                SELECT e.group_id, e.dst AS node,
+                       CAST(sum((p.pr * 85) // (100 * e.outdeg)) AS BIGINT) AS inflow
+                FROM adjo e JOIN p{i} p ON p.group_id = e.group_id AND p.node = e.src
+                GROUP BY 1, 2
+            ),
+            p{i + 1} AS MATERIALIZED (
+                SELECT nb.group_id, nb.node, nb.base + coalesce(c.inflow, 0) AS pr
+                FROM nb LEFT JOIN c{i} c
+                  ON c.group_id = nb.group_id AND c.node = nb.node
+            )""")
+    sql["q50_pagerank"] = f"""
+        WITH {cte},
+        merged AS (
+            SELECT group_id, subj_uuid, pred, obj_uuid FROM gold_canon GROUP BY 1, 2, 3, 4
+        ),
+        adj AS MATERIALIZED (SELECT DISTINCT group_id, subj_uuid AS src, obj_uuid AS dst FROM merged),
+        outd AS MATERIALIZED (SELECT group_id, src, count(*) AS outdeg FROM adj GROUP BY 1, 2),
+        allnodes AS (
+            SELECT DISTINCT group_id, u AS node FROM (
+                SELECT group_id, src AS u FROM adj UNION ALL SELECT group_id, dst FROM adj
+            )
+        ),
+        nb AS MATERIALIZED (
+            SELECT group_id, node,
+                   (1000000000000 * 15) // (100 * count(*) OVER (PARTITION BY group_id)) AS base,
+                   1000000000000 // count(*) OVER (PARTITION BY group_id) AS init
+            FROM allnodes
+        ),
+        adjo AS MATERIALIZED (
+            SELECT a.group_id, a.src, a.dst, o.outdeg
+            FROM adj a JOIN outd o ON o.group_id = a.group_id AND o.src = a.src
+        ),
+        p0 AS MATERIALIZED (SELECT group_id, node, init AS pr FROM nb),
+        {",".join(pr_rounds)}
+        SELECT group_id, node, CAST(pr AS BIGINT) AS pr FROM p{_PR_ITERS}
+    """
+
     sql["q49_gopher_quality"] = f"""
         SELECT doc_id,
                len(t) AS n_tokens,

@@ -902,3 +902,18 @@ def q49_gopher_quality(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q49_gopher_quality"] = q49_gopher_quality
+
+
+def q50_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point integer PageRank per group (10 iterations, damping
+    0.85) — exact under any summation order, hence SQL-oracle-able."""
+    from ..functions.pagerank import pagerank
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(
+        os.path.join(out_dir, "edges"), columns=["group_id", "source_uuid", "target_uuid"]
+    )
+    return pagerank(edges).to_pandas()
+
+
+QUERIES["q50_pagerank"] = q50_pagerank

@@ -347,6 +347,28 @@ def test_multimodal_real_backend_gated():
         DecodeImage(backend="pil")
 
 
+def test_pagerank_fixed_point(ray_session):
+    """Integer fixed-point PageRank: the in-link hub outranks leaves, rank
+    mass is conserved up to floor loss, and results are partition-stable
+    (pure function of the group's edge set)."""
+    from graphiti_hf_ray.functions.pagerank import SCALE, pagerank
+
+    edges = pd.DataFrame(
+        {
+            "group_id": ["g0"] * 4,
+            "source_uuid": ["a", "b", "c", "d"],
+            "target_uuid": ["hub", "hub", "hub", "a"],
+        }
+    )
+    out = pagerank(rd.from_pandas(edges)).to_pandas()
+    pr = dict(zip(out["node"], out["pr"]))
+    assert pr["hub"] == max(pr.values())
+    assert pr["hub"] > pr["a"] > pr["b"] == pr["c"] == pr["d"]
+    assert sum(pr.values()) <= SCALE  # floor-division only loses mass
+    out2 = pagerank(rd.from_pandas(edges).repartition(3)).to_pandas()
+    assert dict(zip(out2["node"], out2["pr"])) == pr
+
+
 def test_winnow_shared_run_guarantee(ray_session):
     """Winnowing guarantee: two docs sharing a run of >= w + k - 1 tokens
     share at least one fingerprint; disjoint docs share none."""
