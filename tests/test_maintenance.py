@@ -328,6 +328,36 @@ def test_canonicalize_distributed_matches_driver(ray_session, pages_parquet):
     pd.testing.assert_frame_equal(base, dist[base.columns.tolist()], check_dtype=False)
 
 
+def test_fused_merge_invalidate_matches_unfused(ray_session, pages_parquet):
+    """merge_and_invalidate (one shuffle) == dedup_edges →
+    invalidate_functional (two shuffles): the fusion claim, verified."""
+    from graphiti_hf_ray.extract.html import extract_text_batch
+    from graphiti_hf_ray.extract.triples import TripleExtractor
+    from graphiti_hf_ray.stages.canonicalize import canonicalize
+    from graphiti_hf_ray.stages.edges import (
+        CanonicalRewrite, canon_map_dict, dedup_edges, invalidate_functional,
+        merge_and_invalidate,
+    )
+    from graphiti_hf_ray.stages.episodes import make_episode_batch
+
+    pg = pq.read_table(pages_parquet)
+    ep = make_episode_batch(extract_text_batch(pg), DEFAULT_RUN_TS_US)
+    tr = TripleExtractor()(ep)
+    cmap = canonicalize(rd.from_arrow(tr))
+    rewritten_tbl = CanonicalRewrite(canon_map_dict(cmap))(tr)
+    cols = ["uuid", "source_uuid", "name", "target_uuid", "valid_at", "invalid_at",
+            "episodes", "created_by", "n_occurrences"]
+    fused = (
+        merge_and_invalidate(rd.from_arrow(rewritten_tbl)).to_pandas()[cols]
+        .sort_values("uuid").reset_index(drop=True)
+    )
+    unfused = (
+        invalidate_functional(dedup_edges(rd.from_arrow(rewritten_tbl))).to_pandas()[cols]
+        .sort_values("uuid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, unfused, check_dtype=False)
+
+
 def test_rewrite_via_join_matches_broadcast(ray_session, pages_parquet):
     """The large-map hash-join rewrite path returns the same canonical
     triples as the broadcast-dict path."""
