@@ -74,6 +74,39 @@ def hash_join(
     return bucketed_group_apply(combined, ["_join_key"], merge_bucket, num_buckets=num_buckets)
 
 
+def _restore_types(types: "dict[str, pa.DataType]"):
+    """pyarrow map_batches fn casting columns back to their source dtypes.
+
+    The bucketed carry-forward body runs in pandas (map_groups
+    batch_format="pandas"); the union of left+right rows null-fills
+    left-only columns on right rows, so pandas upcasts int64 → float64 and
+    the Arrow blocks coming out of the shuffle keep that float64. Casting
+    back (safe cast: fractional values raise rather than truncate) restores
+    the caller-visible schema. Caveat: int64 values above 2^53 lose
+    precision inside the float64 round-trip before this cast can run — ids
+    that large need a string or two-int encoding on the join input.
+    """
+
+    norm: dict[str, pa.DataType] = {}
+    for name, typ in types.items():
+        if not isinstance(typ, pa.DataType):
+            # Ray Schema.types yields numpy dtypes for pandas-backed blocks
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                continue  # object dtype etc. — leave as shuffled
+        norm[name] = typ
+
+    def f(t: pa.Table) -> pa.Table:
+        for name, typ in norm.items():
+            idx = t.schema.get_field_index(name)
+            if idx >= 0 and t.schema.field(idx).type != typ:
+                t = t.set_column(idx, name, t.column(name).cast(typ))
+        return t
+
+    return f
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -95,8 +128,12 @@ def asof_join(
     equal ts (after, when ``allow_equal=False``), right values are
     forward-filled within each key group, and only left rows are emitted.
     Deterministic under timestamp ties: among right rows sharing (key, ts)
-    the one with the greatest ``tiebreak`` wins. Null right values for left
-    rows with no prior right row (LEFT-join semantics).
+    the one with the greatest ``tiebreak`` wins. This is engine-authoritative
+    and applies even when a left row is itself one of the tied right rows —
+    it matches the max-tiebreak right row at its own timestamp, not
+    necessarily its own twin (SQL oracles encoding both sides from one table
+    must express the same rule). Null right values for left rows with no
+    prior right row (LEFT-join semantics).
     """
     from ..stages.shuffle import bucketed_group_apply
 
@@ -149,7 +186,10 @@ def asof_join(
         out = df.loc[~pd.Series(is_right), [c for c in l_cols if c in df.columns] + out_r]
         return out
 
-    return bucketed_group_apply(combined, key_cols, carry_forward, num_buckets=num_buckets)
+    joined = bucketed_group_apply(combined, key_cols, carry_forward, num_buckets=num_buckets)
+    target = dict(zip(l_schema.names, l_schema.types))
+    target.update({c: r_types[c] for c in out_r})
+    return joined.map_batches(_restore_types(target), batch_format="pyarrow")
 
 
 def range_join(

@@ -85,6 +85,15 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(a)} != {len(b)}")
             failures.append(name)
             continue
+        # the driver hashes VALUES after its own normalization, but a
+        # float64-vs-int64 engine column hash-mismatches int64 oracle values
+        # (seen r2: q43/q45) — norm() only coerces int widths, so any dtype
+        # difference surviving norm() is a driver hash-fail; treat as FAIL.
+        dmism = [c for c in a.columns if a[c].dtype != b[c].dtype]
+        if dmism:
+            print(f"FAIL {name}: dtype mismatch {[(c, str(a[c].dtype), str(b[c].dtype)) for c in dmism]}")
+            failures.append(name)
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"ok   {name}: rows={len(a)} MATCH [{dt:.1f}s]")
