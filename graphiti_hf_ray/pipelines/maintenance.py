@@ -65,19 +65,32 @@ def episode_window(episodes: "ray.data.Dataset", window: int = EPISODE_WINDOW_LE
     return bucketed_group_apply(episodes, ["group_id"], win)
 
 
-def graph_snapshot(out_dir: str, t) -> dict[str, pd.DataFrame]:
+def graph_snapshot(
+    out_dir: str,
+    t,
+    edge_columns: list[str] | None = None,
+    node_columns: list[str] | None = None,
+) -> dict[str, pd.DataFrame]:
     """Point-in-time view of the graph: edges valid at t (TS5) + the nodes
-    they touch. Filter-only — the bi-temporal columns ARE the index."""
+    they touch. Filter-only — the bi-temporal columns ARE the index.
+    Count-/id-only consumers should pass ``edge_columns``/``node_columns``
+    so the read skips ``fact_embedding`` (most of the edges bytes)."""
     import ray.data as rd
 
     from ..functions.temporal import point_in_time
 
-    edges = point_in_time(rd.read_parquet(f"{out_dir}/edges"), t).to_pandas()
+    if edge_columns is not None:
+        edge_columns = sorted(
+            set(edge_columns) | {"source_uuid", "target_uuid", "valid_at", "invalid_at"}
+        )
+    if node_columns is not None:
+        node_columns = sorted(set(node_columns) | {"uuid"})
+    edges = point_in_time(rd.read_parquet(f"{out_dir}/edges", columns=edge_columns), t).to_pandas()
     if edges.empty:
         # Ray's to_pandas drops the schema when every block filters to
         # empty — return well-formed empty frames
-        nodes_cols = rd.read_parquet(f"{out_dir}/nodes").schema().names
-        edges_cols = rd.read_parquet(f"{out_dir}/edges").schema().names
+        nodes_cols = node_columns or rd.read_parquet(f"{out_dir}/nodes").schema().names
+        edges_cols = edge_columns or rd.read_parquet(f"{out_dir}/edges").schema().names
         return {
             "edges": pd.DataFrame(columns=edges_cols),
             "nodes": pd.DataFrame(columns=nodes_cols),
@@ -88,7 +101,11 @@ def graph_snapshot(out_dir: str, t) -> dict[str, pd.DataFrame]:
     def f(tb: pa.Table) -> pa.Table:
         return tb.filter(pc.is_in(tb.column("uuid"), value_set=want))
 
-    nodes = rd.read_parquet(f"{out_dir}/nodes").map_batches(f, batch_format="pyarrow").to_pandas()
+    nodes = (
+        rd.read_parquet(f"{out_dir}/nodes", columns=node_columns)
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+    )
     return {"edges": edges, "nodes": nodes}
 
 

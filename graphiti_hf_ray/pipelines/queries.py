@@ -478,7 +478,10 @@ def q24_kg_communities(sf_dir: str) -> pd.DataFrame:
     from ..stages.communities import detect_communities
 
     out_dir = _kg_out_dir(sf_dir)
-    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    edges = rd.read_parquet(
+        os.path.join(out_dir, "edges"),
+        columns=["group_id", "source_uuid", "target_uuid", "source_name", "target_name"],
+    )
     m = detect_communities(edges).to_pandas()
     return m[["group_id", "community_uuid", "member_uuid"]]
 
@@ -512,7 +515,7 @@ def q26_kg_bfs(sf_dir: str) -> pd.DataFrame:
     out_dir = _kg_out_dir(sf_dir)
     nodes = rd.read_parquet(os.path.join(out_dir, "nodes"), columns=["uuid", "group_id"])
     seed = _min_uuid_in_group(nodes, "g0")
-    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    edges = rd.read_parquet(os.path.join(out_dir, "edges"), columns=["source_uuid", "target_uuid"])
     return bfs_reachable(edges, [seed], max_depth=2, directed=True)
 
 
@@ -521,7 +524,9 @@ def q27_kg_pit_edges(sf_dir: str) -> pd.DataFrame:
     from ..functions.temporal import point_in_time
 
     out_dir = _kg_out_dir(sf_dir)
-    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    edges = rd.read_parquet(
+        os.path.join(out_dir, "edges"), columns=["uuid", "valid_at", "invalid_at"]
+    )
     snap = point_in_time(edges, pd.Timestamp("2024-06-01"))
     return snap.select_columns(["uuid"]).to_pandas()
 
@@ -531,7 +536,10 @@ def q28_kg_validation(sf_dir: str) -> pd.DataFrame:
     from ..stages.validate import validation_metrics
 
     out_dir = _kg_out_dir(sf_dir)
-    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    edges = rd.read_parquet(
+        os.path.join(out_dir, "edges"),
+        columns=["fact", "name", "source_uuid", "target_uuid", "valid_at", "invalid_at", "group_id"],
+    )
     return validation_metrics(edges)
 
 
@@ -604,7 +612,10 @@ def q33_snapshot_counts(sf_dir: str) -> pd.DataFrame:
     """TS6 historical state reconstruction at t: edge + touched-node counts."""
     from .maintenance import graph_snapshot
 
-    snap = graph_snapshot(_kg_out_dir(sf_dir), pd.Timestamp("2024-01-20"))
+    snap = graph_snapshot(
+        _kg_out_dir(sf_dir), pd.Timestamp("2024-01-20"),
+        edge_columns=["uuid"], node_columns=["uuid"],
+    )
     return pd.DataFrame({"n_edges": [len(snap["edges"])], "n_nodes": [len(snap["nodes"])]})
 
 
@@ -743,7 +754,10 @@ def q41_kg_communities_lp(sf_dir: str) -> pd.DataFrame:
     from ..stages.communities import detect_communities
 
     out_dir = _kg_out_dir(sf_dir)
-    edges = rd.read_parquet(os.path.join(out_dir, "edges"))
+    edges = rd.read_parquet(
+        os.path.join(out_dir, "edges"),
+        columns=["group_id", "source_uuid", "target_uuid", "source_name", "target_name"],
+    )
     m = detect_communities(edges, algorithm="label_propagation").to_pandas()
     return m[["group_id", "community_uuid", "member_uuid"]]
 

@@ -61,6 +61,32 @@ def _date_pred(col: pa.ChunkedArray, f: DateFilter):
     }[op](col, ts)
 
 
+def filter_columns(filters: SearchFilters | None, kind: str) -> set[str]:
+    """Columns ``apply_filters`` will touch — lets callers prune the parquet
+    read to exactly the filter + scoring columns (a full-width edges scan
+    ships the fact_embedding column, most of the table's bytes, for paths
+    that never use it)."""
+    if filters is None:
+        return set()
+    cols: set[str] = set()
+    if kind == "edge":
+        if filters.edge_types:
+            cols.add("name")
+        if filters.edge_uuids:
+            cols.add("uuid")
+        for col_name, groups in (
+            ("valid_at", filters.valid_at),
+            ("invalid_at", filters.invalid_at),
+            ("created_at", filters.created_at),
+            ("expired_at", filters.expired_at),
+        ):
+            if groups:
+                cols.add(col_name)
+    elif kind == "node" and filters.node_labels:
+        cols.add("labels")
+    return cols
+
+
 def apply_filters(ds: "ray.data.Dataset", filters: SearchFilters | None, kind: str) -> "ray.data.Dataset":
     """kind: 'node' applies node_labels (vs a ``labels`` list column);
     'edge' applies edge_types/uuids + the four date filter groups."""

@@ -225,11 +225,21 @@ class GraphStore:
             for name in ("nodes", "edges", "episodes", "episodic_edges", "communities")
         }
 
-    def ds(self, table: str, group_ids: list[str] | None = None) -> "rd.Dataset":
+    def ds(
+        self,
+        table: str,
+        group_ids: list[str] | None = None,
+        columns: list[str] | None = None,
+    ) -> "rd.Dataset":
+        """``columns`` prunes the parquet read — at scale the edges table is
+        dominated by ``fact_embedding`` bytes, so BM25/traversal consumers
+        must name their columns instead of scanning full width."""
         path = self._tables[table]
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
-        d = rd.read_parquet(path)
+        if columns is not None and group_ids:
+            columns = sorted(set(columns) | {"group_id"})
+        d = rd.read_parquet(path, columns=columns)
         if group_ids:
             import pyarrow as pa
 
@@ -255,8 +265,16 @@ def _candidates(
     text_col: str,
     emb_col: str | None,
 ) -> list[list[str]]:
-    ds = store.ds(table, group_ids)
-    ds = apply_filters(ds, filters, "edge" if table == "edges" else "node")
+    from .filters import filter_columns
+
+    kind = "edge" if table == "edges" else "node"
+    needed = {"uuid"} | filter_columns(filters, kind)
+    if SearchMethod.bm25 in methods:
+        needed.add(text_col)
+    if SearchMethod.cosine_similarity in methods and emb_col is not None:
+        needed.add(emb_col)
+    ds = store.ds(table, group_ids, columns=sorted(needed))
+    ds = apply_filters(ds, filters, kind)
     out: list[list[str]] = []
     score_maps: dict[SearchMethod, dict[str, float]] = {}
     for m in methods:
@@ -269,7 +287,7 @@ def _candidates(
             out.append(list(r["uuid"]))
             score_maps[m] = dict(zip(r["uuid"], r["score"]))
         elif m == SearchMethod.bfs and bfs_origins:
-            edges = store.ds("edges", group_ids)
+            edges = store.ds("edges", group_ids, columns=["uuid", "source_uuid", "target_uuid"])
             reach = bfs_reachable(edges, bfs_origins)
             if table == "edges":
                 import pyarrow as pa
@@ -350,7 +368,9 @@ def search(
 
     center_dist = None
     if center_node_uuid:
-        center_dist = node_distances(store.ds("edges", group_ids), center_node_uuid)
+        center_dist = node_distances(
+            store.ds("edges", group_ids, columns=["source_uuid", "target_uuid"]), center_node_uuid
+        )
 
     mention_counts = None
 
@@ -375,7 +395,7 @@ def search(
             want = pa.array(sorted(union))
             cols = ["uuid", text_col] + ([emb_col] if emb_col else [])
             rows = (
-                store.ds(table, group_ids)
+                store.ds(table, group_ids, columns=cols)
                 .map_batches(lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=want)), batch_format="pyarrow")
                 .select_columns(cols)
                 .take_all()
@@ -398,7 +418,7 @@ def search(
 
             want = pa.array(sorted(union))
             rows = (
-                store.ds(table, group_ids)
+                store.ds(table, group_ids, columns=["uuid", "source_uuid", "episodes"])
                 .map_batches(lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=want)), batch_format="pyarrow")
                 .select_columns(["uuid", "source_uuid", "episodes"])
                 .take_all()
@@ -420,7 +440,7 @@ def search(
                 )
         if cfg.reranker == Reranker.episode_mentions and table_mentions is None:
             if mention_counts is None:
-                men = store.ds("episodic_edges", group_ids)
+                men = store.ds("episodic_edges", group_ids, columns=["target_node_uuid"])
                 mention_counts = (
                     men.groupby("target_node_uuid")
                     .count()

@@ -159,7 +159,7 @@ def query_vector_index(
         return pd.DataFrame({man["id_col"]: [], "score": []})
     from .vector import cosine_topk
 
-    ds = rd.read_parquet(paths)
+    ds = rd.read_parquet(paths, columns=[man["id_col"], man["emb_col"]])
     return cosine_topk(ds, q, emb_col=man["emb_col"], id_col=man["id_col"], k=k, min_score=min_score)
 
 
