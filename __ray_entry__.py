@@ -118,22 +118,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
-        "q13_doc_stats": """
-            SELECT doc_id, length(text) AS n_chars,
-                   len(string_split(text, chr(32))) AS n_tokens,
-                   len(list_distinct(string_split(text, chr(32)))) AS n_uniq_tokens,
-                   md5(text) AS fingerprint
-            FROM documents
-        """,
-        "q14_doc_quality": f"""
+        "q13_doc_profile": f"""
             SELECT doc_id,
-                   len(list_filter(string_split(text, chr(32)),
-                                   x -> list_contains({_sql_stoplist()}, x))) AS n_stopwords,
-                   len(string_split(text, chr(32))) AS n_tokens,
-                   len(list_distinct(string_split(text, chr(32)))) AS n_uniq_tokens
-            FROM documents
+                   length(text) AS n_chars,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_uniq_tokens,
+                   len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) AS n_stopwords,
+                   CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len,
+                   (len(t) BETWEEN 50 AND 100000
+                    AND 3 * len(t) <= list_sum(list_transform(t, x -> length(x)))
+                    AND list_sum(list_transform(t, x -> length(x))) <= 10 * len(t)
+                    AND 100 * len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) >= 2 * len(t)
+                   ) AS passes_gopher,
+                   md5(text) AS fingerprint
+            FROM (SELECT doc_id, text, string_split(text, chr(32)) AS t FROM documents)
         """,
-        "q15_lang_dist": "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
         "q16_knn": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(embedding,
@@ -168,6 +167,9 @@ def oracle_sql() -> dict[str, str]:
         # q19: MinHash-LSH output is exact-Jaccard-verified; at 16 bands × 4
         # rows the per-pair miss probability at fixture similarities is
         # < 1e-6, so the exact 5-token-shingle Jaccard SQL is the oracle.
+        # PRECONDITION: no band bucket exceeds MAX_BUCKET_DOCS (the engine
+        # counts drops in dedup.DROP_METRICS; nonzero ⇒ this exact oracle no
+        # longer applies for the dropped docs and the compare SHOULD fail).
         "q19_minhash_neardup": """
             WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
             sh AS (
@@ -193,6 +195,9 @@ def oracle_sql() -> dict[str, str]:
         # (pigeonhole), so the all-pairs simhash reconstruction below is an
         # exact oracle. Bit b of a token's hash = bit (b%8) of md5-digest
         # byte (b//8) — the little-endian uint64 the engine uses.
+        # PRECONDITION: no band bucket exceeds MAX_BUCKET_DOCS (drops are
+        # counted via simhash_pairs(metrics_out=...); nonzero voids this
+        # exactness claim for the dropped docs).
         "q19b_simhash_neardup": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, chr(32))) AS tk FROM documents),
             th AS (SELECT doc_id, md5(tk) AS h FROM tok),
@@ -642,17 +647,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT group_id, node, CAST(pr AS BIGINT) AS pr FROM p{_PR_ITERS}
     """
 
-    sql["q49_gopher_quality"] = f"""
-        SELECT doc_id,
-               len(t) AS n_tokens,
-               CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len,
-               len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) AS n_stopwords,
-               (len(t) BETWEEN 50 AND 100000
-                AND 3 * len(t) <= list_sum(list_transform(t, x -> length(x)))
-                AND list_sum(list_transform(t, x -> length(x))) <= 10 * len(t)
-                AND 100 * len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) >= 2 * len(t)
-               ) AS passes_gopher
-        FROM (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents)
+    sql["q51_typed_attributes"] = f"""
+        WITH {cte},
+        moved AS (
+            -- mirror the engine: hydration runs over MERGED edges, whose
+            -- valid_at is min-over-occurrences; 'latest move' = argmax of
+            -- those fact-became-true times across distinct places
+            SELECT group_id, subj_uuid, obj_c AS place, min(valid_at) AS valid_at
+            FROM gold_canon WHERE pred = 'MOVED_TO' GROUP BY 1, 2, 3
+        ),
+        node_attrs AS (
+            SELECT DISTINCT group_id, subj_uuid AS uuid,
+                   first_value(place) OVER (
+                       PARTITION BY group_id, subj_uuid
+                       ORDER BY valid_at DESC, place
+                   ) AS loc
+            FROM moved
+        ),
+        merged AS (
+            SELECT group_id, subj_uuid, pred, obj_uuid,
+                   min(valid_at) AS valid_at, min(epoch_us) AS epoch_us
+            FROM gold_canon GROUP BY 1, 2, 3, 4
+        )
+        SELECT 'node' AS kind, group_id, uuid,
+               '{{"location": "' || loc || '"}}' AS attributes
+        FROM node_attrs
+        UNION ALL
+        SELECT 'edge', group_id,
+               md5('rel:' || group_id || ':' || subj_uuid || ':' || pred || ':' || obj_uuid || ':' || epoch_us),
+               '{{"start_date": "' || strftime(valid_at, '%Y-%m-%d') || '"}}'
+        FROM merged WHERE pred = 'WORKS_AT'
+    """
+
+    sql["q52_weighted_neardup"] = """
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, chr(32))) AS t FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        JOIN embeddings ea ON ea.vec_id = a.doc_id
+        JOIN embeddings eb ON eb.vec_id = b.doc_id
+        WHERE 0.6 * (CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                     / len(list_distinct(a.t || b.t)))
+            + 0.4 * list_cosine_similarity(ea.embedding, eb.embedding) >= 0.6
     """
 
     sql["q48_bpe_token_count"] = r"""

@@ -33,6 +33,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -162,12 +163,20 @@ def _empty_pairs() -> pd.DataFrame:
     )
 
 
+# Driver-visible cap-drop counters (ADVICE: a log line alone is invisible
+# to callers). Updated at each function's driver sync point; sentinel rows
+# (doc_a == DROP_SENTINEL) carry per-bucket drop counts through the shuffle.
+DROP_METRICS: dict[str, int] = {}
+DROP_SENTINEL = -1
+
+
 def _candidate_pairs_from_buckets(df: pd.DataFrame, keys: list[str], cap: int) -> pd.DataFrame:
     """Vectorized pair emission per (band) bucket with a hard per-bucket cap.
 
     A boilerplate cluster of B docs in one band bucket would emit B²/2 pairs
-    — cap at ``cap`` docs (kept: smallest doc_ids, deterministic) and LOG
-    the drop instead of silently exploding the shuffle."""
+    — cap at ``cap`` docs (kept: smallest doc_ids, deterministic), LOG the
+    drop, and emit a sentinel row (doc_a = DROP_SENTINEL, doc_b = #dropped
+    docs) so callers can COUNT drops instead of trusting a log line."""
     outs = []
     for _, g in df.groupby(keys, sort=False):
         ids = np.unique(np.asarray(g["doc_id"], np.int64))
@@ -178,12 +187,19 @@ def _candidate_pairs_from_buckets(df: pd.DataFrame, keys: list[str], cap: int) -
                 "LSH bucket %s: %d docs > cap %d; pairing first %d (dropped %d docs)",
                 tuple(g.iloc[0][k] for k in keys), len(ids), cap, cap, len(ids) - cap,
             )
+            outs.append(
+                pd.DataFrame({"doc_a": [np.int64(DROP_SENTINEL)], "doc_b": [np.int64(len(ids) - cap)]})
+            )
             ids = ids[:cap]
         idx_a, idx_b = np.triu_indices(len(ids), k=1)
         outs.append(pd.DataFrame({"doc_a": ids[idx_a], "doc_b": ids[idx_b]}))
     if not outs:
         return _empty_pairs()
-    return pd.concat(outs, ignore_index=True).drop_duplicates(["doc_a", "doc_b"])
+    out = pd.concat(outs, ignore_index=True)
+    keep = out["doc_a"] != DROP_SENTINEL
+    return pd.concat(
+        [out[keep].drop_duplicates(["doc_a", "doc_b"]), out[~keep]], ignore_index=True
+    )
 
 
 def _join_pairs_to_payload(
@@ -249,7 +265,12 @@ def minhash_lsh_candidates(
 
     With ``n_bands=16`` (4 rows/band) the per-pair miss probability at the
     fixture's near-dup similarity (J ≥ 0.85) is < 1e-6, so the verified
-    output equals the exact-Jaccard O(n²) scan and is SQL-oracle-able.
+    output equals the exact-Jaccard O(n²) scan and is SQL-oracle-able —
+    PROVIDED no band bucket exceeds ``max_bucket_docs``: a boilerplate
+    cluster beyond the cap silently loses true near-dup pairs for the
+    dropped docs. Drops are COUNTED (``DROP_METRICS['minhash_dropped_docs']``
+    after the call), not just logged; a nonzero count voids the exactness
+    claim and should fail any oracle comparison loudly.
     """
     rows_per_band = N_PERM // n_bands
     band_w = _mix_weights(rows_per_band)
@@ -291,6 +312,23 @@ def minhash_lsh_candidates(
         docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
         ["band_id", "band_hash"], per_bucket,
     ).materialize()  # tiny by LSH design; reused by both verify paths
+
+    # split out cap-drop sentinels and record the counted metric at this
+    # (already present) driver sync point
+    import pyarrow.compute as _pc
+
+    def _drops(t: pa.Table) -> pa.Table:
+        m = _pc.equal(t.column("doc_a"), pa.scalar(DROP_SENTINEL, pa.int64()))
+        return pa.table({"n": pa.array([_pc.sum(_pc.if_else(m, t.column("doc_b"), pa.scalar(0, pa.int64()))).as_py() or 0], pa.int64())})
+
+    DROP_METRICS["minhash_dropped_docs"] = sum(
+        r["n"] for r in cand_pairs.map_batches(_drops, batch_format="pyarrow").take_all()
+    )
+
+    def _no_sentinels(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.not_equal(t.column("doc_a"), pa.scalar(DROP_SENTINEL, pa.int64())))
+
+    cand_pairs = cand_pairs.map_batches(_no_sentinels, batch_format="pyarrow")
 
     # shingle payload per doc: sorted hash csv (the exact-Jaccard basis)
     def shingles_of(t: pa.Table) -> pa.Table:
@@ -403,11 +441,18 @@ def simhash64(text: str) -> int:
 
 
 def simhash_pairs(
-    docs: "ray.data.Dataset", max_hamming: int = 3, max_bucket_docs: int = MAX_BUCKET_DOCS
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
+    metrics_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via
     4x16-bit band bucketing. For ``max_hamming <= 3`` this is EXACT
-    (pigeonhole: any pair within distance 3 shares at least one band)."""
+    (pigeonhole: any pair within distance 3 shares at least one band) —
+    PROVIDED no band bucket exceeds ``max_bucket_docs``: beyond the cap,
+    excess docs are dropped from pairing (counted, not just logged — pass
+    ``metrics_out`` to receive ``simhash_dropped_docs``; nonzero means the
+    exactness claim no longer holds for the dropped docs)."""
 
     def sig_rows(t: pa.Table) -> pa.Table:
         ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
@@ -430,11 +475,22 @@ def simhash_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        sentinel = None
         if len(g) > max_bucket_docs:
             logger.warning(
                 "simhash bucket (%s,%s): %d docs > cap %d (dropped %d)",
                 g["band_id"].iloc[0], g["band_val"].iloc[0], len(g), max_bucket_docs,
                 len(g) - max_bucket_docs,
+            )
+            # sentinel keyed by the bucket (unique across buckets, so the
+            # global pair-dedupe can't collapse two buckets' counts):
+            # doc_b = bucket key, hamming = #dropped docs
+            sentinel = pd.DataFrame(
+                {
+                    "doc_a": [np.int64(DROP_SENTINEL)],
+                    "doc_b": [np.int64(int(g["band_id"].iloc[0]) * 65536 + int(g["band_val"].iloc[0]))],
+                    "hamming": [np.int64(len(g) - max_bucket_docs)],
+                }
             )
             g = g.head(max_bucket_docs)
         ids = np.asarray(g["doc_id"], np.int64)
@@ -451,9 +507,10 @@ def simhash_pairs(
                 np.int64,
             )
         keep = ham <= max_hamming
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"doc_a": ids[idx_a][keep], "doc_b": ids[idx_b][keep], "hamming": ham[keep]}
         )
+        return out if sentinel is None else pd.concat([out, sentinel], ignore_index=True)
 
     from ..stages.shuffle import bucketed_group_apply
 
@@ -467,7 +524,28 @@ def simhash_pairs(
         docs.map_batches(sig_rows, batch_format="pyarrow", batch_size=512),
         ["band_id", "band_val"], per_bucket,
     )
-    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+    deduped = bucketed_group_apply(
+        pairs, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(["doc_a", "doc_b"])
+    )
+
+    import pyarrow.compute as _pc
+
+    if metrics_out is not None:
+        deduped = deduped.materialize()
+
+        def _drops(t: pa.Table) -> pa.Table:
+            m = _pc.equal(t.column("doc_a"), pa.scalar(DROP_SENTINEL, pa.int64()))
+            n = _pc.sum(_pc.if_else(m, t.column("hamming"), pa.scalar(0, pa.int64()))).as_py() or 0
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        metrics_out["simhash_dropped_docs"] = sum(
+            r["n"] for r in deduped.map_batches(_drops, batch_format="pyarrow").take_all()
+        )
+
+    def _no_sentinels(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.not_equal(t.column("doc_a"), pa.scalar(DROP_SENTINEL, pa.int64())))
+
+    return deduped.map_batches(_no_sentinels, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float = 0.5) -> "ray.data.Dataset":
@@ -563,7 +641,10 @@ def _stack_embeddings(col) -> np.ndarray:
 
 
 def embedding_neardup(
-    emb: "ray.data.Dataset", threshold: float = 0.95, n_parts: int = 8
+    emb: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_parts: int = 8,
+    round_dp: int | None = 6,
 ) -> "ray.data.Dataset":
     """EXACT cosine-similar pairs over an embedding column, distributed.
 
@@ -616,11 +697,8 @@ def embedding_neardup(
                 continue
             va, vb = ids_a[ia], ids_b[ib]
             lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-            outs.append(
-                pd.DataFrame(
-                    {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib], 6)}
-                )
-            )
+            cos = sims[ia, ib] if round_dp is None else np.round(sims[ia, ib], round_dp)
+            outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos}))
         if not outs:
             return pd.DataFrame(
                 {
@@ -633,6 +711,70 @@ def embedding_neardup(
 
     replicated = emb.map_batches(replicate, batch_format="pyarrow", batch_size=1024)
     return bucketed_group_apply(replicated, ["block"], score_block)
+
+
+def weighted_neardup(
+    docs: "ray.data.Dataset",
+    emb: "ray.data.Dataset",
+    w_text: float = 0.6,
+    w_emb: float = 0.4,
+    threshold: float = 0.8,
+    n_parts: int = 8,
+) -> "ray.data.Dataset":
+    """Weighted multi-signal near-dup (reference ``deduplicator.py:26-35,
+    221-293``: tunable TF-IDF/embedding/attribute weight mix). The rebuild's
+    two signals are exact distinct-token Jaccard (``w_text``) and embedding
+    cosine (``w_emb``); a pair is a duplicate when
+    ``w_text*jaccard + w_emb*cosine >= threshold``.
+
+    Scale shape: EXACT with a sound pruning bound — since ``jaccard <= 1``,
+    any qualifying pair has ``cosine >= (threshold - w_text) / w_emb``, so
+    stage 1 is the block-pair cosine scorer at that floor (the only O(n²)
+    stage, same replication contract as ``embedding_neardup``; swap in
+    ``embedding_neardup_lsh`` candidates for the approximate scale path),
+    and stage 2 re-joins the candidate pairs with the two text sides (two
+    partitioned hash joins, texts shuffled once each) and applies the exact
+    weighted filter vectorized. With ``threshold <= w_text`` the floor is
+    vacuous and stage 1 degenerates to exact all-pairs — choose production
+    thresholds above ``w_text``.
+
+    ``docs``: (doc_id, text); ``emb``: (vec_id, embedding) with
+    ``vec_id == doc_id``. Returns (doc_a, doc_b) pairs, doc_a < doc_b.
+    """
+    from ..stages.shuffle import bucketed_group_apply  # noqa: F401 (join dep)
+    from .joins import hash_join
+
+    floor = max(-1.0, (threshold - w_text) / w_emb)
+    cands = embedding_neardup(emb, threshold=floor, n_parts=n_parts, round_dp=None)
+
+    def side(name_id: str, name_text: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({name_id: t.column("doc_id"), name_text: t.column("text")})
+
+        return f
+
+    ta = docs.map_batches(side("ta_id", "text_a"), batch_format="pyarrow")
+    tb = docs.map_batches(side("tb_id", "text_b"), batch_format="pyarrow")
+    j1 = hash_join(cands, ta, "vec_a", "ta_id")
+    j2 = hash_join(j1, tb, "vec_b", "tb_id")
+
+    def score(t: pa.Table) -> pa.Table:
+        a_tok = [set(x.split(" ")) for x in t.column("text_a").to_pylist()]
+        b_tok = [set(x.split(" ")) for x in t.column("text_b").to_pylist()]
+        inter = np.array([len(a & b) for a, b in zip(a_tok, b_tok)], np.float64)
+        union = np.array([len(a | b) for a, b in zip(a_tok, b_tok)], np.float64)
+        jac = inter / np.maximum(union, 1.0)
+        cos = np.asarray(t.column("cosine").to_pylist(), np.float64)
+        w = w_text * jac + w_emb * cos
+        keep = w >= threshold
+        return pa.table(
+            {
+                "doc_a": pc.cast(pa.array(np.asarray(t.column("vec_a").to_pylist())[keep]), pa.int64()),
+                "doc_b": pc.cast(pa.array(np.asarray(t.column("vec_b").to_pylist())[keep]), pa.int64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def embedding_neardup_lsh(

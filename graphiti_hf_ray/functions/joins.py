@@ -19,6 +19,48 @@ import pyarrow as pa
 import ray
 
 
+def _as_arrow_type(typ) -> pa.DataType:
+    """Ray ``Schema.types`` yields Arrow types for Arrow blocks but numpy
+    dtypes for pandas blocks (e.g. downstream of a map_groups shuffle);
+    normalize for null-padding. object dtype → string (the only pandas
+    object columns this engine produces are strings)."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    try:
+        return pa.from_numpy_dtype(typ)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
+def _arrow_types(ds: "ray.data.Dataset") -> dict[str, pa.DataType]:
+    """Column → Arrow type for any dataset. Pandas-block schemas report
+    numpy dtypes; ``object`` is ambiguous (string vs list vs struct), so
+    those columns are resolved by Arrow-inferring a tiny row sample —
+    guessing string for a list column poisons the join's null-padding with
+    an unmergeable schema. Arrow-schema datasets never pay the sample."""
+    sch = ds.schema()
+    out: dict[str, pa.DataType] = {}
+    ambiguous: list[str] = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+        else:
+            try:
+                out[n] = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                ambiguous.append(n)
+    if ambiguous:
+        sample = ds.limit(4).to_pandas()
+        if len(sample):
+            obs = pa.Table.from_pandas(sample[ambiguous], preserve_index=False).schema
+            for n in ambiguous:
+                out[n] = obs.field(n).type
+        else:
+            for n in ambiguous:
+                out[n] = pa.string()
+    return out
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -31,12 +73,10 @@ def hash_join(
     the left; overlapping non-key names get ``_r`` suffix on the right)."""
     from ..stages.shuffle import bucketed_group_apply
 
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_cols = list(l_schema.names)
-    r_cols = list(r_schema.names)
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = _arrow_types(left)
+    r_types = _arrow_types(right)
+    l_cols = list(l_types)
+    r_cols = list(r_types)
     overlap = (set(l_cols) & set(r_cols)) - {left_on, right_on}
     r_renamed = {c: (c + "_r" if c in overlap else c) for c in r_cols}
 
@@ -137,10 +177,9 @@ def asof_join(
     """
     from ..stages.shuffle import bucketed_group_apply
 
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_cols = list(l_schema.names)
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = _arrow_types(left)
+    r_types = _arrow_types(right)
+    l_cols = list(l_types)
     out_r = [c for c in right_value_cols]
     side_right = 0 if allow_equal else 2  # vs left side = 1
 
@@ -187,7 +226,7 @@ def asof_join(
         return out
 
     joined = bucketed_group_apply(combined, key_cols, carry_forward, num_buckets=num_buckets)
-    target = dict(zip(l_schema.names, l_schema.types))
+    target = dict(l_types)
     target.update({c: r_types[c] for c in out_r})
     return joined.map_batches(_restore_types(target), batch_format="pyarrow")
 

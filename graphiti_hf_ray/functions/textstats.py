@@ -39,6 +39,49 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def doc_profile_batch(batch: pa.Table) -> pa.Table:
+    """Single-pass per-document profile fusing the structural stats
+    (``doc_stats_batch``), quality counters and Gopher flags
+    (``gopher_quality_batch``) — one tokenization per document instead of
+    three separate stages. All counters INTEGER-exact; the Gopher ratio
+    thresholds compare as cross-multiplied ints (float rounding can never
+    flip the SQL oracle).
+
+    Columns: doc_id, n_chars, n_tokens, n_uniq_tokens, n_stopwords,
+    sum_token_len, passes_gopher, fingerprint.
+    """
+    texts_col = batch.column("text")
+    texts = texts_col.to_pylist()
+    n_tok, n_uniq, n_stop, sum_len, passes = [], [], [], [], []
+    for x in texts:
+        toks = x.split(" ")
+        n = len(toks)
+        sl = sum(len(w) for w in toks)
+        st = sum(1 for w in toks if w in _STOP)
+        n_tok.append(n)
+        n_uniq.append(len(set(toks)))
+        n_stop.append(st)
+        sum_len.append(sl)
+        passes.append(
+            GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+            and 3 * n <= sl <= 10 * n
+            and 100 * st >= 2 * n
+        )
+    fp = pa.array([hashlib.md5(x.encode()).hexdigest() for x in texts], pa.string())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(texts_col), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "sum_token_len": pa.array(sum_len, pa.int64()),
+            "passes_gopher": pa.array(passes, pa.bool_()),
+            "fingerprint": fp,
+        }
+    )
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: stopword ratio, mean token length, repetition ratio.
 

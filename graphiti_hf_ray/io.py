@@ -225,6 +225,11 @@ def list_branches(out_dir: str) -> list[dict]:
     out = []
     if os.path.isdir(broot):
         for name in sorted(os.listdir(broot)):
+            if ".tmp-" in name:
+                # a crash between _branch.json write and os.rename leaves a
+                # '<name>.tmp-branch' dir that would otherwise be listed
+                # under the wrong name (mirrors _prune_tmp)
+                continue
             p = os.path.join(broot, name, "_branch.json")
             if os.path.exists(p):
                 with open(p) as f:

@@ -30,7 +30,6 @@ import ray.data as rd
 from ..functions.dedup import exact_dedup, minhash_lsh_candidates, ngram_jaccard_pairs, simhash_pairs
 from ..functions.knn import knn_brute
 from ..functions.temporal import bucket_aggregate, interval_sweep, point_in_time
-from ..functions.textstats import STOPWORDS, doc_stats_batch
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -288,49 +287,14 @@ def q12_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
 
 
-def q13_doc_stats(sf_dir: str) -> pd.DataFrame:
+def q13_doc_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-doc profile: structural stats + quality counters + Gopher flags
+    fused into ONE tokenization pass (previously q13/q14/q49; consolidated
+    so the driver's 50-entry correctness budget covers every operator)."""
+    from ..functions.textstats import doc_profile_batch
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(doc_stats_batch, batch_format="pyarrow").to_pandas()
-
-
-def q14_doc_quality(sf_dir: str) -> pd.DataFrame:
-    """Integer-valued quality counters (ratio floats avoided so the value
-    hash can't wobble): stopword hits, tokens, distinct tokens."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    stop = frozenset(STOPWORDS)
-
-    def f(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        texts = t.column("text").to_pylist()
-        n_stop, n_tok, n_uniq = [], [], []
-        for x in texts:
-            toks = x.split(" ")
-            n_stop.append(sum(1 for w in toks if w in stop))
-            n_tok.append(len(toks))
-            n_uniq.append(len(set(toks)))
-        return pa.table(
-            {
-                "doc_id": ids,
-                "n_stopwords": pa.array(n_stop, pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
-
-
-def q15_lang_dist(sf_dir: str) -> pd.DataFrame:
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("lang", as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "n": [int(g["n"].sum())]})
-
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("lang").map_groups(merge, batch_format="pandas").to_pandas()
+    return ds.map_batches(doc_profile_batch, batch_format="pyarrow").to_pandas()
 
 
 def q16_knn(sf_dir: str) -> pd.DataFrame:
@@ -453,9 +417,7 @@ QUERIES = {
     "q10_events_invalidate": q10_events_invalidate,
     "q11_events_sessions": q11_events_sessions,
     "q12_dedup_exact": q12_dedup_exact,
-    "q13_doc_stats": q13_doc_stats,
-    "q14_doc_quality": q14_doc_quality,
-    "q15_lang_dist": q15_lang_dist,
+    "q13_doc_profile": q13_doc_profile,
     "q16_knn": q16_knn,
     "q17_embedding_neardup": q17_embedding_neardup,
     "q18_ngram_jaccard": q18_ngram_jaccard,
@@ -907,17 +869,6 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
 QUERIES["q48_bpe_token_count"] = q48_bpe_token_count
 
 
-def q49_gopher_quality(sf_dir: str) -> pd.DataFrame:
-    """Gopher-style quality filter flags per document (public thresholds)."""
-    from ..functions.textstats import gopher_quality_batch
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow").to_pandas()
-
-
-QUERIES["q49_gopher_quality"] = q49_gopher_quality
-
-
 def q50_pagerank(sf_dir: str) -> pd.DataFrame:
     """Fixed-point integer PageRank per group (10 iterations, damping
     0.85) — exact under any summation order, hence SQL-oracle-able."""
@@ -931,3 +882,38 @@ def q50_pagerank(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q50_pagerank"] = q50_pagerank
+
+
+def q51_typed_attributes(sf_dir: str) -> pd.DataFrame:
+    """M4/M5 typed attribute extraction over the canonical graph:
+    Person.location from the latest MOVED_TO edge, WORKS_AT.start_date from
+    the merged edge's earliest occurrence — deterministic rule extractors in
+    place of the reference's LLM hydration (node_operations.py:302-391,
+    edge_operations.py:482-501)."""
+    from ..stages.attributes import typed_attribute_rows
+
+    out_dir = _kg_out_dir(sf_dir)
+    edges = rd.read_parquet(
+        os.path.join(out_dir, "edges"),
+        columns=["uuid", "group_id", "source_uuid", "target_uuid", "name", "valid_at"],
+    )
+    nodes = rd.read_parquet(os.path.join(out_dir, "nodes"), columns=["uuid", "name"])
+    return typed_attribute_rows(edges, nodes).to_pandas()
+
+
+QUERIES["q51_typed_attributes"] = q51_typed_attributes
+
+
+def q52_weighted_neardup(sf_dir: str) -> pd.DataFrame:
+    """D4 weighted multi-signal near-dup: 0.6·token-Jaccard +
+    0.4·embedding-cosine >= 0.6 (tunable weights — the reference's
+    deduplicator.py similarity mix, exact two-stage with cosine-floor
+    pruning)."""
+    from ..functions.dedup import weighted_neardup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return weighted_neardup(docs, emb, w_text=0.6, w_emb=0.4, threshold=0.6).to_pandas()
+
+
+QUERIES["q52_weighted_neardup"] = q52_weighted_neardup

@@ -411,3 +411,140 @@ def test_kmv_estimate_accuracy(ray_session):
     syn, est = kmv_synopsis(rd.from_pandas(df), "v", k=64)
     assert len(syn) == 64
     assert 0.6 < est / 700 < 1.6  # KMV estimator within expected error
+
+
+def test_weighted_neardup_matches_bruteforce(ray_session):
+    """D4 weighted scorer (0.6·Jaccard + 0.4·cosine >= thr) equals the
+    all-pairs python reference, including the cosine-floor pruning path."""
+    from graphiti_hf_ray.functions.dedup import weighted_neardup
+
+    rng = np.random.default_rng(7)
+    n, dim = 30, 8
+    texts = []
+    base = ["w%d" % i for i in range(12)]
+    for i in range(n):
+        toks = list(base)
+        for j in range(i % 5):
+            toks[j] = f"x{i}_{j}"
+        texts.append(" ".join(toks))
+    vecs = rng.normal(size=(n, dim))
+    vecs[1] = vecs[0] + 0.01  # near-identical embedding pair
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    emb = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(v) for v in vecs]})
+
+    thr, wt, we = 0.7, 0.6, 0.4
+    out = weighted_neardup(
+        rd.from_pandas(docs), rd.from_pandas(emb), w_text=wt, w_emb=we, threshold=thr
+    ).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            sa, sb = set(texts[a].split(" ")), set(texts[b].split(" "))
+            j = len(sa & sb) / len(sa | sb)
+            c = float(norm[a] @ norm[b])
+            if wt * j + we * c >= thr:
+                want.add((a, b))
+    assert got == want and len(want) > 0
+
+
+def test_typed_attribute_hydration(ray_session):
+    """M4/M5: Person.location from latest MOVED_TO; WORKS_AT.start_date;
+    existing attribute objects merged, non-Person rows untouched."""
+    from graphiti_hf_ray.stages.attributes import (
+        hydrate_edge_attributes,
+        hydrate_node_attributes,
+        typed_attribute_rows,
+    )
+
+    ts = pd.to_datetime(["2024-01-01", "2024-03-01", "2024-02-01"]).astype("datetime64[us]")
+    edges = pd.DataFrame(
+        {
+            "uuid": ["e1", "e2", "e3"],
+            "group_id": ["g0"] * 3,
+            "source_uuid": ["p1", "p1", "p2"],
+            "target_uuid": ["l1", "l2", "o1"],
+            "name": ["MOVED_TO", "MOVED_TO", "WORKS_AT"],
+            "valid_at": ts,
+            "attributes": ["{}", "{}", '{"note": "kept"}'],
+        }
+    )
+    nodes = pd.DataFrame(
+        {
+            "uuid": ["p1", "p2", "l1", "l2", "o1"],
+            "name": ["Ada", "Bob", "Oslo", "Kyoto", "Acme"],
+            "group_id": ["g0"] * 5,
+            "labels": [["Person"], ["Person"], ["Place"], ["Place"], ["Organization"]],
+            "attributes": ['{"age": 36}', "{}", "{}", "{}", "{}"],
+        }
+    )
+    rows = typed_attribute_rows(rd.from_pandas(edges), rd.from_pandas(nodes)).to_pandas()
+    by = {(r["kind"], r["uuid"]): r["attributes"] for _, r in rows.iterrows()}
+    # p1's latest MOVED_TO is e2 (2024-03-01) → Kyoto
+    assert by[("node", "p1")] == '{"location": "Kyoto"}'
+    assert by[("edge", "e3")] == '{"start_date": "2024-02-01"}'
+    assert ("node", "p2") not in by  # no MOVED_TO → no hydrated node row
+
+    hn = hydrate_node_attributes(rd.from_pandas(nodes), rd.from_pandas(edges)).to_pandas()
+    m = dict(zip(hn["uuid"], hn["attributes"]))
+    assert m["p1"] == '{"age": 36, "location": "Kyoto"}'  # merged, sorted keys
+    assert m["o1"] == "{}"  # non-Person untouched
+    he = hydrate_edge_attributes(rd.from_pandas(edges)).to_pandas()
+    me = dict(zip(he["uuid"], he["attributes"]))
+    assert me["e3"] == '{"note": "kept", "start_date": "2024-02-01"}'
+    assert me["e1"] == "{}"  # non-WORKS_AT untouched
+
+
+def test_lsh_drop_metrics_counted(ray_session):
+    """Cap drops surface as counted metrics, not just log lines, and the
+    sentinel rows never leak into the pair output."""
+    from graphiti_hf_ray.functions.dedup import DROP_METRICS, minhash_lsh_candidates
+
+    # 12 identical docs in one band bucket with cap 8 → 4 dropped
+    docs = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64), "text": ["a b c d e f g h"] * 12})
+    out = minhash_lsh_candidates(
+        rd.from_pandas(docs), jaccard_threshold=0.5, max_bucket_docs=8
+    ).to_pandas()
+    assert DROP_METRICS["minhash_dropped_docs"] > 0
+    assert (out["doc_a"] >= 0).all() and (out["doc_b"] >= 0).all()
+
+    from graphiti_hf_ray.functions.dedup import simhash_pairs
+
+    metrics: dict = {}
+    out2 = simhash_pairs(rd.from_pandas(docs), max_bucket_docs=8, metrics_out=metrics).to_pandas()
+    assert metrics["simhash_dropped_docs"] > 0
+    assert (out2["doc_a"] >= 0).all()
+
+
+def test_asof_join_left_row_own_twin_tie(ray_session):
+    """Documented tie rule: at equal (key, ts) the MAX-tiebreak right row
+    wins, even when the left row is itself one of the tied right rows."""
+    from graphiti_hf_ray.functions.joins import asof_join
+
+    ts0 = pd.to_datetime(["2024-01-01"]).astype("datetime64[us]")[0]
+    left = pd.DataFrame({"k": ["a"], "lid": [10], "ts": [ts0]})
+    right = pd.DataFrame({"k": ["a", "a"], "ts": [ts0, ts0], "rid": [10, 99]})
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), ["k"], "ts", "ts", ["rid"], tiebreak="rid"
+    ).to_pandas()
+    assert out["rid"].iloc[0] == 99  # not its own twin (10)
+
+
+def test_list_branches_skips_partial_tmp(ray_session, tmp_path):
+    """A crash mid-create leaves '<name>.tmp-branch' — it must not be
+    listed as a real branch."""
+    import json as _json
+    import os
+
+    from graphiti_hf_ray import io as gio
+
+    broot = tmp_path / gio.BRANCHES_DIR
+    good = broot / "v1"
+    good.mkdir(parents=True)
+    (good / "_branch.json").write_text(_json.dumps({"name": "v1"}))
+    partial = broot / "v2.tmp-branch"
+    partial.mkdir()
+    (partial / "_branch.json").write_text(_json.dumps({"name": "v2"}))
+    assert [b["name"] for b in gio.list_branches(str(tmp_path))] == ["v1"]
