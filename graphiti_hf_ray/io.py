@@ -163,6 +163,26 @@ def read_table_dir(out_dir: str, table: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def read_table_dir_ds(out_dir: str, table: str, columns: list[str] | None = None):
+    """Ray-Dataset reader for a (possibly shard-partitioned) table dir.
+
+    Enumerates part FILES explicitly: reading the directory would both try
+    to parse shard manifests and hive-parse ``shard=...`` dir names into a
+    phantom ``shard`` column that poisons downstream schema unions."""
+    import ray.data as rd
+
+    root = os.path.join(out_dir, table)
+    paths = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        _prune_tmp(dirnames)
+        for fn in sorted(filenames):
+            if fn.endswith(".parquet"):
+                paths.append(os.path.join(dirpath, fn))
+    if not paths:
+        raise FileNotFoundError(f"no parquet under {root}")
+    return rd.read_parquet(paths, columns=columns, partitioning=None)
+
+
 def completed_shards(out_dir: str, table: str, fingerprints: dict[int, str]) -> set[int]:
     done = set()
     for shard, fp in fingerprints.items():

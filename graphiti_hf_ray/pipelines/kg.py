@@ -50,6 +50,13 @@ from ..stages.episodes import make_episode_batch
 
 DEFAULT_RUN_TS_US = 1735689600_000_000  # 2025-01-01T00:00:00Z — injected, deterministic
 
+# hub-object salting trigger: when any canonical entity's mention count (an
+# upper bound on any (group, pred, obj) merge bucket's rows — already held
+# by the canonicalization, zero extra passes) exceeds this, the fused
+# dedup+invalidate shuffle runs the two-round salted path
+def _salt_threshold() -> int:
+    return int(os.environ.get("GRAFT_SALT_THRESHOLD", 2_000_000))
+
 
 def _pool_size() -> tuple[int, int]:
     """Actor-pool (min, max) that can never starve task stages: each pool
@@ -59,28 +66,58 @@ def _pool_size() -> tuple[int, int]:
     return (1, max(1, cpus // 4))
 
 
-def _fingerprint(paths: list[str]) -> str:
-    """CONTENT fingerprint of the input files (chunked md5). mtime-based
-    fingerprints mis-fire when identical content is rewritten (e.g. a
-    regenerated deterministic fixture) and would APPEND duplicate shards
-    under a new namespace. Hashing reads each input once, driver-side —
-    at real scale swap in the object store's content etag instead."""
-    h = hashlib.md5()
-
-    def one(fp: str) -> None:
-        h.update(fp.encode())
-        with open(fp, "rb") as f:
-            while chunk := f.read(1 << 24):
-                h.update(chunk)
-
+def _input_files(paths: list[str]) -> list[str]:
+    out = []
     for p in sorted(paths):
         if os.path.isdir(p):
             for dirpath, _d, files in sorted(os.walk(p)):
                 for fn in sorted(files):
                     if fn.endswith(".parquet"):
-                        one(os.path.join(dirpath, fn))
+                        out.append(os.path.join(dirpath, fn))
         else:
-            one(p)
+            out.append(p)
+    return out
+
+
+def _md5_file(fp: str) -> str:
+    h = hashlib.md5()
+    with open(fp, "rb") as f:
+        while chunk := f.read(1 << 24):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _fingerprint(paths: list[str], etag_map: dict[str, str] | None = None) -> str:
+    """CONTENT fingerprint of the input files. mtime-based fingerprints
+    mis-fire when identical content is rewritten (e.g. a regenerated
+    deterministic fixture) and would APPEND duplicate shards under a new
+    namespace.
+
+    The run fingerprint is md5 over (path, per-file digest) pairs in sorted
+    path order, so the per-file digests can come from anywhere that is
+    content-stable:
+
+    - ``etag_map`` (path → digest): plug in the object store's content
+      etags and NO input bytes are read at all — the right mode at 100 TB;
+    - otherwise per-file md5s, computed as parallel Ray tasks when a
+      session is up (the 100-TB driver must not stream the corpus through
+      one core before P1 starts), serially as the no-Ray fallback.
+
+    Parallel and serial paths combine identical per-file digests in
+    identical order, so the run fingerprint is mode-independent (tested).
+    """
+    files = _input_files(paths)
+    if etag_map is not None:
+        digests = [etag_map[fp] for fp in files]
+    elif ray.is_initialized() and len(files) > 1:
+        task = ray.remote(num_cpus=1)(_md5_file)
+        digests = ray.get([task.remote(fp) for fp in files])
+    else:
+        digests = [_md5_file(fp) for fp in files]
+    h = hashlib.md5()
+    for fp, d in zip(files, digests):
+        h.update(fp.encode())
+        h.update(d.encode())
     return h.hexdigest()
 
 
@@ -91,10 +128,13 @@ def extract_phase(
     num_shards: int | None = None,
     extractor_concurrency: int | None = None,
     store_content: bool = True,
+    input_etags: dict[str, str] | None = None,
 ) -> None:
-    """P1: shard-resumable extraction. One shard = one input file slice."""
+    """P1: shard-resumable extraction. One shard = one input file slice.
+    ``input_etags`` (path → content digest) skips reading input bytes for
+    fingerprinting — pass object-store etags at scale."""
     num_shards = num_shards or max(4, len(pages_paths))
-    fp_run = _fingerprint(pages_paths)
+    fp_run = _fingerprint(pages_paths, input_etags)
     fps = {s: fp_run + f":{s}/{num_shards}" for s in range(num_shards)}
     # shard dirs are namespaced by the input fingerprint: re-running the
     # same input resumes (skips complete shards); running a NEW input file
@@ -233,7 +273,8 @@ def link_and_edges_phase(
     rewritten = triples.map_batches(
         functools.partial(rewrite_batch, map_ref=map_ref), batch_format="pyarrow"
     )
-    swept = merge_and_invalidate(rewritten)
+    hot = int(canon_map.groupby("canon_uuid")["n"].sum().max()) if len(canon_map) else 0
+    swept = merge_and_invalidate(rewritten, force_salted=hot > _salt_threshold())
     final = finalize_edges(swept, run_ts_us)
     # embed as stateless tasks: the trigram cache is module-global per
     # worker process, so task form loses nothing vs an actor pool here
@@ -337,8 +378,24 @@ def _link_and_edges_distributed(
     # rewrite via the hash-join path (no broadcast dict), then the same
     # fused dedup+invalidate shuffle; rewritten is pinned because both the
     # edges job and the MENTIONS job consume it (spill-backed)
+    # salting trigger from the (materialized, vocabulary-sized) canonical
+    # map: per-entity mention sums (one small bucketed shuffle — an entity's
+    # surface rows can straddle batches, so per-batch partials alone would
+    # understate the bound), then a driver max over per-bucket maxes
+    def _sum_by_entity(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("canon_uuid", as_index=False)["n"].sum()
+        return pd.DataFrame({"m": [int(g["n"].max())]}) if len(g) else pd.DataFrame({"m": pd.Series([], dtype="int64")})
+
+    hot = max(
+        (
+            r["m"]
+            for r in bucketed_group_apply(canon_ds, ["canon_uuid"], _sum_by_entity).take_all()
+        ),
+        default=0,
+    )
+
     rewritten = rewrite_via_join(triples, canon_ds).materialize()
-    swept = merge_and_invalidate(rewritten)
+    swept = merge_and_invalidate(rewritten, force_salted=hot > _salt_threshold())
     final = finalize_edges(swept, run_ts_us)
     from ..stages.embed import Embedder as _E
 
@@ -364,12 +421,16 @@ def build_graph(
     run_ts_us: int = DEFAULT_RUN_TS_US,
     num_shards: int | None = None,
     store_content: bool = True,
+    input_etags: dict[str, str] | None = None,
 ) -> dict:
     """Full pipeline: pages parquet → nodes/edges/episodes/episodic_edges."""
     import time as _time
 
     timings: dict = {}
     t0 = _time.time()
-    extract_phase(pages_paths, out_dir, run_ts_us, num_shards, store_content=store_content)
+    extract_phase(
+        pages_paths, out_dir, run_ts_us, num_shards,
+        store_content=store_content, input_etags=input_etags,
+    )
     timings["extract"] = round(_time.time() - t0, 2)
     return link_and_edges_phase(out_dir, run_ts_us, timings)

@@ -180,22 +180,64 @@ def detect_communities(
     return bucketed_group_apply(membership, ["community_uuid"], fil)
 
 
-def build_community_tables(membership: pd.DataFrame, run_ts_us: int) -> tuple[pa.Table, pa.Table]:
+def default_pair_summarizer(left: str, right: str) -> str:
+    """Deterministic stand-in for the reference's ``summarize_pair`` LLM
+    call (community_operations.py:130-148): union of the two summaries'
+    semicolon-separated fragments, first-seen order, capped. Injectable —
+    a real LLM client drops into ``build_community_tables``'s
+    ``summarize_pair`` slot with the same (left, right) → str contract."""
+    seen, frags = set(), []
+    for part in left.split("; ") + right.split("; "):
+        if part and part not in seen:
+            seen.add(part)
+            frags.append(part)
+    return "; ".join(frags)[:400]
+
+
+def tree_reduce_summaries(summaries: list[str], summarize_pair=None) -> str:
+    """A6 hierarchical summarization: the reference's pairwise binary-tree
+    reduce, order-exact (community_operations.py:168-195): while more than
+    one summary remains, an odd trailing element is parked, the first half
+    zips against the second half left-to-right, and the parked element
+    rejoins the next round."""
+    sp = summarize_pair or default_pair_summarizer
+    s = list(summaries)
+    while len(s) > 1:
+        odd = None
+        if len(s) % 2 == 1:
+            odd = s.pop()
+        half = len(s) // 2
+        s = [sp(str(a), str(b)) for a, b in zip(s[:half], s[half:])]
+        if odd is not None:
+            s.append(odd)
+    return s[0] if s else ""
+
+
+def build_community_tables(
+    membership: pd.DataFrame, run_ts_us: int, summarize_pair=None
+) -> tuple[pa.Table, pa.Table]:
     """Membership → (communities table, HAS_MEMBER community-edge table).
 
-    Summary = deterministic reduce over member names (alphabetical, capped)
-    standing in for the reference's pairwise LLM summary tree
-    (community_operations.py:170-211)."""
+    Summary = hierarchical pairwise tree-reduce over the members' summaries
+    (alphabetical member order for determinism; the reference feeds
+    insertion order, community_operations.py:170-211), with
+    ``summarize_pair`` injectable for a real LLM client."""
     groups = membership.groupby(["group_id", "community_uuid"], sort=True)
     c_uuid, c_name, c_group, c_summary = [], [], [], []
     e_uuid, e_group, e_src, e_tgt = [], [], [], []
+    has_summaries = "member_summary" in membership.columns
     for (gid, cu), m in groups:
         members = sorted(set(zip(m["member_uuid"], m["member_name"])))
-        top = [n for _, n in members[:5]]
+        if has_summaries:
+            by_uuid = dict(zip(m["member_uuid"], m["member_summary"]))
+            leaf = [by_uuid[mu] for mu, _ in members]
+        else:
+            leaf = [n for _, n in members]
+        reduced = tree_reduce_summaries(leaf, summarize_pair)
         c_uuid.append(cu)
         c_group.append(gid)
         c_name.append(f"Community {cu[:8]}")
-        c_summary.append(f"Community of {len(members)} entities: " + ", ".join(top))
+        c_summary.append(f"Community of {len(members)} entities: {reduced}")
         for mu, _ in members:
             e_uuid.append(md5_id(f"hm:{cu}:{mu}"))
             e_group.append(gid)

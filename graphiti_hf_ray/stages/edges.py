@@ -256,16 +256,89 @@ def merge_sweep_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def merge_and_invalidate(rewritten: "ray.data.Dataset") -> "ray.data.Dataset":
+def combine_partial_edges_and_sweep(df: pd.DataFrame) -> pd.DataFrame:
+    """Round-2 body of the SALTED merge path: the input rows are per-salt
+    PARTIAL edges (``merge_edge_bucket`` output — already renamed columns),
+    co-located here by (group_id, name, target_uuid). Combine the partials
+    of each dedup key (min valid_at wins fact/created_by via the same
+    (valid_at, earliest-episode) order the unsalted path uses; occurrence
+    counts sum; episode sets union), recompute the uuid from the final
+    valid_at, then run the functional-predicate sweep — output is
+    row-identical to ``merge_sweep_bucket`` (parity-tested)."""
+    keys = ["group_id", "source_uuid", "name", "target_uuid"]
+    df = df.sort_values(["valid_at", "created_by"], kind="mergesort")
+    agg = df.groupby(keys, as_index=False, sort=False).agg(
+        source_name=("source_name", "first"),
+        target_name=("target_name", "first"),
+        fact=("fact", "first"),
+        valid_at=("valid_at", "first"),  # == min (pre-sorted)
+        n_occurrences=("n_occurrences", "sum"),
+        created_by=("created_by", "first"),
+        episodes=("episodes", lambda s: ",".join(sorted(set(",".join(s).split(","))))),
+    )
+    agg["valid_at"] = agg["valid_at"].astype("datetime64[us]")
+    va_us = agg["valid_at"].astype("int64")
+    agg["uuid"] = [
+        relation_uuid(g, s, p, o, int(v))
+        for g, s, p, o, v in zip(
+            agg["group_id"], agg["source_uuid"], agg["name"], agg["target_uuid"], va_us
+        )
+    ]
+    agg["invalid_at"] = pd.Series(pd.NaT, index=agg.index, dtype="datetime64[us]")
+    fn_mask = agg["name"].isin(FUNCTIONAL_PREDS)
+    if fn_mask.any():
+        sub = agg.loc[fn_mask].sort_values(["valid_at", "source_uuid"], kind="mergesort")
+        inv = sub.groupby(["group_id", "name", "target_uuid"], sort=False)["valid_at"].shift(-1)
+        agg.loc[inv.index, "invalid_at"] = inv.astype("datetime64[us]")
+    return agg[
+        ["uuid", "source_uuid", "source_name", "target_uuid", "target_name", "name", "fact",
+         "group_id", "valid_at", "episodes", "created_by", "n_occurrences", "invalid_at"]
+    ]
+
+
+def merge_and_invalidate(
+    rewritten: "ray.data.Dataset",
+    force_salted: bool = False,
+    num_salts: int = 16,
+) -> "ray.data.Dataset":
     """Single-shuffle replacement for dedup_edges → invalidate_functional:
     bucket by (group_id, pred, obj_uuid) and run both steps vectorized in
-    the bucket. Skew note: a hub OBJECT entity concentrates its bucket, but
-    per-bucket work is vectorized pandas (O(rows) C-speed), and the input
-    was already pre-reduced per batch upstream; salt the bucket key with a
-    src_uuid prefix if a single (pred, obj) ever exceeds one task's memory."""
+    the bucket.
+
+    Skew: a hub OBJECT entity concentrates its bucket. Per-bucket work is
+    vectorized pandas (O(rows) C-speed), so moderate hubs are fine; when a
+    single (group, pred, obj) outgrows one task's memory the caller sets
+    ``force_salted`` (the KG pipeline triggers it from the canonical map's
+    per-entity mention counts — an upper bound it already holds, zero extra
+    passes) and the merge runs TWO-ROUND: round 1 shuffles by the key plus
+    a row-jitter salt and dedup-merges each salt's slice into partial edges
+    (``merge_edge_bucket``); round 2 shuffles only the partials — at most
+    ``num_salts`` rows per dedup key reach one task — and
+    ``combine_partial_edges_and_sweep`` reduces them and applies the sweep.
+    Both paths are row-identical (parity-tested)."""
     from .shuffle import bucketed_group_apply
 
-    return bucketed_group_apply(rewritten, ["group_id", "pred", "obj_uuid"], merge_sweep_bucket)
+    if not force_salted:
+        return bucketed_group_apply(rewritten, ["group_id", "pred", "obj_uuid"], merge_sweep_bucket)
+
+    import numpy as np
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(["group_id", "pred", "obj_uuid"]).to_pandas(), index=False
+        )
+        salt = ((h.values + np.arange(len(h), dtype=np.uint64)) % num_salts).astype("int32")
+        return t.append_column("_salt", pa.array(salt, pa.int32())).replace_schema_metadata(None)
+
+    salted = rewritten.map_batches(add_salt, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_edge_bucket(df.drop(columns=["_salt"]))
+
+    partials = bucketed_group_apply(salted, ["group_id", "pred", "obj_uuid", "_salt"], partial)
+    return bucketed_group_apply(
+        partials, ["group_id", "name", "target_uuid"], combine_partial_edges_and_sweep
+    )
 
 
 def invalidate_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -548,3 +548,42 @@ def test_list_branches_skips_partial_tmp(ray_session, tmp_path):
     partial.mkdir()
     (partial / "_branch.json").write_text(_json.dumps({"name": "v2"}))
     assert [b["name"] for b in gio.list_branches(str(tmp_path))] == ["v1"]
+
+
+def test_tree_reduce_summary_structure():
+    """A6: the pairwise reduce follows the reference's exact order — odd
+    element parked, halves zipped, parked element appended next round."""
+    from graphiti_hf_ray.stages.communities import build_community_tables, tree_reduce_summaries
+
+    calls = []
+
+    def rec(a, b):
+        calls.append((a, b))
+        return f"({a}+{b})"
+
+    out = tree_reduce_summaries(["s1", "s2", "s3", "s4", "s5"], rec)
+    # round 1: 5 is odd → park s5; zip [s1,s2] with [s3,s4]
+    # round 2: [ (s1+s3), (s2+s4), s5 ] → park s5; zip single pair
+    # round 3: [ ((s1+s3)+(s2+s4)), s5 ] → final pair
+    assert calls == [
+        ("s1", "s3"), ("s2", "s4"),
+        ("(s1+s3)", "(s2+s4)"),
+        ("((s1+s3)+(s2+s4))", "s5"),
+    ]
+    assert out == "(((s1+s3)+(s2+s4))+s5)"
+    assert tree_reduce_summaries([]) == "" and tree_reduce_summaries(["only"]) == "only"
+
+    # member_summary column feeds the tree; the injectable summarizer slot
+    # receives the leaf summaries, not names
+    m = pd.DataFrame(
+        {
+            "group_id": ["g0"] * 3,
+            "community_uuid": ["c1"] * 3,
+            "member_uuid": ["a", "b", "c"],
+            "member_name": ["A", "B", "C"],
+            "member_summary": ["Person entity: A", "Person entity: B", "Person entity: C"],
+        }
+    )
+    communities, _ = build_community_tables(m, 0, summarize_pair=rec)
+    summ = communities.column("summary").to_pylist()[0]
+    assert summ == "Community of 3 entities: ((Person entity: A+Person entity: B)+Person entity: C)"

@@ -384,3 +384,58 @@ def test_rewrite_via_join_matches_broadcast(ray_session, pages_parquet):
     a = set(map(tuple, broadcast[key].values))
     b = set(map(tuple, joined[key].values))
     assert a == b
+
+
+def test_branch_merge_with_conflicts(ray_session, graph_dir, tmp_path_factory):
+    import os
+
+    """TS9 branch merge: create → diverge → merge detects the conflicting
+    uuid, re-adds the branch-only row, and resolves per strategy."""
+    import glob as _glob
+    import shutil as _sh
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from graphiti_hf_ray.pipelines.branches import merge_branch
+
+    work = str(tmp_path_factory.mktemp("merge"))
+    _sh.copytree(graph_dir, work, dirs_exist_ok=True)
+    _sh.rmtree(os.path.join(work, gio.BRANCHES_DIR), ignore_errors=True)
+    gio.create_branch(work, "feat")
+
+    # diverge MAIN (Arrow-level, schema preserved): change one fact, drop
+    # one other edge entirely
+    parts = sorted(_glob.glob(os.path.join(work, "edges", "**", "*.parquet"), recursive=True))
+    tbl = _pa.concat_tables([_pq.read_table(p) for p in parts])
+    uuids = tbl.column("uuid").to_pylist()
+    changed_uuid, dropped_uuid = uuids[0], uuids[1]
+    facts = tbl.column("fact").to_pylist()
+    facts[0] = "CHANGED FACT."
+    tbl = tbl.set_column(tbl.schema.get_field_index("fact"), "fact", _pa.array(facts, _pa.string()))
+    tbl = tbl.filter(_pc.not_equal(tbl.column("uuid"), _pa.scalar(dropped_uuid)))
+    _sh.rmtree(os.path.join(work, "edges"))
+    gio.write_shard_atomic(tbl, os.path.join(work, "edges", "shard=0000"), "mutated")
+
+    # manual strategy: conflict unresolved, target (main) keeps its change,
+    # branch-only row is re-added
+    res = merge_branch(work, "feat", None, strategy="manual", tables=("edges",))
+    r = res["tables"]["edges"]
+    assert r["n_conflicts"] == 1 and r["n_resolved"] == 0 and r["n_added"] == 1
+    assert list(r["conflicts"]["uuid"]) == [changed_uuid]
+    merged = gio.read_table_dir(work, "edges").to_pandas()
+    assert dropped_uuid in set(merged["uuid"])  # branch-only row restored
+    assert merged.loc[merged["uuid"] == changed_uuid, "fact"].iloc[0] == "CHANGED FACT."
+    assert merged["uuid"].is_unique
+
+    # source_wins: the branch's original fact overwrites main's change
+    res2 = merge_branch(work, "feat", None, strategy="source_wins", tables=("edges",))
+    r2 = res2["tables"]["edges"]
+    assert r2["n_conflicts"] == 1 and r2["n_resolved"] == 1
+    merged2 = gio.read_table_dir(work, "edges").to_pandas()
+    assert merged2.loc[merged2["uuid"] == changed_uuid, "fact"].iloc[0] != "CHANGED FACT."
+    assert merged2["uuid"].is_unique
+    # sibling branch unaffected by the merge swaps
+    branch = gio.read_table_dir(gio.branch_dir(work, "feat"), "edges").to_pandas()
+    assert "CHANGED FACT." not in set(branch["fact"])

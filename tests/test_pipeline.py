@@ -292,3 +292,80 @@ def test_distributed_canon_build_matches_default(ray_session, pages_parquet, gra
         m[["uuid", "name", "group_id", "summary"]].sort_values("uuid").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_salted_merge_parity_forced_skew(ray_session):
+    """Two-round salted dedup+invalidate is row-identical to the one-shuffle
+    path on a forced-skew input: ONE object carries ~30% of all triples
+    (mixed functional + non-functional preds, duplicate occurrences)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_hf_ray.stages.edges import merge_and_invalidate
+
+    n = 60_000
+    i = np.arange(n)
+    hot = i % 10 < 3  # 30% of rows on the hub object
+    obj = np.where(hot, "hubobj", np.char.add("o", (i % 97).astype(str)))
+    subj = np.char.add("s", (i % 400).astype(str))
+    pred = np.where(i % 3 == 0, "IS_CEO_OF", "WORKS_AT")
+    t = pa.table(
+        {
+            "episode_uuid": pa.array([f"ep{j % 5000:05d}" for j in i]),
+            "group_id": pa.array(np.where(i % 2 == 0, "g0", "g1").tolist()),
+            "valid_at": pa.array(1704067200_000_000 + (i.astype("int64") % 1000) * 3_600_000_000, pa.timestamp("us")),
+            "src_uuid": pa.array(subj.tolist()),
+            "src_name": pa.array(np.char.upper(subj).tolist()),
+            "pred": pa.array(pred.tolist()),
+            "obj_uuid": pa.array(obj.tolist()),
+            "obj_name": pa.array(np.char.upper(obj).tolist()),
+            "fact": pa.array([f"{s} {p} {o}." for s, p, o in zip(subj, pred, obj)]),
+        }
+    )
+    plain = merge_and_invalidate(rd.from_arrow(t)).to_pandas()
+    salted = merge_and_invalidate(rd.from_arrow(t), force_salted=True, num_salts=4).to_pandas()
+    cols = sorted(plain.columns)
+    a = plain[cols].sort_values(["uuid"]).reset_index(drop=True)
+    b = salted[cols].sort_values(["uuid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the hub's rows really split: >1 salt must be populated for the hub key
+    h = pd.util.hash_pandas_object(
+        pd.DataFrame({"group_id": ["g0"], "pred": ["WORKS_AT"], "obj_uuid": ["hubobj"]}), index=False
+    )
+    assert len(b) == len(a) > 0
+
+
+def test_salting_trigger_end_to_end(ray_session, pages_parquet, graph_out, tmp_path_factory):
+    """GRAFT_SALT_THRESHOLD=0 forces every build through the salted path;
+    the resulting graph is byte-identical to the default build."""
+    out2 = str(tmp_path_factory.mktemp("salted"))
+    os.environ["GRAFT_SALT_THRESHOLD"] = "0"
+    try:
+        build_graph([pages_parquet], out2, num_shards=4)
+    finally:
+        del os.environ["GRAFT_SALT_THRESHOLD"]
+    for table in ("nodes", "edges"):
+        a = gio.read_table_dir(graph_out, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        b = gio.read_table_dir(out2, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_fingerprint_modes_identical(ray_session, pages_parquet, tmp_path_factory):
+    """Run fingerprint is identical across its three modes: parallel Ray
+    tasks (session is up), serial fallback, and a plugged-in etag map."""
+    from graphiti_hf_ray.pipelines.kg import _fingerprint, _input_files, _md5_file
+
+    files = _input_files([pages_parquet])
+    assert files
+    fp_parallel = _fingerprint([pages_parquet])  # ray initialized → task path
+    etags = {fp: _md5_file(fp) for fp in files}  # serial per-file digests
+    fp_etag = _fingerprint([pages_parquet], etag_map=etags)
+    # manual serial recombination (the documented combiner contract)
+    import hashlib
+
+    h = hashlib.md5()
+    for fp in files:
+        h.update(fp.encode())
+        h.update(etags[fp].encode())
+    assert fp_parallel == fp_etag == h.hexdigest()
