@@ -2,8 +2,8 @@
 (SURVEY.md ST3 / T7 — the FAISS-equivalent, index-free streaming form).
 
 ``cosine_topk`` is the exact baseline: broadcast the query via ``ray.put``,
-one numpy matmul per batch, per-batch local top-k, global sort().limit(k) —
-the shuffle moves k rows per batch, never the corpus. Threshold semantics
+one numpy matmul per batch, per-batch local top-k, and a driver-side merge
+of the k-rows-per-batch candidates (never the corpus). Threshold semantics
 match the reference (DEFAULT_MIN_SCORE = 0.6, search_utils.py:69;
 normalized inner product = cosine, vector_search.py:229-285).
 """
@@ -50,4 +50,13 @@ def cosine_topk(
         )
 
     cands = ds.map_batches(score, batch_format="pyarrow")
-    return cands.sort(["score", id_col], descending=[True, False]).limit(k).to_pandas()
+    # ≤ k rows per batch survive the map — the global merge is a
+    # k·n_batches-row frame; a driver sort beats a full sort-exchange
+    df = cands.to_pandas()
+    if df.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype=str), "score": pd.Series([], dtype="float64")})
+    return (
+        df.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
