@@ -587,3 +587,33 @@ def test_tree_reduce_summary_structure():
     communities, _ = build_community_tables(m, 0, summarize_pair=rec)
     summ = communities.column("summary").to_pylist()[0]
     assert summ == "Community of 3 entities: ((Person entity: A+Person entity: B)+Person entity: C)"
+
+
+def test_pagerank_distributed_bit_identical(ray_session):
+    """Whole-corpus PageRank (bucketed iterative shuffles, no per-group
+    materialization) is BIT-identical to the per-group path — the
+    fixed-point arithmetic is order-free by construction."""
+    from graphiti_hf_ray.functions.pagerank import pagerank, pagerank_distributed
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 60, 400
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    keep = src != dst
+    df = pd.DataFrame(
+        {
+            "group_id": np.where(src[keep] % 2 == 0, "g0", "g1"),
+            "source_uuid": [f"n{s}" for s in src[keep]],
+            "target_uuid": [f"n{d}" for d in dst[keep]],
+        }
+    )
+    ds = rd.from_pandas(df)
+    a = pagerank(ds, n_iters=3).to_pandas().sort_values(["group_id", "node"]).reset_index(drop=True)
+    b = (
+        pagerank_distributed(ds, n_iters=3, num_buckets=8)
+        .to_pandas()
+        .sort_values(["group_id", "node"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[["group_id", "node", "pr"]], check_dtype=False)
+    assert (a["pr"] == b["pr"]).all()
