@@ -286,8 +286,19 @@ def link_and_edges_phase(
     timings["edges_job"] = round(_time.time() - t0, 2)
     t0 = _time.time()
 
-    # mentions job: independent light path over the same triples parquet
-    mentions = mentions_edges_from_triples(triples, map_ref, run_ts_us)
+    # mentions job: independent light path over the triples parquet with
+    # its OWN pruned read — it touches only the endpoint keys, so re-using
+    # the edges job's 9-column dataset would re-read fact/valid_at/pred
+    # (the fact strings are most of the triple bytes) for nothing
+    mentions_triples = rd.read_parquet(
+        os.path.join(out_dir, "triples"),
+        override_num_blocks=2 * cpus,
+        columns=[
+            "episode_uuid", "group_id", "subj_surface", "subj_label",
+            "obj_surface", "obj_label",
+        ],
+    )
+    mentions = mentions_edges_from_triples(mentions_triples, map_ref, run_ts_us)
     gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
     timings["mentions"] = round(_time.time() - t0, 2)
 
