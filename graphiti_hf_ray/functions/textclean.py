@@ -1,0 +1,202 @@
+"""Corpus cleaning ops for training-data pipelines (SURVEY.md "beyond the
+reference" family, sibling of functions/dedup and functions/textstats).
+
+- ``PiiScrub``              — actor-pool stage: emails / phone numbers /
+  IPv4 / long digit runs replaced with typed placeholders, per-category
+  hit counts emitted as columns (regexes compiled once per actor).
+- ``dedup_paragraphs_batch``— WITHIN-doc exact paragraph dedup (first
+  occurrence kept) — stateless vectorized map, no shuffle.
+- ``remove_boilerplate_lines`` — CORPUS-level frequent-line removal
+  (CCNet-style): explode line hashes with per-batch partial counts →
+  bucketed count shuffle → frequent-line set broadcast via ``ray.put``
+  (size-gated; above the gate callers should join instead) → map-side
+  line filter. The shuffle carries (line_hash, partial_count) rows only —
+  line text never enters the exchange.
+- ``cap_per_domain``        — per-domain document cap (hash-bucketed by
+  registrable host, deterministic keep = smallest ``id_col`` values), the
+  head-domain guard every web-scale crawl ingest needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+PII_PATTERNS: dict[str, str] = {
+    # application order matters (dict order is preserved): emails and IPs
+    # first (they contain digit substrings), then bare long digit runs,
+    # then phone shapes — with a left digit guard so a phone pattern can
+    # never bite the tail of a longer run
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "digit_run": r"(?<!\d)\d{9,}(?!\d)",  # SSN/CC-shaped long digit runs
+    "phone": r"(?<!\d)\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b",
+}
+
+
+class PiiScrub:
+    """Actor-pool stage: replace PII spans with ``<CATEGORY>`` placeholders
+    and append ``n_pii_<category>`` count columns. Patterns compile once
+    per actor (``__init__``); batches are processed with the compiled
+    regexes only."""
+
+    def __init__(self, text_col: str = "text", patterns: dict[str, str] | None = None):
+        self.text_col = text_col
+        self._rx = {name: re.compile(p) for name, p in (patterns or PII_PATTERNS).items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        counts = {name: np.zeros(len(texts), np.int64) for name in self._rx}
+        out = []
+        for i, t in enumerate(texts):
+            for name, rx in self._rx.items():
+                t, n = rx.subn(f"<{name.upper()}>", t)
+                counts[name][i] = n
+            out.append(t)
+        idx = batch.schema.get_field_index(self.text_col)
+        batch = batch.set_column(idx, self.text_col, pa.array(out, pa.string()))
+        for name in self._rx:
+            batch = batch.append_column(f"n_pii_{name}", pa.array(counts[name], pa.int64()))
+        return batch
+
+
+def dedup_paragraphs_batch(batch: pa.Table, text_col: str = "text", sep: str = "\n") -> pa.Table:
+    """Drop exact repeated paragraphs within each document (keep first
+    occurrence, preserve order) and append ``n_dropped_paragraphs``."""
+    texts = batch.column(text_col).to_pylist()
+    out, dropped = [], []
+    for t in texts:
+        seen: set[str] = set()
+        kept = []
+        n_drop = 0
+        for p in t.split(sep):
+            if p in seen:
+                n_drop += 1
+                continue
+            seen.add(p)
+            kept.append(p)
+        out.append(sep.join(kept))
+        dropped.append(n_drop)
+    idx = batch.schema.get_field_index(text_col)
+    batch = batch.set_column(idx, text_col, pa.array(out, pa.string()))
+    return batch.append_column("n_dropped_paragraphs", pa.array(dropped, pa.int64()))
+
+
+def _line_hash(line: str) -> int:
+    return int.from_bytes(hashlib.md5(line.encode()).digest()[:8], "little") >> 1
+
+
+BOILERPLATE_BROADCAST_MAX = 2_000_000  # frequent-line set size gate
+
+
+def remove_boilerplate_lines(
+    docs: "ray.data.Dataset",
+    min_doc_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_line_len: int = 4,
+) -> "ray.data.Dataset":
+    """Remove lines that appear in ≥ ``min_doc_frac`` of documents (nav
+    bars, cookie banners, footers). Two passes over the corpus:
+
+    pass 1 (count): per-batch DISTINCT-per-doc line hashes pre-counted
+      (combiner) → bucketed sum per hash → hashes above the doc-count
+      threshold collected (these are by construction ≤ 1/min_doc_frac
+      times fewer than documents — a bounded set, broadcast via ray.put;
+      the gate guards pathological parameterizations);
+    pass 2 (filter): map-side per-doc line filter against the broadcast
+      set; appends ``n_dropped_lines``.
+    """
+    from ..stages.shuffle import bucketed_group_apply
+
+    # total docs (cheap metadata count)
+    n_docs = docs.count()
+    threshold = max(2, int(np.ceil(min_doc_frac * n_docs)))
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        counts: dict[int, int] = {}
+        for x in t.column(text_col).to_pylist():
+            for h in {
+                _line_hash(ln) for ln in x.split(sep) if len(ln) >= min_line_len
+            }:  # distinct per doc
+                counts[h] = counts.get(h, 0) + 1
+        return pa.table(
+            {
+                "h": pa.array(list(counts.keys()), pa.int64()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False)["n"].sum()
+        return g[g["n"] >= threshold]
+
+    frequent = bucketed_group_apply(
+        docs.map_batches(partial_counts, batch_format="pyarrow"), ["h"], sum_bucket
+    ).to_pandas()
+    if len(frequent) > BOILERPLATE_BROADCAST_MAX:
+        raise ValueError(
+            f"{len(frequent)} frequent lines exceed the broadcast gate "
+            f"({BOILERPLATE_BROADCAST_MAX}); raise min_doc_frac or switch to a join filter"
+        )
+    bad = frozenset(int(h) for h in frequent["h"]) if len(frequent) else frozenset()
+    bad_ref = ray.put(bad)
+
+    def strip(t: pa.Table) -> pa.Table:
+        bad_set = ray.get(bad_ref)
+        out, dropped = [], []
+        for x in t.column(text_col).to_pylist():
+            kept = []
+            n_drop = 0
+            for ln in x.split(sep):
+                if len(ln) >= min_line_len and _line_hash(ln) in bad_set:
+                    n_drop += 1
+                    continue
+                kept.append(ln)
+            out.append(sep.join(kept))
+            dropped.append(n_drop)
+        idx = t.schema.get_field_index(text_col)
+        t = t.set_column(idx, text_col, pa.array(out, pa.string()))
+        return t.append_column("n_dropped_lines", pa.array(dropped, pa.int64()))
+
+    return docs.map_batches(strip, batch_format="pyarrow")
+
+
+_HOST_RX = re.compile(r"^[a-z][a-z0-9+.-]*://([^/@]*@)?([^/:]+)", re.I)
+
+
+def host_of(url: str) -> str:
+    m = _HOST_RX.match(url)
+    return (m.group(2) if m else url).lower()
+
+
+def cap_per_domain(
+    docs: "ray.data.Dataset",
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Keep at most ``cap`` documents per host (deterministic: smallest
+    ``id_col`` values win) — the head-domain guard for crawl ingest. One
+    bucketed shuffle keyed by host; a hot domain's rows co-locate but the
+    per-bucket work is a vectorized sort + head."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = [host_of(u) for u in t.column(url_col).to_pylist()]
+        return t.append_column("_host", pa.array(hosts, pa.string()))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col], kind="mergesort")
+        return df.groupby("_host", sort=False).head(cap).drop(columns=["_host"])
+
+    with_host = docs.map_batches(add_host, batch_format="pyarrow")
+    return bucketed_group_apply(with_host, ["_host"], keep)

@@ -617,3 +617,74 @@ def test_pagerank_distributed_bit_identical(ray_session):
     )
     pd.testing.assert_frame_equal(a, b[["group_id", "node", "pr"]], check_dtype=False)
     assert (a["pr"] == b["pr"]).all()
+
+
+def test_pii_scrub_actor_stage(ray_session):
+    from graphiti_hf_ray.functions.textclean import PiiScrub
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail me at jane.doe@example.com or call +1 (555) 123-4567 now",
+                "server 192.168.10.1 card 4111111111111111 clean text",
+            ],
+        }
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(PiiScrub, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert "<EMAIL>" in out["text"].iloc[0] and "<PHONE>" in out["text"].iloc[0]
+    assert "jane.doe" not in out["text"].iloc[0]
+    assert "<IPV4>" in out["text"].iloc[1] and "<DIGIT_RUN>" in out["text"].iloc[1]
+    assert out["n_pii_email"].tolist() == [1, 0]
+    assert out["n_pii_ipv4"].tolist() == [0, 1]
+
+
+def test_paragraph_dedup_and_boilerplate(ray_session):
+    from graphiti_hf_ray.functions.textclean import (
+        dedup_paragraphs_batch,
+        remove_boilerplate_lines,
+    )
+
+    # within-doc paragraph dedup: repeated paragraph dropped, order kept
+    t = pa.table({"doc_id": [1], "text": ["alpha\nbeta\nalpha\ngamma"]})
+    out = dedup_paragraphs_batch(t)
+    assert out.column("text").to_pylist() == ["alpha\nbeta\ngamma"]
+    assert out.column("n_dropped_paragraphs").to_pylist() == [1]
+
+    # corpus boilerplate: the cookie banner appears in every doc, unique
+    # content lines survive
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "text": [f"accept cookies to continue\nunique content {i}" for i in range(10)],
+        }
+    )
+    cleaned = (
+        remove_boilerplate_lines(rd.from_pandas(docs), min_doc_frac=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert all(t == f"unique content {i}" for i, t in enumerate(cleaned["text"]))
+    assert (cleaned["n_dropped_lines"] == 1).all()
+
+
+def test_cap_per_domain(ray_session):
+    from graphiti_hf_ray.functions.textclean import cap_per_domain, host_of
+
+    assert host_of("https://user@Sub.Example.com:8080/path") == "sub.example.com"
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "url": [f"https://hub.example/{i}" for i in range(15)]
+            + [f"https://tail{i}.example/x" for i in range(5)],
+        }
+    )
+    out = cap_per_domain(rd.from_pandas(df), cap=3).to_pandas()
+    hub = out[out["url"].str.startswith("https://hub")]
+    assert len(hub) == 3 and sorted(hub["doc_id"]) == [0, 1, 2]  # smallest ids win
+    assert len(out) == 3 + 5  # tail domains untouched
