@@ -688,3 +688,51 @@ def test_cap_per_domain(ray_session):
     hub = out[out["url"].str.startswith("https://hub")]
     assert len(hub) == 3 and sorted(hub["doc_id"]) == [0, 1, 2]  # smallest ids win
     assert len(out) == 3 + 5  # tail domains untouched
+
+
+def test_multimodal_frames_and_audio(ray_session):
+    """Video-frame explode + audio feature stages: real Ray plumbing
+    (actor pool, row multiplication, schema), gated real backends."""
+    from graphiti_hf_ray.functions.multimodal import (
+        DecodeAudio,
+        SampleFrames,
+        extract_media_features,
+        sample_video_frames,
+    )
+
+    payloads = [bytes(range(256)) * 400, b"tiny"]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["v0", "v1"], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["video/mp4"] * 2, pa.string()),
+                "meta": pa.array(["{}"] * 2, pa.string()),
+            }
+        )
+    )
+    frames = sample_video_frames(media, every_n=10).to_pandas()
+    assert (frames[frames["media_id"] == "v0"]["frame_idx"].values
+            == np.arange((frames["media_id"] == "v0").sum())).all()
+    assert len(frames[frames["media_id"] == "v1"]) == 1  # tiny payload → 1 frame
+    # frame rows feed the image feature stage unchanged (schema contract)
+    frame_ds = rd.from_arrow(pa.Table.from_pandas(frames, preserve_index=False))
+    feats = extract_media_features(frame_ds, backend="fake").to_pandas()
+    assert len(feats) == len(frames) and len(feats["features"].iloc[0]) == 64
+
+    audio = DecodeAudio()(
+        pa.table(
+            {
+                "media_id": pa.array(["a0", "a1"], pa.string()),
+                "payload": pa.array([bytes(range(64)) * 32, b""], pa.binary()),
+            }
+        )
+    )
+    f0 = np.asarray(audio.column("audio_features").to_pylist()[0])
+    assert f0.shape == (16,) and abs(float(np.linalg.norm(f0)) - 1.0) < 1e-5
+    assert np.asarray(audio.column("audio_features").to_pylist()[1]).sum() == 0  # empty payload
+
+    with pytest.raises(NotImplementedError):
+        SampleFrames(backend="ffmpeg")
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(backend="torchaudio")
