@@ -141,3 +141,49 @@ def test_asof_join_matches_bruteforce(ray_session, lefts, rights):
             assert pd.isna(g)
         else:
             assert g == expect
+
+
+@given(
+    st.lists(  # left: (key, payload)
+        st.tuples(st.integers(0, 8), st.integers(0, 99)), min_size=0, max_size=25
+    ),
+    st.lists(  # right: (key, payload)
+        st.tuples(st.integers(0, 8), st.integers(0, 99)), min_size=0, max_size=25
+    ),
+    st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_hash_join_matches_pandas_merge(ray_session, lefts, rights, how):
+    """Partitioned hash_join == pandas merge for inner and left joins,
+    including duplicate keys on both sides (cross-product within key) and
+    keys present on only one side."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": [k for k, _ in lefts], "lv": [v for _, v in lefts]})
+    right = pd.DataFrame({"rk": [k for k, _ in rights], "rv": [v for _, v in rights]})
+    if left.empty or (right.empty and how == "inner"):
+        return  # empty-side schemas are exercised elsewhere
+    if right.empty:
+        right = pd.DataFrame({"rk": pd.Series([], dtype="int64"), "rv": pd.Series([], dtype="int64")})
+        return
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk", how=how)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk", how=how)
+        .drop(columns=["rk"])
+        .sort_values(["k", "lv", "rv"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    if len(exp):
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["lv"].tolist() == exp["lv"].tolist()
+        a = got["rv"].fillna(-1).astype("int64").tolist()
+        b = exp["rv"].fillna(-1).astype("int64").tolist()
+        assert a == b
