@@ -114,6 +114,10 @@ def remove_boilerplate_lines(
       the gate guards pathological parameterizations);
     pass 2 (filter): map-side per-doc line filter against the broadcast
       set; appends ``n_dropped_lines``.
+
+    The input is consumed three times (count, count-pass, filter-pass) —
+    pass a parquet-backed or materialized dataset, not an expensive lazy
+    lineage.
     """
     from ..stages.shuffle import bucketed_group_apply
 

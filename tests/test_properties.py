@@ -168,12 +168,7 @@ def test_hash_join_matches_pandas_merge(ray_session, lefts, rights, how):
     if right.empty:
         right = pd.DataFrame({"rk": pd.Series([], dtype="int64"), "rv": pd.Series([], dtype="int64")})
         return
-    got = (
-        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk", how=how)
-        .to_pandas()
-        .sort_values(["k", "lv", "rv"], na_position="last")
-        .reset_index(drop=True)
-    )
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk", how=how).to_pandas()
     exp = (
         left.merge(right, left_on="k", right_on="rk", how=how)
         .drop(columns=["rk"])
@@ -181,6 +176,9 @@ def test_hash_join_matches_pandas_merge(ray_session, lefts, rights, how):
         .reset_index(drop=True)
     )
     assert len(got) == len(exp)
+    if exp.empty:
+        return  # Ray's to_pandas drops columns on all-empty output
+    got = got.sort_values(["k", "lv", "rv"], na_position="last").reset_index(drop=True)
     if len(exp):
         assert got["k"].tolist() == exp["k"].tolist()
         assert got["lv"].tolist() == exp["lv"].tolist()
