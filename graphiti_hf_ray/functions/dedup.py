@@ -720,6 +720,7 @@ def weighted_neardup(
     w_emb: float = 0.4,
     threshold: float = 0.8,
     n_parts: int = 8,
+    candidates: str = "exact",
 ) -> "ray.data.Dataset":
     """Weighted multi-signal near-dup (reference ``deduplicator.py:26-35,
     221-293``: tunable TF-IDF/embedding/attribute weight mix). The rebuild's
@@ -738,6 +739,11 @@ def weighted_neardup(
     vacuous and stage 1 degenerates to exact all-pairs — choose production
     thresholds above ``w_text``.
 
+    ``candidates='lsh'`` swaps stage 1 for the sign-plane-bucketed scorer
+    (``embedding_neardup_lsh``): O(n²/2^planes) work, recall < 1 by design
+    — the output is always a SUBSET of the exact mode at the same
+    parameters (tested).
+
     ``docs``: (doc_id, text); ``emb``: (vec_id, embedding) with
     ``vec_id == doc_id``. Returns (doc_a, doc_b) pairs, doc_a < doc_b.
     """
@@ -745,7 +751,10 @@ def weighted_neardup(
     from .joins import hash_join
 
     floor = max(-1.0, (threshold - w_text) / w_emb)
-    cands = embedding_neardup(emb, threshold=floor, n_parts=n_parts, round_dp=None)
+    if candidates == "lsh":
+        cands = embedding_neardup_lsh(emb, threshold=floor, round_dp=None)
+    else:
+        cands = embedding_neardup(emb, threshold=floor, n_parts=n_parts, round_dp=None)
 
     def side(name_id: str, name_text: str):
         def f(t: pa.Table) -> pa.Table:
@@ -778,7 +787,10 @@ def weighted_neardup(
 
 
 def embedding_neardup_lsh(
-    emb: "ray.data.Dataset", threshold: float = 0.95, n_planes: int = 4
+    emb: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    round_dp: int | None = 6,
 ) -> "ray.data.Dataset":
     """Approximate scale path: sign-plane LSH bucket both sides, in-bucket
     matmul. Misses cross-bucket pairs (recall < 1 by design — the price of
@@ -809,7 +821,8 @@ def embedding_neardup_lsh(
             ia, ib = ia[keep], ib[keep]
             lo = np.minimum(ids[ia], ids[ib])
             hi = np.maximum(ids[ia], ids[ib])
-            outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib], 6)}))
+            cos = sims[ia, ib] if round_dp is None else np.round(sims[ia, ib], round_dp)
+            outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos}))
         if not outs:
             return pd.DataFrame(
                 {

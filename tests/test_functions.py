@@ -736,3 +736,17 @@ def test_multimodal_frames_and_audio(ray_session):
         SampleFrames(backend="ffmpeg")
     with pytest.raises(NotImplementedError):
         DecodeAudio(backend="torchaudio")
+
+
+def test_weighted_neardup_lsh_subset(ray_session, sf_small):
+    """LSH candidate mode is a subset of the exact mode at identical
+    parameters (recall < 1 by design, precision identical)."""
+    from graphiti_hf_ray.functions.dedup import weighted_neardup
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = weighted_neardup(docs, emb, threshold=0.62).to_pandas()
+    approx = weighted_neardup(docs, emb, threshold=0.62, candidates="lsh").to_pandas()
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    a = set(zip(approx["doc_a"], approx["doc_b"]))
+    assert a <= e and len(e) > 0
