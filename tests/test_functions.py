@@ -750,3 +750,16 @@ def test_weighted_neardup_lsh_subset(ray_session, sf_small):
     e = set(zip(exact["doc_a"], exact["doc_b"]))
     a = set(zip(approx["doc_a"], approx["doc_b"]))
     assert a <= e and len(e) > 0
+
+
+def test_lsh_exactness_precondition_holds_on_fixture(ray_session, sf_small):
+    """The q19/q19b EXACT oracles assume no band bucket exceeds the cap;
+    assert the driver fixture actually satisfies it (zero counted drops)."""
+    from graphiti_hf_ray.functions.dedup import DROP_METRICS, minhash_lsh_candidates, simhash_pairs
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    minhash_lsh_candidates(docs, jaccard_threshold=0.3, n_bands=16).to_pandas()
+    assert DROP_METRICS["minhash_dropped_docs"] == 0
+    metrics: dict = {}
+    simhash_pairs(docs, metrics_out=metrics).to_pandas()
+    assert metrics["simhash_dropped_docs"] == 0
