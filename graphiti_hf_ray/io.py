@@ -180,7 +180,12 @@ def read_table_dir_ds(out_dir: str, table: str, columns: list[str] | None = None
                 paths.append(os.path.join(dirpath, fn))
     if not paths:
         raise FileNotFoundError(f"no parquet under {root}")
-    return rd.read_parquet(paths, columns=columns, partitioning=None)
+    if columns is not None:
+        # an explicit column list already excludes the phantom hive column;
+        # combining columns= with partitioning=None trips an UnboundLocalError
+        # inside Ray 2.49's parquet datasource
+        return rd.read_parquet(paths, columns=columns)
+    return rd.read_parquet(paths, partitioning=None)
 
 
 def completed_shards(out_dir: str, table: str, fingerprints: dict[int, str]) -> set[int]:

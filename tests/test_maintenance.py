@@ -439,3 +439,103 @@ def test_branch_merge_with_conflicts(ray_session, graph_dir, tmp_path_factory):
     # sibling branch unaffected by the merge swaps
     branch = gio.read_table_dir(gio.branch_dir(work, "feat"), "edges").to_pandas()
     assert "CHANGED FACT." not in set(branch["fact"])
+
+
+def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
+    """S5: reference HF-datasets layout (JSON-string lists, timestamp[s],
+    variable-dim embeddings, no endpoint names) converts into this
+    engine's table layout — lists real, timestamps us, created_by =
+    episodes[0], endpoint names joined from nodes, vectors re-embedded or
+    carried through byte-exact."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from graphiti_hf_ray.migration import migrate_reference_layout
+    from graphiti_hf_ray.schemas import EMBED_DIM
+
+    src = str(tmp_path_factory.mktemp("ref_layout"))
+    ts_s = _pa.array([1704067200, 1704070800], _pa.timestamp("s"))
+    _pq.write_table(
+        _pa.table(
+            {
+                "uuid": ["n1", "n2"],
+                "name": ["Ada Lovelace", "Acme Corporation"],
+                "group_id": ["g0", "g0"],
+                "labels": [_json.dumps(["Person"]), _json.dumps(["Organization"])],
+                "created_at": ts_s,
+                "name_embedding": _pa.array([[0.1] * 384, [0.2] * 384], _pa.list_(_pa.float32())),
+                "summary": ["Person entity: Ada Lovelace", "Organization entity: Acme Corporation"],
+                "attributes": ["{}", "{}"],
+            }
+        ),
+        os.path.join(src, "nodes.parquet"),
+    )
+    _pq.write_table(
+        _pa.table(
+            {
+                "uuid": ["e1"],
+                "source_uuid": ["n1"],
+                "target_uuid": ["n2"],
+                "name": ["WORKS_AT"],
+                "fact": ["Ada Lovelace works at Acme Corporation."],
+                "group_id": ["g0"],
+                "created_at": ts_s.slice(0, 1),
+                "fact_embedding": _pa.array([[0.5] * 384], _pa.list_(_pa.float32())),
+                "episodes": [_json.dumps(["epB", "epA"])],
+                "expired_at": _pa.nulls(1, _pa.timestamp("s")),
+                "valid_at": ts_s.slice(0, 1),
+                "invalid_at": _pa.nulls(1, _pa.timestamp("s")),
+                "attributes": ["{}"],
+            }
+        ),
+        os.path.join(src, "edges.parquet"),
+    )
+    _pq.write_table(
+        _pa.table(
+            {
+                "uuid": ["epA"],
+                "name": ["https://x.example/1"],
+                "content": ["Ada Lovelace works at Acme Corporation."],
+                "source": ["text"],
+                "source_description": ["crawl"],
+                "group_id": ["g0"],
+                "created_at": ts_s.slice(0, 1),
+                "valid_at": ts_s.slice(0, 1),
+                "entity_edges": [_json.dumps(["e1"])],
+            }
+        ),
+        os.path.join(src, "episodes.parquet"),
+    )
+
+    out = str(tmp_path_factory.mktemp("migrated"))
+    stats = migrate_reference_layout(src, out, reembed=True)
+    assert stats == {"nodes": 2, "edges": 1, "episodes": 1}
+    nodes = gio.read_table_dir(out, "nodes").to_pandas()
+    assert sorted(nodes["labels"].map(tuple)) == [("Organization",), ("Person",)]
+    assert all(len(v) == EMBED_DIM for v in nodes["name_embedding"])
+    edges = gio.read_table_dir(out, "edges").to_pandas()
+    r = edges.iloc[0]
+    assert r["source_name"] == "Ada Lovelace" and r["target_name"] == "Acme Corporation"
+    assert r["episodes"] == "epA,epB" and r["created_by"] == "epB"  # episodes[0] of source order
+    assert r["n_occurrences"] == 2
+    assert str(edges["valid_at"].dtype) == "datetime64[us]" and pd.isna(r["invalid_at"])
+    # engine read-side ops accept the migrated table directly
+    from graphiti_hf_ray.functions.temporal import point_in_time
+    import ray.data as rd2
+
+    snap = point_in_time(
+        gio.read_table_dir_ds(out, "edges", columns=["uuid", "valid_at", "invalid_at"]),
+        pd.Timestamp("2024-06-01"),
+    ).to_pandas()
+    assert list(snap["uuid"]) == ["e1"]
+
+    # reembed=False carries the 384-dim source vectors byte-exact
+    out2 = str(tmp_path_factory.mktemp("migrated2"))
+    migrate_reference_layout(src, out2, reembed=False)
+    e2 = gio.read_table_dir(out2, "edges").to_pandas()
+    v = np.asarray(e2["fact_embedding"].iloc[0], np.float32)
+    assert v.shape == (384,) and np.allclose(v, 0.5)
