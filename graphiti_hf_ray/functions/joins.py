@@ -39,6 +39,11 @@ def _arrow_types(ds: "ray.data.Dataset") -> dict[str, pa.DataType]:
     guessing string for a list column poisons the join's null-padding with
     an unmergeable schema. Arrow-schema datasets never pay the sample."""
     sch = ds.schema()
+    if sch is None:
+        # a fully-empty dataset loses its schema entirely (Ray drops it
+        # when every block has zero rows) — callers that can hit this pass
+        # explicit type hints to hash_join instead
+        return {}
     out: dict[str, pa.DataType] = {}
     ambiguous: list[str] = []
     for n, t in zip(sch.names, sch.types):
@@ -68,13 +73,23 @@ def hash_join(
     right_on: str,
     num_buckets: int | None = None,
     how: str = "inner",
+    left_types: dict[str, pa.DataType] | None = None,
+    right_types: dict[str, pa.DataType] | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join; output columns = left ∪ right (join keys from
-    the left; overlapping non-key names get ``_r`` suffix on the right)."""
+    the left; overlapping non-key names get ``_r`` suffix on the right).
+    ``left_types``/``right_types``: explicit column → Arrow type maps for
+    sides that may arrive FULLY EMPTY (Ray loses the schema of an all-empty
+    dataset, and the null-padding needs types to work from)."""
     from ..stages.shuffle import bucketed_group_apply
 
-    l_types = _arrow_types(left)
-    r_types = _arrow_types(right)
+    l_types = dict(left_types) if left_types is not None else _arrow_types(left)
+    r_types = dict(right_types) if right_types is not None else _arrow_types(right)
+    if not l_types or not r_types:
+        raise ValueError(
+            "hash_join cannot derive a schema from an all-empty side; pass "
+            "left_types/right_types explicitly"
+        )
     l_cols = list(l_types)
     r_cols = list(r_types)
     overlap = (set(l_cols) & set(r_cols)) - {left_on, right_on}

@@ -65,9 +65,34 @@ def latest_moved_to(edges: "ray.data.Dataset", nodes: "ray.data.Dataset") -> "ra
     def place_side(t: pa.Table) -> pa.Table:
         return pa.table({"p_uuid": t.column("uuid"), "place": t.column("name")})
 
-    moved = edges.map_batches(mv, batch_format="pyarrow")
-    places = nodes.map_batches(place_side, batch_format="pyarrow")
-    joined = hash_join(moved, places, "target_uuid", "p_uuid")
+    import ray.data as rd
+
+    # typed empty seeds keep the dataset schema known even when the filter
+    # matches zero rows — Ray reports a None schema for a fully-empty map
+    # output, which the join's null-padding cannot work from
+    moved_seed = rd.from_arrow(
+        pa.table(
+            {
+                "group_id": pa.array([], pa.string()),
+                "source_uuid": pa.array([], pa.string()),
+                "target_uuid": pa.array([], pa.string()),
+                "valid_at": pa.array([], pa.timestamp("us")),
+            }
+        )
+    )
+    place_seed = rd.from_arrow(
+        pa.table({"p_uuid": pa.array([], pa.string()), "place": pa.array([], pa.string())})
+    )
+    moved = moved_seed.union(edges.map_batches(mv, batch_format="pyarrow"))
+    places = place_seed.union(nodes.map_batches(place_side, batch_format="pyarrow"))
+    joined = hash_join(
+        moved, places, "target_uuid", "p_uuid",
+        left_types={
+            "group_id": pa.string(), "source_uuid": pa.string(),
+            "target_uuid": pa.string(), "valid_at": pa.timestamp("us"),
+        },
+        right_types={"p_uuid": pa.string(), "place": pa.string()},
+    )
 
     partial = joined.map_batches(
         lambda df: _pick_latest(df), batch_format="pandas"
@@ -136,7 +161,10 @@ def hydrate_node_attributes(
         csv = [",".join(ls or []) for ls in t.column("labels").to_pylist()]
         return t.drop_columns(["labels"]).append_column("_labels_csv", pa.array(csv, pa.string()))
 
-    joined = hash_join(nodes.map_batches(pack, batch_format="pyarrow"), latest, "uuid", "l_uuid", how="left")
+    joined = hash_join(
+        nodes.map_batches(pack, batch_format="pyarrow"), latest, "uuid", "l_uuid", how="left",
+        right_types={"l_uuid": pa.string(), "place": pa.string()},
+    )
 
     def fill(t: pa.Table) -> pa.Table:
         attrs = t.column("attributes").to_pylist()

@@ -763,3 +763,36 @@ def test_lsh_exactness_precondition_holds_on_fixture(ray_session, sf_small):
     metrics: dict = {}
     simhash_pairs(docs, metrics_out=metrics).to_pandas()
     assert metrics["simhash_dropped_docs"] == 0
+
+
+def test_typed_attributes_no_moved_to_edges(ray_session):
+    """Hydration over a graph with zero MOVED_TO edges: node part empty,
+    edge part still hydrates WORKS_AT; full hydration leaves attributes
+    untouched except sorted-key normalization."""
+    from graphiti_hf_ray.stages.attributes import hydrate_node_attributes, typed_attribute_rows
+
+    edges = pd.DataFrame(
+        {
+            "uuid": ["e1"],
+            "group_id": ["g0"],
+            "source_uuid": ["p1"],
+            "target_uuid": ["o1"],
+            "name": ["WORKS_AT"],
+            "valid_at": pd.to_datetime(["2024-05-05"]).astype("datetime64[us]"),
+            "attributes": ["{}"],
+        }
+    )
+    nodes = pd.DataFrame(
+        {
+            "uuid": ["p1", "o1"],
+            "name": ["Ada", "Acme"],
+            "group_id": ["g0", "g0"],
+            "labels": [["Person"], ["Organization"]],
+            "attributes": ["{}", "{}"],
+        }
+    )
+    rows = typed_attribute_rows(rd.from_pandas(edges), rd.from_pandas(nodes)).to_pandas()
+    assert set(rows["kind"]) == {"edge"}
+    assert rows["attributes"].iloc[0] == '{"start_date": "2024-05-05"}'
+    hn = hydrate_node_attributes(rd.from_pandas(nodes), rd.from_pandas(edges)).to_pandas()
+    assert set(hn["attributes"]) == {"{}"} and len(hn) == 2

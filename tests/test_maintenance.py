@@ -4,6 +4,7 @@ join-based rewrite."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pandas as pd
@@ -539,3 +540,22 @@ def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
     e2 = gio.read_table_dir(out2, "edges").to_pandas()
     v = np.asarray(e2["fact_embedding"].iloc[0], np.float32)
     assert v.shape == (384,) and np.allclose(v, 0.5)
+
+
+def test_branch_merge_identical_branches_noop(ray_session, graph_dir, tmp_path_factory):
+    """Merging a just-created (undiverged) branch: zero conflicts, zero
+    additions, main unchanged."""
+    import shutil as _sh
+
+    from graphiti_hf_ray.pipelines.branches import merge_branch
+
+    work = str(tmp_path_factory.mktemp("noop"))
+    _sh.copytree(graph_dir, work, dirs_exist_ok=True)
+    _sh.rmtree(os.path.join(work, gio.BRANCHES_DIR), ignore_errors=True)
+    before = gio.read_table_dir(work, "edges").to_pandas().sort_values("uuid").reset_index(drop=True)
+    gio.create_branch(work, "same")
+    res = merge_branch(work, "same", None, tables=("edges",))
+    r = res["tables"]["edges"]
+    assert r["n_conflicts"] == 0 and r["n_added"] == 0
+    after = gio.read_table_dir(work, "edges").to_pandas().sort_values("uuid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
