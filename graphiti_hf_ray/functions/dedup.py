@@ -247,6 +247,7 @@ def minhash_lsh_candidates(
     n_bands: int = N_BANDS,
     max_bucket_docs: int = MAX_BUCKET_DOCS,
     broadcast_max_pairs: int = BROADCAST_MAX_PAIRS,
+    metrics_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs via MinHash banding, then exact-Jaccard verified.
 
@@ -268,9 +269,11 @@ def minhash_lsh_candidates(
     output equals the exact-Jaccard O(n²) scan and is SQL-oracle-able —
     PROVIDED no band bucket exceeds ``max_bucket_docs``: a boilerplate
     cluster beyond the cap silently loses true near-dup pairs for the
-    dropped docs. Drops are COUNTED (``DROP_METRICS['minhash_dropped_docs']``
-    after the call), not just logged; a nonzero count voids the exactness
-    claim and should fail any oracle comparison loudly.
+    dropped docs. Drops are COUNTED, not just logged: pass ``metrics_out``
+    to receive ``minhash_dropped_docs`` caller-scoped (the module-global
+    ``DROP_METRICS`` is also updated as a fallback, but concurrent or
+    back-to-back runs clobber it — prefer ``metrics_out``); a nonzero count
+    voids the exactness claim and should fail any oracle comparison loudly.
     """
     rows_per_band = N_PERM // n_bands
     band_w = _mix_weights(rows_per_band)
@@ -321,9 +324,12 @@ def minhash_lsh_candidates(
         m = _pc.equal(t.column("doc_a"), pa.scalar(DROP_SENTINEL, pa.int64()))
         return pa.table({"n": pa.array([_pc.sum(_pc.if_else(m, t.column("doc_b"), pa.scalar(0, pa.int64()))).as_py() or 0], pa.int64())})
 
-    DROP_METRICS["minhash_dropped_docs"] = sum(
+    n_dropped = sum(
         r["n"] for r in cand_pairs.map_batches(_drops, batch_format="pyarrow").take_all()
     )
+    DROP_METRICS["minhash_dropped_docs"] = n_dropped
+    if metrics_out is not None:
+        metrics_out["minhash_dropped_docs"] = n_dropped
 
     def _no_sentinels(t: pa.Table) -> pa.Table:
         return t.filter(_pc.not_equal(t.column("doc_a"), pa.scalar(DROP_SENTINEL, pa.int64())))
@@ -750,11 +756,34 @@ def weighted_neardup(
     from ..stages.shuffle import bucketed_group_apply  # noqa: F401 (join dep)
     from .joins import hash_join
 
-    floor = max(-1.0, (threshold - w_text) / w_emb)
-    if candidates == "lsh":
-        cands = embedding_neardup_lsh(emb, threshold=floor, round_dp=None)
+    if w_emb == 0:
+        # text-only weighting (a legitimate point in the reference's tunable
+        # mix): the cosine stage is pruned entirely and candidates come from
+        # the exact unigram-Jaccard generator at the implied text floor —
+        # w_text*jaccard >= threshold  ⇔  jaccard >= threshold/w_text.
+        # (k=1 shingles ARE the distinct-token sets the score stage uses.)
+        if w_text <= 0:
+            raise ValueError("weighted_neardup needs w_text > 0 or w_emb > 0")
+        text_floor = threshold / w_text
+
+        def as_cands(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_a": t.column("doc_a").cast(pa.int64()),
+                    "vec_b": t.column("doc_b").cast(pa.int64()),
+                    "cosine": pa.array(np.zeros(t.num_rows), pa.float64()),
+                }
+            )
+
+        cands = ngram_jaccard_pairs(docs, k=1, threshold=text_floor).map_batches(
+            as_cands, batch_format="pyarrow"
+        )
     else:
-        cands = embedding_neardup(emb, threshold=floor, n_parts=n_parts, round_dp=None)
+        floor = max(-1.0, (threshold - w_text) / w_emb)
+        if candidates == "lsh":
+            cands = embedding_neardup_lsh(emb, threshold=floor, round_dp=None)
+        else:
+            cands = embedding_neardup(emb, threshold=floor, n_parts=n_parts, round_dp=None)
 
     def side(name_id: str, name_text: str):
         def f(t: pa.Table) -> pa.Table:

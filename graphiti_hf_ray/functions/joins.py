@@ -126,7 +126,14 @@ def hash_join(
         out = lm.merge(rm, on="_join_key", how=how)
         return out.drop(columns=["_join_key"])
 
-    return bucketed_group_apply(combined, ["_join_key"], merge_bucket, num_buckets=num_buckets)
+    joined = bucketed_group_apply(combined, ["_join_key"], merge_bucket, num_buckets=num_buckets)
+    # pandas null-fills right-side columns in unmatched left-join buckets,
+    # upcasting int64 → float64 (and the NaN-padding inside the pandas merge
+    # can do the same even for inner joins on mixed buckets) — cast the
+    # output back to the source Arrow types, exactly as asof_join does.
+    target = dict(l_types)
+    target.update({r_renamed[c]: r_types[c] for c in r_cols if r_renamed[c] in out_r_cols})
+    return joined.map_batches(_restore_types(target), batch_format="pyarrow")
 
 
 def _restore_types(types: "dict[str, pa.DataType]"):

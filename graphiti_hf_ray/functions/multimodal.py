@@ -173,7 +173,9 @@ class DecodeAudio:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
+        # normalize null payloads once: the md5/len comprehensions below
+        # must not see None (a single null binary row would crash the batch)
+        payloads = [b or b"" for b in batch.column("payload").to_pylist()]
         feats = np.zeros((len(payloads), self.n_windows), np.float32)
         for r, b in enumerate(payloads):
             if not b:

@@ -103,6 +103,32 @@ def _classify_bucket(df: pd.DataFrame, strategy: str) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["uuid", "take", "conflict", "resolved"])
 
 
+def _recover_stranded_merge(target_dir: str, table: str) -> None:
+    """The swap below is NOT atomic: between ``os.rename(old, trash)`` and
+    ``os.rename(tmp_new, old)`` the table directory does not exist. Recover
+    any stranded state from a crash in that window before starting a new
+    merge, so the branch is always readable on entry:
+
+    - old missing + ``.merge-tmp`` present → the new table was fully written
+      (the tmp dir is only renamed-from after a complete
+      ``write_table_distributed``): COMPLETE the swap.
+    - old missing + only ``.merge-old`` present → RESTORE the pre-merge
+      table.
+    - old present + leftover ``.merge-old`` → a crash after the swap but
+      before cleanup: drop the trash.
+    """
+    old = os.path.join(target_dir, table)
+    trash = os.path.join(target_dir, f"{table}.merge-old")
+    tmp_new = os.path.join(target_dir, f"{table}.merge-tmp")
+    if not os.path.isdir(old):
+        if os.path.isdir(tmp_new):
+            os.rename(tmp_new, old)
+        elif os.path.isdir(trash):
+            os.rename(trash, old)
+    if os.path.isdir(old):
+        shutil.rmtree(trash, ignore_errors=True)
+
+
 def merge_branch_table(
     source_dir: str,
     target_dir: str,
@@ -112,10 +138,14 @@ def merge_branch_table(
 ) -> dict:
     """Three-way merge of one table from ``source_dir`` into ``target_dir``
     (both branch roots). Returns {n_added, n_conflicts, n_resolved,
-    conflicts: DataFrame(uuid, take, resolved)} and atomically replaces the
-    target's table directory with the merged rows."""
+    conflicts: DataFrame(uuid, take, resolved)} and replaces the target's
+    table directory with the merged rows via a write-beside + double-rename
+    swap (see ``_recover_stranded_merge`` for the non-atomic window and its
+    on-entry recovery)."""
     from ..stages.shuffle import bucketed_group_apply
 
+    _recover_stranded_merge(target_dir, table)
+    _recover_stranded_merge(source_dir, table)
     src = gio.read_table_dir_ds(source_dir, table)
     tgt = gio.read_table_dir_ds(target_dir, table)
     names = list(src.schema().names)

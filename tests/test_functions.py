@@ -796,3 +796,95 @@ def test_typed_attributes_no_moved_to_edges(ray_session):
     assert rows["attributes"].iloc[0] == '{"start_date": "2024-05-05"}'
     hn = hydrate_node_attributes(rd.from_pandas(nodes), rd.from_pandas(edges)).to_pandas()
     assert set(hn["attributes"]) == {"{}"} and len(hn) == 2
+
+
+def test_hash_join_left_preserves_int_dtype(ray_session):
+    """ADVICE r3: left-join null-fill in unmatched buckets upcast int64
+    right columns to float64 — hash_join must restore the source Arrow
+    types the same way asof_join does."""
+    from graphiti_hf_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": ["a", "b", "c"], "lv": np.array([1, 2, 3], np.int64)})
+    right = pd.DataFrame({"k": ["a"], "rv": np.array([10], np.int64)})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "k", how="left"
+    )
+    # matched row keeps its value; unmatched rows are NULL ints, not floats
+    import ray as _ray
+
+    blocks = [b for b in _ray.get(out.to_arrow_refs()) if b.num_rows]
+    merged = pa.concat_tables(blocks)
+    assert merged.schema.field("rv").type == pa.int64()
+    assert merged.schema.field("lv").type == pa.int64()
+    got = merged.to_pandas().sort_values("k")
+    assert got["rv"].tolist()[0] == 10 and pd.isna(got["rv"].tolist()[1])
+
+
+def test_weighted_neardup_text_only(ray_session):
+    """ADVICE r3: w_emb=0 (text-only weighting) must not divide by zero —
+    candidates come from the exact unigram-Jaccard generator and the output
+    equals the all-pairs reference."""
+    from graphiti_hf_ray.functions.dedup import weighted_neardup
+
+    rng = np.random.default_rng(3)
+    n = 20
+    base = ["w%d" % i for i in range(10)]
+    texts = []
+    for i in range(n):
+        toks = list(base)
+        for j in range(i % 6):
+            toks[j] = f"x{i}_{j}"
+        texts.append(" ".join(toks))
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(v) for v in rng.normal(size=(n, 4))]}
+    )
+    thr, wt = 0.5, 0.8
+    out = weighted_neardup(
+        rd.from_pandas(docs), rd.from_pandas(emb), w_text=wt, w_emb=0.0, threshold=thr
+    ).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    want = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            sa, sb = set(texts[a].split(" ")), set(texts[b].split(" "))
+            if wt * (len(sa & sb) / len(sa | sb)) >= thr:
+                want.add((a, b))
+    assert got == want and len(want) > 0
+
+    with pytest.raises(ValueError):
+        weighted_neardup(rd.from_pandas(docs), rd.from_pandas(emb), w_text=0.0, w_emb=0.0)
+
+
+def test_decode_audio_null_payload(ray_session):
+    """ADVICE r3: a null binary payload row must not crash the md5/len
+    comprehensions — it yields zero features and the empty-bytes hash."""
+    import hashlib as _hl
+
+    from graphiti_hf_ray.functions.multimodal import DecodeAudio
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"\x01\x02\x03\x04", None], pa.binary()),
+        }
+    )
+    out = DecodeAudio()(batch)
+    assert out.num_rows == 2
+    assert out.column("n_bytes").to_pylist() == [4, 0]
+    assert out.column("payload_md5").to_pylist()[1] == _hl.md5(b"").hexdigest()
+
+
+def test_minhash_metrics_out_caller_scoped(ray_session):
+    """ADVICE r3: minhash drop counts go to a caller-scoped dict, matching
+    simhash_pairs, instead of only the clobber-prone module global."""
+    from graphiti_hf_ray.functions.dedup import minhash_lsh_candidates
+
+    docs = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64), "text": ["a b c d e f g h"] * 12})
+    metrics: dict = {}
+    minhash_lsh_candidates(
+        rd.from_pandas(docs), jaccard_threshold=0.5, max_bucket_docs=8, metrics_out=metrics
+    ).to_pandas()
+    # counts are per band bucket: identical docs collide in all 8 bands,
+    # each dropping 4 of 12 docs
+    assert metrics["minhash_dropped_docs"] == 32

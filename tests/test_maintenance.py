@@ -559,3 +559,41 @@ def test_branch_merge_identical_branches_noop(ray_session, graph_dir, tmp_path_f
     assert r["n_conflicts"] == 0 and r["n_added"] == 0
     after = gio.read_table_dir(work, "edges").to_pandas().sort_values("uuid").reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_merge_recovers_stranded_swap(ray_session, graph_dir, tmp_path_factory):
+    """ADVICE r3: the merge swap has a crash window where the target table
+    dir is absent — a new merge must recover (restore or complete the swap)
+    instead of failing on the missing directory."""
+    from graphiti_hf_ray.pipelines.branches import _recover_stranded_merge, merge_branch
+
+    work = str(tmp_path_factory.mktemp("recover"))
+    shutil.copytree(graph_dir, work, dirs_exist_ok=True)
+    shutil.rmtree(os.path.join(work, gio.BRANCHES_DIR), ignore_errors=True)
+    gio.create_branch(work, "feat")
+    before = gio.read_table_dir(work, "edges").to_pandas()
+
+    # crash state A: old renamed to .merge-old, tmp never written → restore
+    old = os.path.join(work, "edges")
+    trash = os.path.join(work, "edges.merge-old")
+    os.rename(old, trash)
+    _recover_stranded_merge(work, "edges")
+    assert os.path.isdir(old) and not os.path.isdir(trash)
+    restored = gio.read_table_dir(work, "edges").to_pandas()
+    assert len(restored) == len(before)
+
+    # crash state B: tmp fully written, old moved aside, second rename lost
+    # → a fresh merge completes the swap and then runs normally
+    tmp_new = os.path.join(work, "edges.merge-tmp")
+    shutil.copytree(old, tmp_new)
+    os.rename(old, trash)
+    res = merge_branch(work, "feat", None, strategy="manual", tables=("edges",))
+    assert res["success"]
+    assert os.path.isdir(old) and not os.path.isdir(trash) and not os.path.isdir(tmp_new)
+    merged = gio.read_table_dir(work, "edges").to_pandas()
+    assert merged["uuid"].is_unique and len(merged) == len(before)
+
+    # crash state C: swap completed but trash cleanup lost → dropped on entry
+    shutil.copytree(old, trash)
+    _recover_stranded_merge(work, "edges")
+    assert os.path.isdir(old) and not os.path.isdir(trash)
