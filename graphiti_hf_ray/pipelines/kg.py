@@ -216,12 +216,18 @@ def link_and_edges_phase(
     to the zero-driver-materialization path: canonical map stays a Dataset
     (``canonicalize_distributed``), nodes/duplicate-edges build as bucketed
     shuffles, pointer rewrite goes through the hash-join path — for corpora
-    whose distinct-mention set outgrows the driver. Default stays the
-    vocabulary-sized broadcast path (faster below ~10⁷ entities)."""
+    whose distinct-mention set outgrows the driver.
+
+    Left unset, the route is AUTOMATIC: the distinct-mentions dataset is
+    materialized once (it feeds whichever path runs, so this costs no extra
+    shuffle) and a streaming ``count()`` on it picks the path — above
+    ``CANON_DRIVER_MAX_MENTIONS`` the distributed path runs without anyone
+    remembering an env var; below it the driver broadcast path stays (faster
+    in the vocabulary-sized regime)."""
     import time as _time
 
-    if distributed_canon is None:
-        distributed_canon = os.environ.get("GRAFT_CANON_DISTRIBUTED") == "1"
+    from ..stages.canonicalize import CANON_DRIVER_MAX_MENTIONS, distinct_mentions
+
     timings = timings if timings is not None else {}
     t0 = _time.time()
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -235,11 +241,21 @@ def link_and_edges_phase(
             "pred", "obj_surface", "obj_label", "fact",
         ],
     )
+    mentions = None
+    if distributed_canon is None:
+        distributed_canon = os.environ.get("GRAFT_CANON_DISTRIBUTED") == "1"
+        if not distributed_canon:
+            # auto-gate: count the distinct-mention set BEFORE pulling it to
+            # the driver; the materialized dataset is reused by either path
+            mentions = distinct_mentions(triples).materialize()
+            n_mentions = mentions.count()
+            distributed_canon = n_mentions > CANON_DRIVER_MAX_MENTIONS
+            timings["canon_path"] = "distributed(auto)" if distributed_canon else "driver"
     if distributed_canon:
-        return _link_and_edges_distributed(triples, out_dir, run_ts_us, timings, t0)
+        return _link_and_edges_distributed(triples, out_dir, run_ts_us, timings, t0, mentions=mentions)
 
     # P2: canonical map (driver-side DataFrame — vocabulary-sized) + nodes
-    canon_map = canonicalize(triples)
+    canon_map = canonicalize(triples, mentions=mentions)
     timings["canonicalize"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     nodes_tbl = build_nodes_table(canon_map, run_ts_us)
@@ -320,7 +336,8 @@ def _link_fingerprint(out_dir: str, run_ts_us: int) -> str:
 
 
 def _link_and_edges_distributed(
-    triples: "rd.Dataset", out_dir: str, run_ts_us: int, timings: dict, t0: float
+    triples: "rd.Dataset", out_dir: str, run_ts_us: int, timings: dict, t0: float,
+    mentions: "rd.Dataset | None" = None,
 ) -> dict:
     """Zero-driver-materialization P2+P3: every artifact builds as a
     bucketed shuffle over the canonical-map DATASET; the only driver-side
@@ -335,7 +352,7 @@ def _link_and_edges_distributed(
     from ..stages.shuffle import bucketed_group_apply
 
     fp = _link_fingerprint(out_dir, run_ts_us) + ":distcanon"
-    canon_ds = canonicalize_distributed(triples).materialize()
+    canon_ds = canonicalize_distributed(triples, mentions=mentions).materialize()
     timings["canonicalize"] = round(_time.time() - t0, 2)
     t0 = _time.time()
 

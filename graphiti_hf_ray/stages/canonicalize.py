@@ -54,6 +54,13 @@ import os as _os
 
 DRIVER_CC_MAX_PAIRS = int(_os.environ.get("GRAFT_DRIVER_CC_MAX_PAIRS", 5_000_000))
 DRIVER_PAIRS_MAX_MENTIONS = int(_os.environ.get("GRAFT_DRIVER_PAIRS_MAX_MENTIONS", 200_000))
+# Above this distinct-mention count the PIPELINE auto-routes to
+# canonicalize_distributed (zero driver materialization) — the default path
+# below collects the vocabulary-sized mention set driver-side, which at an
+# open web vocabulary would OOM the driver without this gate (pipelines/kg.py
+# counts the mentions dataset and switches; GRAFT_CANON_DISTRIBUTED=1 still
+# forces the distributed path unconditionally).
+CANON_DRIVER_MAX_MENTIONS = int(_os.environ.get("GRAFT_CANON_DRIVER_MAX_MENTIONS", 5_000_000))
 
 
 def mention_key(group_id: str, label: str, surface: str) -> str:
@@ -342,7 +349,9 @@ def build_canonical_map(
     return df[["group_id", "label", "surface", "canon_name", "canon_uuid", "n"]]
 
 
-def canonicalize(triples: "ray.data.Dataset") -> pd.DataFrame:
+def canonicalize(
+    triples: "ray.data.Dataset", mentions: "ray.data.Dataset | None" = None
+) -> pd.DataFrame:
     """Full canonicalization: triples Dataset → canonical map DataFrame.
 
     The distinct-mention set is orders of magnitude smaller than the triple
@@ -350,8 +359,13 @@ def canonicalize(triples: "ray.data.Dataset") -> pd.DataFrame:
     broadcast via ``ray.put`` for the edge-rewrite join (J2). When the map
     outgrows broadcast (~10⁷ entities), the rewrite switches to the
     hash-join path (stages/edges.py, ``rewrite_via_join``).
+
+    ``mentions``: optional precomputed ``distinct_mentions(triples)`` — the
+    pipeline materializes it once for the auto-gate count
+    (``CANON_DRIVER_MAX_MENTIONS``) and passes it here so the gate costs no
+    second mention shuffle.
     """
-    mentions_df = distinct_mentions(triples).to_pandas()
+    mentions_df = (mentions if mentions is not None else distinct_mentions(triples)).to_pandas()
     if len(mentions_df) <= DRIVER_PAIRS_MAX_MENTIONS:
         # vocabulary-sized distinct-mention set: run blocking + pairwise
         # scoring driver-side with the SAME kernels (no extra Ray job)
@@ -376,12 +390,15 @@ def canonicalize(triples: "ray.data.Dataset") -> pd.DataFrame:
     return build_canonical_map(mentions_df, node_to_root)
 
 
-def canonicalize_distributed(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def canonicalize_distributed(
+    triples: "ray.data.Dataset", mentions: "ray.data.Dataset | None" = None
+) -> "ray.data.Dataset":
     """Fully-distributed canonicalization: triples Dataset → canonical-map
     Dataset with the SAME rows as ``canonicalize`` (parity-tested), but no
     driver materialization at ANY size — the path for corpora whose
     distinct-mention set outgrows the driver (beyond the vocabulary-sized
-    regime the default path assumes).
+    regime the default path assumes). The pipeline auto-routes here when the
+    mention count exceeds ``CANON_DRIVER_MAX_MENTIONS`` (pipelines/kg.py).
 
     Shuffle chain: distinct mentions (1) → blocking pairs (1) →
     distributed CC (O(diameter)) → mention⋈root co-group (1) → per-root
@@ -389,7 +406,8 @@ def canonicalize_distributed(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     ``bucketed_group_apply`` with a vectorized bucket body."""
     from .shuffle import bucketed_group_apply
 
-    mentions = distinct_mentions(triples)
+    if mentions is None:
+        mentions = distinct_mentions(triples)
     pairs_ds = duplicate_pairs(mentions)
     cc = connected_components_distributed(pairs_ds)
 
