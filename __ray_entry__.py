@@ -242,7 +242,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM gold_canon GROUP BY 1, 2, 3, 4
             ),
             swept AS (
-                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                SELECT *, CASE WHEN pred IN {_P.SQL_FUNCTIONAL_IN} THEN
                        lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
                                             ORDER BY valid_at, subj_uuid)
                        ELSE NULL END AS invalid_at
@@ -310,7 +310,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM gold_canon GROUP BY 1, 2, 3, 4
             ),
             swept AS (
-                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                SELECT *, CASE WHEN pred IN {_P.SQL_FUNCTIONAL_IN} THEN
                        lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
                                             ORDER BY valid_at, subj_uuid)
                        ELSE NULL END AS invalid_at
@@ -328,7 +328,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM gold_canon GROUP BY 1, 2, 3, 4
             ),
             swept AS (
-                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                SELECT *, CASE WHEN pred IN {_P.SQL_FUNCTIONAL_IN} THEN
                        lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
                                             ORDER BY valid_at, subj_uuid)
                        ELSE NULL END AS invalid_at
@@ -396,7 +396,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM gold_canon GROUP BY 1, 2, 3, 4
             ),
             swept AS (
-                SELECT *, CASE WHEN pred = 'IS_CEO_OF' THEN
+                SELECT *, CASE WHEN pred IN {_P.SQL_FUNCTIONAL_IN} THEN
                        lead(valid_at) OVER (PARTITION BY group_id, pred, obj_uuid
                                             ORDER BY valid_at, subj_uuid)
                        ELSE NULL END AS invalid_at

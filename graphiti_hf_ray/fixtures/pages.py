@@ -82,7 +82,11 @@ TS_STEP = 8761  # prime → no warc_ts collisions below 63M docs
 
 # predicate per template id
 PREDS = ["WORKS_AT", "IS_CEO_OF", "ACQUIRED", "MOVED_TO", "FOUNDED"]
-FUNCTIONAL_PREDS = {"IS_CEO_OF"}  # one subject per object at a time → invalidation
+# one subject per object at a time → invalidation sweep. Two functional
+# predicates (matching state/types.default_registry) so the sweep is
+# exercised for a SET, not a special case: one CEO per company, one founder
+# of record per org (newer page wins).
+FUNCTIONAL_PREDS = {"IS_CEO_OF", "FOUNDED"}
 
 LABEL_PERSON, LABEL_ORG, LABEL_PLACE = "Person", "Organization", "Place"
 
@@ -323,6 +327,10 @@ SQL_PERSONS = _sql_list_of_lists(PERSONS)
 SQL_ORGS = _sql_list_of_lists(ORGS)
 SQL_PLACES = _sql_list(PLACES)
 SQL_PREDS = _sql_list(PREDS)
+# `pred IN (...)` fragment for the oracle's invalidation sweep — generated
+# from the same constant the engine's registry mirrors, so oracle and sweep
+# cannot disagree on which predicates invalidate.
+SQL_FUNCTIONAL_IN = "(" + ",".join("'" + p + "'" for p in sorted(FUNCTIONAL_PREDS)) + ")"
 
 # arithmetic expressions in terms of columns d (doc_id) and j (sentence idx)
 SQL_K = "(2 + d % 3)"

@@ -34,7 +34,17 @@ import ray
 from ..ids import md5_id, relation_uuid
 from .canonicalize import SEP
 
-FUNCTIONAL_PREDS = frozenset({"IS_CEO_OF"})
+def _registry_functional_preds() -> frozenset:
+    from ..state.types import default_registry
+
+    return default_registry().functional_predicates()
+
+
+# Derived from the type registry (state/types.py) — an EdgeType registered
+# with functional=True automatically gets the TS2-TS4 invalidation sweep;
+# nothing is hardcoded here (r3 VERDICT #2). Sweep bodies read this module
+# global so the set travels to workers with the function pickle.
+FUNCTIONAL_PREDS = _registry_functional_preds()
 
 
 # Per-worker broadcast cache: a ray.put dict deserializes on every

@@ -48,6 +48,13 @@ class EntityType:
 class EdgeType:
     name: str  # SCREAMING_SNAKE_CASE predicate
     fields: dict[str, type] = field(default_factory=dict)
+    # Functional predicate: at most one ACTIVE subject per object at a time
+    # (e.g. a company has one CEO). Drives the bi-temporal contradiction
+    # sweep (stages/edges.py, TS2-TS4): a newer edge on the same
+    # (group, pred, object) invalidates the older one — the reference's
+    # general contradiction resolution (edge_operations.py:381-411), keyed
+    # here by a declared type property instead of an LLM judgment.
+    functional: bool = False
 
     def validate(self, attributes: dict[str, Any]) -> list[str]:
         return [
@@ -80,6 +87,13 @@ class TypeRegistry:
         restricts to its list."""
         allowed = self.edge_type_map.get((src_label, tgt_label))
         return True if allowed is None else edge_name in allowed
+
+    def functional_predicates(self) -> frozenset[str]:
+        """Predicates whose edges the bi-temporal sweep invalidates
+        (TS3/TS4 "newer info wins"). Registering a new functional edge type
+        here is ALL a user does to get invalidation for it — the sweep in
+        stages/edges.py reads this set, nothing is hardcoded there."""
+        return frozenset(t.name for t in self.edge_types.values() if t.functional)
 
 
 def default_registry() -> TypeRegistry:
@@ -124,10 +138,16 @@ def default_registry() -> TypeRegistry:
         EdgeType("WORKS_AT", {"role": str, "start_date": str, "end_date": str, "department": str}),
         [("Person", "Organization"), ("Person", "Company")],
     )
-    r.register_edge_type(EdgeType("IS_CEO_OF"), [("Person", "Organization"), ("Person", "Company")])
+    r.register_edge_type(
+        EdgeType("IS_CEO_OF", functional=True),  # one CEO per company at a time
+        [("Person", "Organization"), ("Person", "Company")],
+    )
     r.register_edge_type(EdgeType("ACQUIRED", {"price": float}), [("Organization", "Organization")])
     r.register_edge_type(EdgeType("MOVED_TO"), [("Person", "Place")])
-    r.register_edge_type(EdgeType("FOUNDED", {"year": int}), [("Person", "Organization")])
+    r.register_edge_type(
+        EdgeType("FOUNDED", {"year": int}, functional=True),  # corpus semantics: one founder of record
+        [("Person", "Organization")],
+    )
     r.register_edge_type(
         EdgeType("COLLABORATES_ON", {"role": str, "contribution": str, "hours_spent": int}),
         [("Person", "Project")],

@@ -77,38 +77,48 @@ def test_triple_pr_vs_gold(duck, graph_out):
 
 def test_bitemporal_invalidation(duck, graph_out):
     """TS2-TS4: functional predicate sweep — invalid_at = next valid_at in
-    (group, pred, obj) order; expired_at = run_ts iff invalidated."""
+    (group, pred, obj) order; expired_at = run_ts iff invalidated. Runs the
+    SAME parity check per functional predicate (registry-driven set, r3
+    VERDICT #2 — sweep must fire for every functional pred, not one
+    special case)."""
+    from graphiti_hf_ray.state.types import default_registry
+
+    functional = default_registry().functional_predicates()
+    assert functional == frozenset(P.FUNCTIONAL_PREDS)  # registry == grammar
+    assert len(functional) >= 2
     edges = _edges_df(graph_out)
-    ceo = edges[edges["name"] == "IS_CEO_OF"]
-    oracle = duck.sql(
-        "WITH "
-        + P.sql_canonical_cte()
-        + """
-        , merged AS (
-          SELECT group_id, subj_uuid, pred, obj_uuid, min(valid_at) AS valid_at
-          FROM gold_canon WHERE pred = 'IS_CEO_OF' GROUP BY 1, 2, 3, 4
-        )
-        SELECT *, lead(valid_at) OVER (
-            PARTITION BY group_id, pred, obj_uuid ORDER BY valid_at, subj_uuid
-        ) AS invalid_at
-        FROM merged
-        """
-    ).df()
-    a = ceo[["group_id", "source_uuid", "target_uuid", "valid_at", "invalid_at"]].sort_values(
-        ["group_id", "source_uuid", "target_uuid"]
-    ).reset_index(drop=True)
-    b = oracle[["group_id", "subj_uuid", "obj_uuid", "valid_at", "invalid_at"]].sort_values(
-        ["group_id", "subj_uuid", "obj_uuid"]
-    ).reset_index(drop=True)
-    b.columns = a.columns
-    pd.testing.assert_frame_equal(a, b)
-    # TS2: expired_at set exactly when invalidated, to run time
     run_ts = pd.Timestamp(DEFAULT_RUN_TS_US, unit="us")
-    inv = ceo["invalid_at"].notna()
-    assert (ceo.loc[inv, "expired_at"] == run_ts).all()
-    assert ceo.loc[~inv, "expired_at"].isna().all()
+    for pred in sorted(functional):
+        sub = edges[edges["name"] == pred]
+        assert sub["invalid_at"].notna().any(), pred  # sweep actually fired
+        oracle = duck.sql(
+            "WITH "
+            + P.sql_canonical_cte()
+            + f"""
+            , merged AS (
+              SELECT group_id, subj_uuid, pred, obj_uuid, min(valid_at) AS valid_at
+              FROM gold_canon WHERE pred = '{pred}' GROUP BY 1, 2, 3, 4
+            )
+            SELECT *, lead(valid_at) OVER (
+                PARTITION BY group_id, pred, obj_uuid ORDER BY valid_at, subj_uuid
+            ) AS invalid_at
+            FROM merged
+            """
+        ).df()
+        a = sub[["group_id", "source_uuid", "target_uuid", "valid_at", "invalid_at"]].sort_values(
+            ["group_id", "source_uuid", "target_uuid"]
+        ).reset_index(drop=True)
+        b = oracle[["group_id", "subj_uuid", "obj_uuid", "valid_at", "invalid_at"]].sort_values(
+            ["group_id", "subj_uuid", "obj_uuid"]
+        ).reset_index(drop=True)
+        b.columns = a.columns
+        pd.testing.assert_frame_equal(a, b)
+        # TS2: expired_at set exactly when invalidated, to run time
+        inv = sub["invalid_at"].notna()
+        assert (sub.loc[inv, "expired_at"] == run_ts).all()
+        assert sub.loc[~inv, "expired_at"].isna().all()
     # non-functional predicates never invalidated
-    assert edges.loc[edges["name"] != "IS_CEO_OF", "invalid_at"].isna().all()
+    assert edges.loc[~edges["name"].isin(functional), "invalid_at"].isna().all()
 
 
 def test_mentions_edges_match_oracle(duck, graph_out):
