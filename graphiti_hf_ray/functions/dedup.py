@@ -37,6 +37,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from .vectors import embedding_matrix, float64_array, int64_array
+
 logger = logging.getLogger(__name__)
 
 MERSENNE = (1 << 61) - 1
@@ -642,7 +644,14 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3, threshold: float =
 # ---------------------------------------------------------------------------
 
 def _stack_embeddings(col) -> np.ndarray:
+    """Normalize a pandas object column of per-row vectors (the per-bucket
+    pandas bodies). Arrow columns go through the zero-copy
+    ``vectors.embedding_matrix`` instead."""
     m = np.stack([np.asarray(v, np.float64) for v in col])
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
@@ -665,7 +674,7 @@ def embedding_neardup(
     """
 
     def replicate(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        ids = int64_array(t.column("vec_id"))
         part = ids % n_parts
         tables = []
         for q in range(n_parts):
@@ -802,13 +811,13 @@ def weighted_neardup(
         inter = np.array([len(a & b) for a, b in zip(a_tok, b_tok)], np.float64)
         union = np.array([len(a | b) for a, b in zip(a_tok, b_tok)], np.float64)
         jac = inter / np.maximum(union, 1.0)
-        cos = np.asarray(t.column("cosine").to_pylist(), np.float64)
+        cos = float64_array(t.column("cosine"))
         w = w_text * jac + w_emb * cos
         keep = w >= threshold
         return pa.table(
             {
-                "doc_a": pc.cast(pa.array(np.asarray(t.column("vec_a").to_pylist())[keep]), pa.int64()),
-                "doc_b": pc.cast(pa.array(np.asarray(t.column("vec_b").to_pylist())[keep]), pa.int64()),
+                "doc_a": pa.array(int64_array(t.column("vec_a"))[keep], pa.int64()),
+                "doc_b": pa.array(int64_array(t.column("vec_b"))[keep], pa.int64()),
             }
         )
 
@@ -828,7 +837,7 @@ def embedding_neardup_lsh(
     from .knn import _plane
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        m = _stack_embeddings(t.column("embedding").to_pylist())
+        m = _norm_rows(embedding_matrix(t.column("embedding")))
         planes = np.stack([_plane(i, m.shape[1]) for i in range(n_planes)])
         bits = (m @ planes.T > 0).astype(np.int64)
         buckets = bits @ (1 << np.arange(n_planes))

@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray
 
+from .vectors import embedding_matrix, int64_array
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
@@ -33,8 +35,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _score_batch(t: pa.Table, qref=None, k: int = 10) -> pa.Table:
     q = ray.get(qref)  # local plasma read, cached per worker
-    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]))
+    ids = int64_array(t.column("vec_id"))
+    m = _normalize(embedding_matrix(t.column("embedding")))
     sims = m @ q
     order = np.lexsort((ids, -sims))[:k]  # local top-k
     return pa.table(
@@ -76,8 +78,8 @@ def knn_brute(emb: "ray.data.Dataset", query_vec: np.ndarray, k: int = 10) -> pd
 
 def _score_multi_batch(t: pa.Table, qref=None, k: int = 10) -> pa.Table:
     q = ray.get(qref)
-    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]))
+    ids = int64_array(t.column("vec_id"))
+    m = _normalize(embedding_matrix(t.column("embedding")))
     sims = q @ m.T  # (n_queries, batch)
     kk = min(k, sims.shape[1])
     out_q, out_i, out_s = [], [], []
@@ -160,8 +162,8 @@ def _score_ivf_batch(t: pa.Table, qref=None, k: int = 10, n_planes: int = 4) -> 
     q, probe = ray.get(qref)
     planes = _planes_for(n_planes, q.shape[0])
     pows = 1 << np.arange(n_planes)
-    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()]))
+    ids = int64_array(t.column("vec_id"))
+    m = _normalize(embedding_matrix(t.column("embedding")))
     bits = (m @ planes.T > 0).astype(int)
     buckets = bits @ pows
     mask = np.isin(buckets, list(probe))

@@ -301,12 +301,10 @@ def q16_knn(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (similarity
     search baseline). Only ids returned — float scores stay engine-side."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = None
-    for b in emb.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        idx = b.column("vec_id").to_pylist()
-        if 0 in idx:
-            q = np.asarray(b.column("embedding").to_pylist()[idx.index(0)], np.float64)
-            break
+    # pushed-down fetch of the query vector: predicate runs in the read
+    # tasks, only the single matching row reaches the driver
+    row = emb.filter(expr="vec_id == 0").take(1)[0]
+    q = np.asarray(row["embedding"], np.float64)
     out = knn_brute(emb, q, k=10)
     return out[["vec_id"]]
 

@@ -33,6 +33,8 @@ import pyarrow as pa
 
 import ray
 
+from ..functions.vectors import embedding_matrix
+
 from .. import io as gio
 from ..functions.knn import _plane
 
@@ -67,7 +69,7 @@ def build_vector_index(
 
     def add_bucket(t: pa.Table) -> pa.Table:
         pl = ray.get(pref)
-        m = _norm(np.stack([np.asarray(v, np.float64) for v in t.column(emb_col).to_pylist()]))
+        m = _norm(embedding_matrix(t.column(emb_col)))
         bits = (m @ pl.T > 0).astype(np.int64)
         buckets = bits @ (1 << np.arange(pl.shape[0]))
         out = pa.table(

@@ -16,6 +16,8 @@ import pyarrow as pa
 
 import ray
 
+from ..functions.vectors import embedding_matrix
+
 
 def _norm(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
@@ -34,9 +36,8 @@ def cosine_topk(
 
     def score(t: pa.Table) -> pa.Table:
         q_, k_, ms = ray.get(qref)
-        ids = t.column(id_col).to_pylist()
-        col = t.column(emb_col)
-        mat = np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        mat = embedding_matrix(t.column(emb_col))
         sims = _norm(mat) @ q_
         keep = sims >= ms
         ids = np.asarray(ids, object)[keep]
