@@ -647,36 +647,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT group_id, node, CAST(pr AS BIGINT) AS pr FROM p{_PR_ITERS}
     """
 
+    # q51 oracle is GENERATED from the engine's rule table
+    # (stages/attributes.NODE_ATTR_RULES / EDGE_ATTR_RULES) — adding a rule
+    # there extends both sides in lockstep.
+    from graphiti_hf_ray.stages.attributes import EDGE_ATTR_RULES as _EAR, NODE_ATTR_RULES as _NAR
+
+    _node_sels = []
+    for _r in _NAR:
+        _key, _val = ("subj_uuid", "obj_c") if _r.keyed_on == "source" else ("obj_uuid", "subj_c")
+        _node_sels.append(
+            f"""
+        SELECT DISTINCT 'node' AS kind, group_id, {_key} AS uuid,
+               '{{"{_r.attr}": "' || first_value(val) OVER (
+                   PARTITION BY group_id, {_key} ORDER BY valid_at DESC, val
+               ) || '"}}' AS attributes
+        FROM (
+            -- hydration runs over MERGED edges, whose valid_at is
+            -- min-over-occurrences; 'latest' = argmax of those
+            -- fact-became-true times across distinct counterparts
+            SELECT group_id, {_key}, {_val} AS val, min(valid_at) AS valid_at
+            FROM gold_canon WHERE pred = '{_r.pred}' GROUP BY 1, 2, 3
+        ) m_{_r.attr}"""
+        )
+    _edge_sels = []
+    for _pred, (_attr, _fmt) in _EAR.items():
+        if _attr == "year":  # JSON int value
+            _vexpr = f"CAST(strftime(valid_at, '{_fmt}') AS BIGINT)"
+        else:  # JSON string value, double-quoted
+            _dq = '\'"\''
+            _vexpr = f"{_dq} || strftime(valid_at, '{_fmt}') || {_dq}"
+        _edge_sels.append(
+            f"""
+        SELECT 'edge', group_id,
+               md5('rel:' || group_id || ':' || subj_uuid || ':' || pred || ':' || obj_uuid || ':' || epoch_us),
+               '{{"{_attr}": ' || {_vexpr} || '}}'
+        FROM merged WHERE pred = '{_pred}'"""
+        )
     sql["q51_typed_attributes"] = f"""
         WITH {cte},
-        moved AS (
-            -- mirror the engine: hydration runs over MERGED edges, whose
-            -- valid_at is min-over-occurrences; 'latest move' = argmax of
-            -- those fact-became-true times across distinct places
-            SELECT group_id, subj_uuid, obj_c AS place, min(valid_at) AS valid_at
-            FROM gold_canon WHERE pred = 'MOVED_TO' GROUP BY 1, 2, 3
-        ),
-        node_attrs AS (
-            SELECT DISTINCT group_id, subj_uuid AS uuid,
-                   first_value(place) OVER (
-                       PARTITION BY group_id, subj_uuid
-                       ORDER BY valid_at DESC, place
-                   ) AS loc
-            FROM moved
-        ),
         merged AS (
             SELECT group_id, subj_uuid, pred, obj_uuid,
                    min(valid_at) AS valid_at, min(epoch_us) AS epoch_us
             FROM gold_canon GROUP BY 1, 2, 3, 4
         )
-        SELECT 'node' AS kind, group_id, uuid,
-               '{{"location": "' || loc || '"}}' AS attributes
-        FROM node_attrs
-        UNION ALL
-        SELECT 'edge', group_id,
-               md5('rel:' || group_id || ':' || subj_uuid || ':' || pred || ':' || obj_uuid || ':' || epoch_us),
-               '{{"start_date": "' || strftime(valid_at, '%Y-%m-%d') || '"}}'
-        FROM merged WHERE pred = 'WORKS_AT'
+        {" UNION ALL ".join(_node_sels + _edge_sels)}
     """
 
     sql["q52_weighted_neardup"] = """

@@ -883,11 +883,13 @@ QUERIES["q50_pagerank"] = q50_pagerank
 
 
 def q51_typed_attributes(sf_dir: str) -> pd.DataFrame:
-    """M4/M5 typed attribute extraction over the canonical graph:
-    Person.location from the latest MOVED_TO edge, WORKS_AT.start_date from
-    the merged edge's earliest occurrence — deterministic rule extractors in
-    place of the reference's LLM hydration (node_operations.py:302-391,
-    edge_operations.py:482-501)."""
+    """M4/M5 typed attribute extraction over the canonical graph — the
+    full built-in rule catalog (stages/attributes.NODE_ATTR_RULES /
+    EDGE_ATTR_RULES): Person.location/employer, Organization.founded_by/
+    ceo from each entity's latest matching edge; WORKS_AT.start_date and
+    FOUNDED.year from the merged edge's earliest occurrence. Deterministic
+    rule extractors in place of the reference's LLM hydration
+    (node_operations.py:302-391, edge_operations.py:482-501)."""
     from ..stages.attributes import typed_attribute_rows
 
     out_dir = _kg_out_dir(sf_dir)

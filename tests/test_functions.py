@@ -3,6 +3,8 @@ multimodal plumbing — unit + small-Ray tests with pandas/duckdb oracles."""
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -481,20 +483,22 @@ def test_typed_attribute_hydration(ray_session):
         }
     )
     rows = typed_attribute_rows(rd.from_pandas(edges), rd.from_pandas(nodes)).to_pandas()
-    by = {(r["kind"], r["uuid"]): r["attributes"] for _, r in rows.iterrows()}
+    by = {(r["kind"], r["uuid"], json.loads(r["attributes"]).popitem()[0]): r["attributes"] for _, r in rows.iterrows()}
     # p1's latest MOVED_TO is e2 (2024-03-01) → Kyoto
-    assert by[("node", "p1")] == '{"location": "Kyoto"}'
-    assert by[("edge", "e3")] == '{"start_date": "2024-02-01"}'
-    assert ("node", "p2") not in by  # no MOVED_TO → no hydrated node row
+    assert by[("node", "p1", "location")] == '{"location": "Kyoto"}'
+    assert by[("node", "p2", "employer")] == '{"employer": "Acme"}'
+    assert by[("edge", "e3", "start_date")] == '{"start_date": "2024-02-01"}'
+    assert ("node", "p2", "location") not in by  # no MOVED_TO → no location row
 
     hn = hydrate_node_attributes(rd.from_pandas(nodes), rd.from_pandas(edges)).to_pandas()
     m = dict(zip(hn["uuid"], hn["attributes"]))
     assert m["p1"] == '{"age": 36, "location": "Kyoto"}'  # merged, sorted keys
-    assert m["o1"] == "{}"  # non-Person untouched
+    assert m["p2"] == '{"employer": "Acme"}'
+    assert m["o1"] == "{}"  # org has no FOUNDED/IS_CEO_OF edge → untouched
     he = hydrate_edge_attributes(rd.from_pandas(edges)).to_pandas()
     me = dict(zip(he["uuid"], he["attributes"]))
     assert me["e3"] == '{"note": "kept", "start_date": "2024-02-01"}'
-    assert me["e1"] == "{}"  # non-WORKS_AT untouched
+    assert me["e1"] == "{}"  # MOVED_TO has no edge rule → untouched
 
 
 def test_lsh_drop_metrics_counted(ray_session):
@@ -766,9 +770,9 @@ def test_lsh_exactness_precondition_holds_on_fixture(ray_session, sf_small):
 
 
 def test_typed_attributes_no_moved_to_edges(ray_session):
-    """Hydration over a graph with zero MOVED_TO edges: node part empty,
-    edge part still hydrates WORKS_AT; full hydration leaves attributes
-    untouched except sorted-key normalization."""
+    """Hydration over a graph with zero MOVED_TO edges: no location rows;
+    the WORKS_AT edge still yields employer + start_date; founded_by/ceo
+    rules with no matching edges contribute nothing."""
     from graphiti_hf_ray.stages.attributes import hydrate_node_attributes, typed_attribute_rows
 
     edges = pd.DataFrame(
@@ -792,10 +796,14 @@ def test_typed_attributes_no_moved_to_edges(ray_session):
         }
     )
     rows = typed_attribute_rows(rd.from_pandas(edges), rd.from_pandas(nodes)).to_pandas()
-    assert set(rows["kind"]) == {"edge"}
-    assert rows["attributes"].iloc[0] == '{"start_date": "2024-05-05"}'
+    got = set(zip(rows["kind"], rows["attributes"]))
+    assert got == {
+        ("edge", '{"start_date": "2024-05-05"}'),
+        ("node", '{"employer": "Acme"}'),
+    }
     hn = hydrate_node_attributes(rd.from_pandas(nodes), rd.from_pandas(edges)).to_pandas()
-    assert set(hn["attributes"]) == {"{}"} and len(hn) == 2
+    m = dict(zip(hn["uuid"], hn["attributes"]))
+    assert m == {"p1": '{"employer": "Acme"}', "o1": "{}"}
 
 
 def test_hash_join_left_preserves_int_dtype(ray_session):
