@@ -1,0 +1,115 @@
+"""Real-model adapters for the engine's injectable seams (ST2 / ST7).
+
+The reference ships concrete model clients (embedders
+graphiti_core/embedder/client.py + gemini.py/openai.py/voyageai.py,
+cross-encoder graphiti_core/cross_encoder/bge_reranker_client.py); the
+engine's pipelines take any callable class with the same batch contract.
+This module provides the drop-in classes for the standard open-weights
+stack — lazy-imported so the engine has zero hard dependency on torch:
+
+- ``SentenceTransformerEmbedder`` — sentence-transformers model as the
+  ``Embedder`` actor-pool stage (same (text_col, out_col) signature;
+  swap it into ``map_batches(..., concurrency=N, num_gpus=...)``).
+- ``BGECrossEncoderClient``      — ``.rank(query, [(id, passage)])``
+  client for ``search/rerank.CrossEncoderScore`` backed by a
+  sentence-transformers ``CrossEncoder`` (BGE reranker).
+
+Both accept a pre-built ``model`` object (anything with the
+``.encode(texts)`` / ``.predict(pairs)`` surface), which is how the
+contract tests drive them offline and how a user injects a custom or
+quantized model. Without one, the real library import happens inside the
+actor's ``__init__`` — once per actor, never per batch — and raises a
+clear error when the library/weights are absent (this container ships
+neither, by design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _l2(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class SentenceTransformerEmbedder:
+    """Actor-pool embedding stage backed by sentence-transformers.
+
+    Batch contract matches ``stages/embed.Embedder``: Arrow batch in,
+    same batch + ``<out_col>`` fixed-size-list<float32, dim> out. Newlines
+    are normalized to spaces before encoding (reference EmbedderClient
+    behavior, graphiti_core/embedder/client.py). The model loads ONCE per
+    actor; pass ``model=`` to inject any object with
+    ``.encode(list[str]) -> (n, dim) array``.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        out_col: str,
+        model=None,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        normalize: bool = True,
+        dim: int | None = None,
+    ):
+        self.text_col, self.out_col, self.normalize = text_col, out_col, normalize
+        if model is not None:
+            self.model = model
+        else:
+            try:
+                from sentence_transformers import SentenceTransformer  # lazy; torch-heavy
+            except ImportError as e:  # pragma: no cover - lib absent in CI container
+                raise NotImplementedError(
+                    "SentenceTransformerEmbedder needs the sentence-transformers "
+                    "package (and model weights), which this environment does not "
+                    "ship; pass model=<object with .encode(texts)> to inject one"
+                ) from e
+            self.model = SentenceTransformer(model_name)
+        probe = np.asarray(self.model.encode(["dimension probe"]))
+        self.dim = int(dim if dim is not None else probe.shape[-1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [
+            (t or "").replace("\n", " ") for t in batch.column(self.text_col).to_pylist()
+        ]
+        if texts:
+            mat = np.asarray(self.model.encode(texts), np.float32).reshape(len(texts), -1)
+        else:
+            mat = np.zeros((0, self.dim), np.float32)
+        if mat.shape[1] != self.dim:
+            raise ValueError(f"model returned dim {mat.shape[1]}, stage bound to {self.dim}")
+        if self.normalize:
+            mat = _l2(mat).astype(np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), pa.float32()), self.dim)
+        return batch.append_column(self.out_col, arr)
+
+
+class BGECrossEncoderClient:
+    """``.rank(query, passages)`` client for ``CrossEncoderScore`` backed
+    by a BGE reranker (reference bge_reranker_client.py surface: score
+    every (query, passage) pair, sort descending). Pass ``model=`` to
+    inject any object with ``.predict(list[(q, p)]) -> scores``; without
+    one, sentence-transformers' ``CrossEncoder`` loads lazily."""
+
+    def __init__(self, model=None, model_name: str = "BAAI/bge-reranker-v2-m3"):
+        if model is not None:
+            self.model = model
+        else:
+            try:
+                from sentence_transformers import CrossEncoder  # lazy; torch-heavy
+            except ImportError as e:  # pragma: no cover - lib absent in CI container
+                raise NotImplementedError(
+                    "BGECrossEncoderClient needs the sentence-transformers package "
+                    "(and BGE weights), which this environment does not ship; pass "
+                    "model=<object with .predict(pairs)> to inject one"
+                ) from e
+            self.model = CrossEncoder(model_name)
+
+    def rank(self, query: str, passages: list[tuple[str, str]]) -> list[tuple[str, float]]:
+        if not passages:
+            return []
+        scores = np.asarray(self.model.predict([(query, p) for _, p in passages]), np.float64)
+        out = [(uid, round(float(s), 6)) for (uid, _), s in zip(passages, scores)]
+        # deterministic: score desc, id asc (matches the stub's tie order)
+        return sorted(out, key=lambda kv: (-kv[1], kv[0]))

@@ -98,9 +98,10 @@ class CrossEncoderScore:
     (id, passage) rows against the bound query.
 
     ``model_loader`` is an injectable zero-arg callable returning an object
-    with ``.rank(query, [(id, passage)]) -> [(id, score)]``. The real GPU
-    backend is GATED — this container ships no model weights, so
-    ``model_loader="bge"`` raises; ``"stub"`` binds the deterministic fake.
+    with ``.rank(query, [(id, passage)]) -> [(id, score)]``. ``"bge"``
+    binds the real adapter (models.BGECrossEncoderClient — lazy-imports
+    sentence-transformers, raising a clear error in this weights-less
+    container); ``"stub"`` binds the deterministic fake.
     """
 
     def __init__(self, query: str, model_loader="stub"):
@@ -109,6 +110,13 @@ class CrossEncoderScore:
             self.model = model_loader()
         elif model_loader == "stub":
             self.model = CrossEncoderStub()
+        elif model_loader == "bge":
+            # real BGE adapter (models.py); raises a clear
+            # NotImplementedError when sentence-transformers/weights are
+            # absent — this container ships neither
+            from ..models import BGECrossEncoderClient
+
+            self.model = BGECrossEncoderClient()
         else:
             raise NotImplementedError(
                 f"cross-encoder backend {model_loader!r} needs model weights not "

@@ -161,3 +161,66 @@ def test_unavailable_backend_raises():
 
     with pytest.raises(NotImplementedError):
         CrossEncoderScore("q", model_loader="bge")
+
+
+def test_sentence_transformer_adapter_seam(ray_session):
+    """r3 VERDICT #5: the REAL adapter class (models.SentenceTransformerEmbedder)
+    runs through the actor-pool seam with an injected model object — the
+    exact way a user drops in a loaded/quantized sentence-transformers
+    model — producing the Embedder-compatible fixed-size-list column."""
+    from graphiti_hf_ray.models import SentenceTransformerEmbedder
+
+    class FakeSTModel:
+        """sentence-transformers .encode surface; unnormalized output so
+        the adapter's normalize path is exercised."""
+
+        def encode(self, texts):
+            return np.stack([np.full(8, 1.0 + len(t), np.float32) for t in texts])
+
+    ds = rd.from_arrow(
+        pa.table({"fact": pa.array([f"fact {i}" for i in range(64)], pa.string())})
+    )
+    out = ds.map_batches(
+        SentenceTransformerEmbedder("fact", "fact_embedding", model=FakeSTModel()),
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    assert len(out) == 64
+    v = np.asarray(out["fact_embedding"].iloc[0])
+    assert v.shape == (8,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5  # normalized
+    # newline normalization (reference EmbedderClient behavior)
+    t = SentenceTransformerEmbedder("fact", "e", model=FakeSTModel())(
+        pa.table({"fact": pa.array(["a\nb"])})
+    )
+    assert len(t.column("e")) == 1
+
+
+def test_bge_cross_encoder_adapter_seam(ray_session):
+    """The real BGE adapter (.predict surface) flows through
+    CrossEncoderScore via model_loader — both as an injected client and
+    via the 'bge' name (which must raise clearly without the library)."""
+    from graphiti_hf_ray.models import BGECrossEncoderClient
+    from graphiti_hf_ray.search.rerank import CrossEncoderScore, cross_encoder_rerank_distributed
+
+    class FakeBGEModel:
+        def predict(self, pairs):
+            # score = passage length → deterministic ordering
+            return np.asarray([float(len(p)) for _, p in pairs])
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "uuid": pa.array([f"u{i}" for i in range(12)], pa.string()),
+                "passage": pa.array(["x" * (i + 1) for i in range(12)], pa.string()),
+            }
+        )
+    )
+    top = cross_encoder_rerank_distributed(
+        ds, "query", text_col="passage", id_col="uuid", k=3,
+        model_loader=lambda: BGECrossEncoderClient(model=FakeBGEModel()),
+    )
+    assert list(top["uuid"]) == ["u11", "u10", "u9"]  # longest passages win
+    # 'bge' name without the library installed → clear gated error
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        CrossEncoderScore("q", model_loader="bge")
+    assert BGECrossEncoderClient(model=FakeBGEModel()).rank("q", []) == []
