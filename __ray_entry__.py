@@ -488,14 +488,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
     thresh = format(int(0.2 * 16**8), "08x")
-    sql["q38_hash_sample"] = f"""
-        SELECT doc_id, lang FROM documents
+    sql["q38_sample_synopsis"] = f"""
+        SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS v FROM documents
         WHERE substr(md5('s:' || doc_id), 1, 8) < '{thresh}'
+        UNION ALL
+        SELECT 'kmv', h FROM (
+            SELECT h FROM (SELECT DISTINCT md5('k:' || text) AS h FROM documents)
+            ORDER BY h LIMIT 32
+        )
     """
-    sql["q39_kmv_synopsis"] = """
-        SELECT h FROM (
-            SELECT DISTINCT md5('k:' || text) AS h FROM documents
-        ) ORDER BY h LIMIT 32
+    # boilerplate removal: fragments (len >= 4) in >= 50% of docs removed;
+    # threshold mirrors the engine's max(2, ceil(frac * n_docs))
+    sql["q39_boilerplate_removal"] = """
+        WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
+        tok AS (
+            SELECT DISTINCT doc_id, w
+            FROM (SELECT doc_id, unnest(t) AS w FROM d) u WHERE length(w) >= 4
+        ),
+        freq AS (
+            SELECT w FROM tok GROUP BY w
+            HAVING count(*) >= greatest(2, CAST(ceil(0.5 * (SELECT count(*) FROM documents)) AS BIGINT))
+        ),
+        bad AS (SELECT coalesce(list(w), []) AS b FROM freq)
+        SELECT doc_id,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_dropped_lines,
+               md5(coalesce(array_to_string(kept, chr(32)), '')) AS fingerprint
+        FROM (
+            SELECT doc_id, t,
+                   list_filter(t, x -> NOT (length(x) >= 4 AND list_contains(b, x))) AS kept
+            FROM d CROSS JOIN bad
+        )
     """
     # q41: weighted label propagation, unrolled synchronous rounds. The
     # engine iterates to the fixpoint; the fixture converges well inside

@@ -667,26 +667,54 @@ def q37_large_join(sf_dir: str) -> pd.DataFrame:
 QUERIES["q37_large_join"] = q37_large_join
 
 
-def q38_hash_sample(sf_dir: str) -> pd.DataFrame:
-    """Deterministic hash sample (~20%) of documents — coordination-free,
-    rerun-stable, partitioning-independent."""
-    from ..functions.sample import hash_sample
+def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
+    """Fused sampling + sketch slot (the driver records at most 50
+    queries): a deterministic ~20% hash sample of documents
+    (coordination-free, rerun-stable, partitioning-independent) UNION the
+    exact 32-hash K-minimum-values distinct synopsis — both operators,
+    one driver row, aligned on (kind, v)."""
+    from ..functions.sample import hash_sample, kmv_synopsis
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-    return hash_sample(ds, "doc_id", 0.2).to_pandas()
+    samp = hash_sample(_read(sf_dir, "documents", ["doc_id"]), "doc_id", 0.2).to_pandas()
+    synopsis, _est = kmv_synopsis(_read(sf_dir, "documents", ["text"]), "text", k=32)
+    return pd.DataFrame(
+        {
+            "kind": ["sample"] * len(samp) + ["kmv"] * len(synopsis),
+            "v": [str(int(d)) for d in samp["doc_id"]] + list(synopsis),
+        }
+    )
 
 
-def q39_kmv_synopsis(sf_dir: str) -> pd.DataFrame:
-    """K-minimum-values distinct sketch over document texts: the synopsis
-    (32 smallest salted hashes) is exact and SQL-reproducible."""
-    from ..functions.sample import kmv_synopsis
+def q39_boilerplate_removal(sf_dir: str) -> pd.DataFrame:
+    """Corpus boilerplate-fragment removal (textclean family, CCNet-style
+    frequent-fragment pass): whitespace-separated fragments of length >= 4
+    appearing in >= 50% of documents are removed corpus-wide — per-batch
+    DISTINCT-per-doc partial counts → bucketed sum → size-gated broadcast
+    of the frequent set → map-side strip. The driver checks per-doc drop
+    counts and the md5 of the cleaned text."""
+    import hashlib as _hl
 
-    ds = _read(sf_dir, "documents", ["text"])
-    synopsis, _est = kmv_synopsis(ds, "text", k=32)
-    return pd.DataFrame({"h": synopsis})
+    from ..functions.textclean import remove_boilerplate_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cleaned = remove_boilerplate_lines(docs, min_doc_frac=0.5, sep=" ")
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [_hl.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_dropped_lines": t.column("n_dropped_lines"),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return cleaned.map_batches(fp, batch_format="pyarrow").to_pandas()
 
 
-QUERIES.update({"q38_hash_sample": q38_hash_sample, "q39_kmv_synopsis": q39_kmv_synopsis})
+QUERIES.update(
+    {"q38_sample_synopsis": q38_sample_synopsis, "q39_boilerplate_removal": q39_boilerplate_removal}
+)
 
 
 def q40_episodes_by_mention(sf_dir: str) -> pd.DataFrame:
