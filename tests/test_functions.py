@@ -924,3 +924,46 @@ def test_embedding_matrix_zero_copy_paths():
     except ValueError:
         pass  # np.stack raises on ragged — acceptable, never engine-produced
     assert embedding_matrix(pa.array([], pa.list_(pa.float32()))).shape == (0, 0)
+
+
+def test_knn_ivf_probe_width_exactness(ray_session, sf_small):
+    """r3 VERDICT #7: the multi-probe width is a real knob —
+    probe_hamming >= n_planes scans every bucket and equals brute force;
+    wider probes never lose results vs narrower ones."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    q = np.asarray(t.column("embedding").to_pylist()[0], np.float64)
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    brute = list(knn_brute(emb, q, k=10)["vec_id"])
+    exact = list(knn_ivf(emb, q, k=10, n_planes=4, probe_hamming=4)["vec_id"])
+    assert exact == brute  # full-probe == exact
+    narrow = set(knn_ivf(emb, q, k=10, n_planes=6, probe_hamming=1)["vec_id"])
+    wide = set(knn_ivf(emb, q, k=10, n_planes=6, probe_hamming=2)["vec_id"])
+    assert len(wide & set(brute)) >= len(narrow & set(brute))
+
+
+def test_ivf_trained_recall_on_fixture(ray_session, sf_small):
+    """Trained-centroid IVF (the scale path): deterministic training, and
+    the measured fixture curve meets the recorded bar — recall >= 0.9 at
+    >= 4x scan reduction (n_lists=16, n_probe=4; BASELINE.md ANN section).
+    Everything is RNG-free, so the numbers are exact, not flaky."""
+    import pyarrow.parquet as pq
+
+    from graphiti_hf_ray.functions.knn import (
+        ivf_recall_curve,
+        knn_ivf_trained,
+        train_ivf_centroids,
+    )
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    Q = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()[:8]])
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]).materialize()
+    C = train_ivf_centroids(emb, n_lists=16)
+    C2 = train_ivf_centroids(emb, n_lists=16)
+    np.testing.assert_array_equal(C, C2)  # deterministic training
+    got = knn_ivf_trained(emb, Q[0], C, k=10, n_probe=16)  # all lists = exact
+    assert list(got["vec_id"]) == list(knn_brute(emb, Q[0], k=10)["vec_id"])
+    curve = ivf_recall_curve(emb, Q, k=10, configs=((16, 4),))
+    row = curve.iloc[0]
+    assert row["recall"] >= 0.9 and row["scan_reduction"] >= 4.0, curve.to_string()
