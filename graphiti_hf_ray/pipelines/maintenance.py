@@ -174,7 +174,10 @@ def _filter_table_dir(root: str, pred) -> int:
             p = os.path.join(dirpath, fn)
             t = pq.read_table(p)
             keep = pred(t)
-            dropped = t.num_rows - pc.sum(pc.cast(keep, pa.int64())).as_py()
+            # pc.sum of an empty mask is null, not 0 — a zero-row file
+            # (e.g. left by a prior delete) must not crash the next one
+            kept = pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+            dropped = t.num_rows - kept
             if dropped:
                 n += dropped
                 gio.rewrite_file_atomic(t.filter(keep), p)

@@ -1,0 +1,156 @@
+"""S6 serving endpoints: the reference's graph_service route surface
+(server/graph_service/routers/ingest.py:51-105 + retrieve.py:17-57)
+rebuilt on stdlib HTTP over the engine's batch operators. Tests drive the
+REAL HTTP server (urllib against loopback) end to end: enqueue-ingest →
+incremental build → search/read → delete → clear."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+
+def _call(port, method, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def service(ray_session, tmp_path_factory):
+    from graphiti_hf_ray.serve import serve
+
+    out = str(tmp_path_factory.mktemp("served_graph"))
+    server, svc = serve(out, port=8329)
+    yield 8329, svc
+    server.shutdown()
+
+
+def test_ingest_then_search_roundtrip(service):
+    port, svc = service
+    msgs = [
+        {
+            "content": "Ada Lovelace works at Acme Corporation.",
+            "role": "alice",
+            "role_type": "user",
+            "timestamp": "2024-02-01T00:00:00",
+        },
+        {
+            "content": "Grace Hopper moved to Oslo.",
+            "role": "bob",
+            "role_type": "user",
+            "timestamp": "2024-03-01T00:00:00",
+        },
+    ]
+    code, res = _call(port, "POST", "/messages", {"group_id": "chat1", "messages": msgs})
+    assert code == 202 and res["success"]
+    svc.flush()  # deterministic test hook; the queue drains in background
+
+    # hybrid search finds the ingested fact, FactResult shape
+    code, res = _call(
+        port, "POST", "/search", {"query": "works at Acme", "group_ids": ["chat1"], "max_facts": 5}
+    )
+    assert code == 200
+    facts = res["facts"]
+    assert any("works at Acme Corporation" in f["fact"] for f in facts)
+    f0 = facts[0]
+    assert set(f0) == {"uuid", "name", "fact", "valid_at", "invalid_at", "created_at", "expired_at"}
+    assert f0["valid_at"].endswith("+00:00")
+
+    # GET /entity-edge/{uuid}
+    code, edge = _call(port, "GET", f"/entity-edge/{f0['uuid']}")
+    assert code == 200 and edge["uuid"] == f0["uuid"]
+    code, _ = _call(port, "GET", "/entity-edge/nope")
+    assert code == 404
+
+    # GET /episodes/{group_id}?last_n=1 → the LATEST episode (Grace's)
+    code, eps = _call(port, "GET", "/episodes/chat1?last_n=1")
+    assert code == 200 and len(eps) == 1
+    assert "Grace Hopper moved to Oslo" in eps[0]["content"]
+
+    # POST /get-memory composes the query from messages (retrieve.py:60-63)
+    code, mem = _call(
+        port, "POST", "/get-memory",
+        {
+            "group_id": "chat1",
+            "messages": [{"role": "alice", "role_type": "user", "content": "who works at Acme?"}],
+        },
+    )
+    assert code == 200 and any("Acme" in f["fact"] for f in mem["facts"])
+
+
+def test_ingest_idempotent_and_incremental(service):
+    """Re-posting the same messages appends nothing (content-fingerprinted
+    shards + deterministic ids); a new message extends the graph."""
+    port, svc = service
+    base = {
+        "content": "Ada Lovelace works at Acme Corporation.",
+        "role": "alice",
+        "role_type": "user",
+        "timestamp": "2024-02-01T00:00:00",
+    }
+    _call(port, "POST", "/messages", {"group_id": "chat1", "messages": [base]})
+    svc.flush()
+    code, res = _call(port, "POST", "/search", {"query": "Acme", "group_ids": ["chat1"]})
+    n_before = len(res["facts"])
+    _call(
+        port, "POST", "/messages",
+        {
+            "group_id": "chat1",
+            "messages": [
+                {
+                    "content": "Alan Turing founded Initech Systems.",
+                    "role": "carol",
+                    "role_type": "user",
+                    "timestamp": "2024-04-01T00:00:00",
+                }
+            ],
+        },
+    )
+    svc.flush()
+    code, res2 = _call(port, "POST", "/search", {"query": "founded Initech", "group_ids": ["chat1"]})
+    assert any("founded Initech Systems" in f["fact"] for f in res2["facts"])
+    code, res3 = _call(port, "POST", "/search", {"query": "Acme", "group_ids": ["chat1"]})
+    assert len(res3["facts"]) == n_before  # idempotent re-ingest added nothing
+
+
+def test_entity_node_delete_and_clear(service):
+    port, svc = service
+    code, node = _call(
+        port, "POST", "/entity-node",
+        {"group_id": "chat1", "name": "Manual Entity", "summary": "hand-added"},
+    )
+    assert code == 201 and node["status"] == "created"
+    code, again = _call(
+        port, "POST", "/entity-node", {"group_id": "chat1", "name": "Manual Entity"}
+    )
+    assert again["status"] == "exists"  # deterministic id upsert
+
+    # delete one edge
+    code, res = _call(port, "POST", "/search", {"query": "Oslo", "group_ids": ["chat1"]})
+    target = next(f["uuid"] for f in res["facts"] if "Oslo" in f["fact"])
+    code, d = _call(port, "DELETE", f"/entity-edge/{target}")
+    assert code == 200 and d["rows_removed"] == 1
+    code, _ = _call(port, "GET", f"/entity-edge/{target}")
+    assert code == 404
+
+    # delete an episode by uuid (removes its rows + orphan cleanup)
+    code, eps = _call(port, "GET", "/episodes/chat1?last_n=1")
+    code, d = _call(port, "DELETE", f"/episode/{eps[0]['uuid']}")
+    assert code == 200 and d["success"]
+
+    # clear wipes everything
+    code, c = _call(port, "POST", "/clear")
+    assert code == 200 and c["success"]
+    code, res = _call(port, "POST", "/search", {"query": "Acme"})
+    assert code == 500 or res["facts"] == []  # graph gone
