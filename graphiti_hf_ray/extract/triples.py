@@ -161,3 +161,85 @@ class MentionGazetteer:
                 "label": pa.array(lab, pa.string()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Episode-window contextual extraction (SURVEY.md M1 → M2/M3)
+# ---------------------------------------------------------------------------
+
+# pronoun subjects the windowed extractor resolves against prior context —
+# the deterministic stand-in for the reference's LLM coreference over the
+# previous-episodes prompt context (bulk_utils.py:75-90 builds the window,
+# graph_data_operations.py:122-181 retrieves it; prompts/extract_edges.py
+# feeds it to the model)
+PRONOUN_SUBJECTS = frozenset({"She", "He", "They"})
+
+
+def extract_triples_windowed(
+    episodes: "object",
+    window: int = 3,
+    relations: dict[str, tuple[str, str, str]] | None = None,
+    registry=None,
+) -> "object":
+    """Extraction WITH the reference's previous-episodes context: per
+    group, episodes run in (valid_at, uuid) order and a pronoun subject
+    ("She moved to Oslo.") resolves to the most recent Person subject seen
+    in the prior ``window`` episodes (or earlier in the same episode).
+    Unresolvable pronouns yield no triple — matching the default
+    extractor, whose grammar never emits pronouns, on pronoun-free input
+    (parity-tested).
+
+    Shuffle shape: ONE bucketed pass keyed on group_id — the same
+    partitioning key every other stage uses, so a group's episodes
+    co-locate and the per-group walk is local. The walk is sequential by
+    construction (context is inherently ordered); groups themselves run
+    in parallel, which is the same parallelism the reference gets from
+    its per-group-id queues (ingest.py:13-38).
+    """
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    ex = TripleExtractor(relations, registry)
+    rx, rels = ex._rx, ex._rels
+
+    def body(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = {k: [] for k in TRIPLES_SCHEMA.names}
+        for _, g in df.groupby("group_id", sort=False):
+            g = g.sort_values(["valid_at", "uuid"], kind="mergesort")
+            recent: list[list[str]] = []  # per prior episode: Person subjects in order
+            for ep in g.itertuples(index=False):
+                ep_subjects: list[str] = []
+                for i, m in enumerate(rx.finditer(ep.content)):
+                    pred, s_label, o_label = rels[m.group("r")]
+                    subj = m.group("s")
+                    if subj in PRONOUN_SUBJECTS:
+                        if s_label != "Person":
+                            continue
+                        # nearest antecedent: this episode first, then the
+                        # window's episodes newest-first
+                        cands = list(ep_subjects) + [
+                            s for prior in reversed(recent[-window:]) for s in reversed(prior)
+                        ]
+                        if not cands:
+                            continue  # unresolvable — drop, no "She" node
+                        subj = cands[0]
+                    elif s_label == "Person":
+                        ep_subjects.insert(0, subj)  # newest-first
+                    out["episode_uuid"].append(ep.uuid)
+                    out["group_id"].append(ep.group_id)
+                    out["valid_at"].append(ep.valid_at)
+                    out["subj_surface"].append(subj)
+                    out["subj_label"].append(s_label)
+                    out["pred"].append(pred)
+                    out["obj_surface"].append(m.group("o"))
+                    out["obj_label"].append(o_label)
+                    out["fact"].append(m.group(0))
+                    out["sent_idx"].append(i)
+                recent.append(ep_subjects[::-1])  # store in document order
+        res = pd.DataFrame(out)
+        res["sent_idx"] = res["sent_idx"].astype("int32")
+        res["valid_at"] = pd.to_datetime(res["valid_at"]).astype("datetime64[us]")
+        return res
+
+    return bucketed_group_apply(episodes, ["group_id"], body)

@@ -122,3 +122,68 @@ def test_episode_content_normalization():
     out = normalize_content(j, "json")
     assert out == "a.x[0]: 1\na.x[1]: 2\nb: 2\nc: s"
     assert normalize_content(j, "json") == out
+
+
+def test_windowed_extraction_coreference(ray_session):
+    """M1→M2/M3: the previous-episodes window feeds extraction — a pronoun
+    subject resolves to the nearest prior Person subject within the
+    window; outside the window (or with no antecedent) it yields nothing;
+    pronoun-free input is row-identical to the default extractor."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.extract.triples import TripleExtractor, extract_triples_windowed
+
+    def eps(rows):
+        return pd.DataFrame(
+            {
+                "uuid": [f"ep{i}" for i in range(len(rows))],
+                "group_id": ["g0"] * len(rows),
+                "content": rows,
+                "valid_at": pd.to_datetime(
+                    [f"2024-01-{i+1:02d}" for i in range(len(rows))]
+                ).astype("datetime64[us]"),
+            }
+        )
+
+    # antecedent one episode back, inside the window
+    df = eps(["Ada Lovelace works at Acme Corporation.", "She moved to Oslo."])
+    out = extract_triples_windowed(rd.from_pandas(df), window=3).to_pandas()
+    moved = out[out["pred"] == "MOVED_TO"]
+    assert list(moved["subj_surface"]) == ["Ada Lovelace"]
+    assert moved["fact"].iloc[0] == "She moved to Oslo."  # fact keeps the source text
+
+    # nearest antecedent wins (Grace is more recent than Ada)
+    df = eps(
+        [
+            "Ada Lovelace works at Acme Corporation.",
+            "Grace Hopper works at Globex Industries.",
+            "She moved to Kyoto.",
+        ]
+    )
+    out = extract_triples_windowed(rd.from_pandas(df), window=3).to_pandas()
+    assert out[out["pred"] == "MOVED_TO"]["subj_surface"].iloc[0] == "Grace Hopper"
+
+    # antecedent beyond the window → unresolvable, dropped (no "She" node)
+    filler = ["Initech Systems acquired Globex Industries."] * 3
+    df = eps(["Ada Lovelace works at Acme Corporation."] + filler + ["She moved to Oslo."])
+    out = extract_triples_windowed(rd.from_pandas(df), window=3).to_pandas()
+    assert (out["pred"] != "MOVED_TO").all()
+    assert "She" not in set(out["subj_surface"])
+
+    # pronoun-free parity with the stateless extractor
+    df = eps(
+        [
+            "Ada Lovelace works at Acme Corporation. Donald Knuth founded Initech Systems.",
+            "Grace Hopper moved to Oslo.",
+        ]
+    )
+    win = extract_triples_windowed(rd.from_pandas(df), window=3).to_pandas()
+    import pyarrow as pa
+
+    plain = TripleExtractor()(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+    key = ["episode_uuid", "subj_surface", "pred", "obj_surface", "sent_idx"]
+    pd.testing.assert_frame_equal(
+        win.sort_values(key).reset_index(drop=True)[plain.columns],
+        plain.sort_values(key).reset_index(drop=True),
+    )
