@@ -243,3 +243,98 @@ def extract_triples_windowed(
         return res
 
     return bucketed_group_apply(episodes, ["group_id"], body)
+
+
+class ReflexiveExtractor:
+    """Reflexion loop around extraction (node_operations.py:69-181,
+    ``MAX_REFLEXION_ITERATIONS``): after a pass, an injectable ``judge``
+    reports entity surfaces the pass missed (the reference asks the LLM
+    "which entities did you miss?"); each further pass re-runs extraction
+    with the missed surfaces ANCHORED into the subject slot — the
+    deterministic analog of re-prompting with the missed-entities list —
+    until the judge reports nothing or ``max_reflexion`` passes ran.
+
+    ``judge(content, facts) -> list[str]``: per-episode missed subject
+    surfaces (facts = the sentences already extracted from that content).
+    The default ``max_reflexion=0`` matches the reference's default (no
+    reflexion); the loop is the injectable seam a real LLM judge drops
+    into. Batch contract identical to ``TripleExtractor``.
+    """
+
+    def __init__(
+        self,
+        judge=None,
+        max_reflexion: int = 0,
+        relations: dict[str, tuple[str, str, str]] | None = None,
+        registry=None,
+    ):
+        self.base = TripleExtractor(relations, registry)
+        self.judge = judge
+        self.max_reflexion = max_reflexion
+
+    def _anchored_pass(self, batch: pa.Table, missed: list[list[str]]) -> pa.Table:
+        """Second-chance pass: subject slot = exactly the judge's missed
+        surfaces (verbatim alternation — surfaces the entity pattern
+        rejected, e.g. lowercase names, become matchable)."""
+        rels = self.base._rels
+        alts = "|".join(re.escape(k) for k in sorted(rels, key=len, reverse=True))
+        uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid = batch.column("valid_at").to_pylist()
+        cols = {k: [] for k in TRIPLES_SCHEMA.names}
+        for u, g, c, v, miss in zip(uuids, groups, contents, valid, missed):
+            if not miss:
+                continue
+            subj_alt = "|".join(re.escape(s) for s in sorted(set(miss), key=len, reverse=True))
+            rx = re.compile(rf"(?P<s>{subj_alt}) (?P<r>{alts}) (?P<o>{_ENT})\.")
+            for i, m in enumerate(rx.finditer(c)):
+                pred, s_label, o_label = rels[m.group("r")]
+                cols["episode_uuid"].append(u)
+                cols["group_id"].append(g)
+                cols["valid_at"].append(v)
+                cols["subj_surface"].append(m.group("s"))
+                cols["subj_label"].append(s_label)
+                cols["pred"].append(pred)
+                cols["obj_surface"].append(m.group("o"))
+                cols["obj_label"].append(o_label)
+                cols["fact"].append(m.group(0))
+                cols["sent_idx"].append(i)
+        return pa.table(
+            {k: pa.array(cols[k], TRIPLES_SCHEMA.field(k).type) for k in TRIPLES_SCHEMA.names},
+            schema=TRIPLES_SCHEMA,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.base(batch)
+        if self.judge is None or self.max_reflexion <= 0:
+            return out
+        uuids = batch.column("uuid").to_pylist()
+        contents = batch.column("content").to_pylist()
+        for _ in range(self.max_reflexion):
+            by_ep: dict[str, list[str]] = {}
+            for u, f in zip(out.column("episode_uuid").to_pylist(), out.column("fact").to_pylist()):
+                by_ep.setdefault(u, []).append(f)
+            missed = [self.judge(c, by_ep.get(u, [])) for u, c in zip(uuids, contents)]
+            if not any(missed):
+                break
+            extra = self._anchored_pass(batch, missed)
+            if extra.num_rows == 0:
+                break
+            seen = set(
+                zip(
+                    out.column("episode_uuid").to_pylist(),
+                    out.column("fact").to_pylist(),
+                )
+            )
+            keep = [
+                i
+                for i, (u, f) in enumerate(
+                    zip(extra.column("episode_uuid").to_pylist(), extra.column("fact").to_pylist())
+                )
+                if (u, f) not in seen
+            ]
+            if not keep:
+                break
+            out = pa.concat_tables([out, extra.take(keep)])
+        return out

@@ -113,3 +113,75 @@ class BGECrossEncoderClient:
         out = [(uid, round(float(s), 6)) for (uid, _), s in zip(passages, scores)]
         # deterministic: score desc, id asc (matches the stub's tie order)
         return sorted(out, key=lambda kv: (-kv[1], kv[0]))
+
+
+class OpenAICompatEmbedder:
+    """Actor-pool embedding stage for any OpenAI-compatible ``/embeddings``
+    endpoint (OpenAI, vLLM, TEI, Ollama, LM Studio serve the same shape) —
+    the reference's OpenAIEmbedder surface (graphiti_core/embedder/
+    openai.py; newline normalization per client.py). stdlib-urllib only;
+    one POST per Arrow batch (batched inference), retried with capped
+    exponential backoff. ``transport`` injects a ``texts -> [[float]]``
+    callable for tests/custom stacks; without it the real HTTP transport
+    binds to ``endpoint``.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        out_col: str,
+        endpoint: str = "http://127.0.0.1:8000/v1",
+        model: str = "text-embedding-3-small",
+        api_key: str | None = None,
+        dim: int | None = None,
+        normalize: bool = False,
+        transport=None,
+        max_retries: int = 3,
+    ):
+        self.text_col, self.out_col = text_col, out_col
+        self.normalize, self._dim = normalize, dim
+        if transport is not None:
+            self._transport = transport
+        else:
+            url = endpoint.rstrip("/") + "/embeddings"
+
+            def http_transport(texts: list[str]) -> list[list[float]]:
+                import json as _json
+                import time as _time
+                import urllib.request
+
+                body = _json.dumps({"model": model, "input": texts}).encode()
+                headers = {"Content-Type": "application/json"}
+                if api_key:
+                    headers["Authorization"] = f"Bearer {api_key}"
+                last = None
+                for attempt in range(max_retries):
+                    try:
+                        req = urllib.request.Request(url, data=body, headers=headers)
+                        with urllib.request.urlopen(req) as r:
+                            payload = _json.loads(r.read())
+                        data = sorted(payload["data"], key=lambda d: d["index"])
+                        return [d["embedding"] for d in data]
+                    except Exception as e:  # retry transient transport errors
+                        last = e
+                        _time.sleep(min(2.0, 0.1 * 2**attempt))
+                raise RuntimeError(f"embeddings endpoint failed after {max_retries} tries") from last
+
+            self._transport = http_transport
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [(t or "").replace("\n", " ") for t in batch.column(self.text_col).to_pylist()]
+        if texts:
+            mat = np.asarray(self._transport(texts), np.float32)
+        else:
+            mat = np.zeros((0, self._dim or 0), np.float32)
+        if self._dim is None and mat.size:
+            self._dim = int(mat.shape[1])
+        if mat.size and self._dim and mat.shape[1] != self._dim:
+            raise ValueError(f"endpoint returned dim {mat.shape[1]}, stage bound to {self._dim}")
+        if self.normalize and mat.size:
+            mat = _l2(mat).astype(np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), pa.float32()), self._dim or 1
+        )
+        return batch.append_column(self.out_col, arr)

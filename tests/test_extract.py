@@ -187,3 +187,40 @@ def test_windowed_extraction_coreference(ray_session):
         win.sort_values(key).reset_index(drop=True)[plain.columns],
         plain.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_reflexion_loop_recovers_missed_entities(ray_session):
+    """Reflexion mechanics (node_operations.py:69-181): a judge reporting a
+    missed subject surface triggers an anchored second pass that recovers
+    the triple; the loop stops when the judge reports nothing; the
+    reference-default max_reflexion=0 is a strict no-op."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphiti_hf_ray.extract.triples import ReflexiveExtractor
+
+    batch = pa.table(
+        {
+            "uuid": pa.array(["ep0"]),
+            "group_id": pa.array(["g0"]),
+            # lowercase subject: invisible to the capitalized entity pattern
+            "content": pa.array(["ada lovelace works at Acme Corporation."]),
+            "valid_at": pa.array([1704067200_000_000], pa.timestamp("us")),
+        }
+    )
+    calls = []
+
+    def judge(content, facts):
+        calls.append(len(facts))
+        # "LLM" knows the lowercase name was missed until it shows up
+        return [] if any("ada lovelace" in f for f in facts) else ["ada lovelace"]
+
+    out0 = ReflexiveExtractor(judge=judge, max_reflexion=0)(batch)
+    assert out0.num_rows == 0  # reference default: no reflexion
+
+    calls.clear()
+    out = ReflexiveExtractor(judge=judge, max_reflexion=3)(batch)
+    assert out.num_rows == 1
+    assert out.column("subj_surface").to_pylist() == ["ada lovelace"]
+    assert out.column("pred").to_pylist() == ["WORKS_AT"]
+    assert calls == [0, 1]  # round 1 found it, round 2 judged complete, no round 3

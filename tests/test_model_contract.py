@@ -224,3 +224,53 @@ def test_bge_cross_encoder_adapter_seam(ray_session):
     with pytest.raises(NotImplementedError, match="sentence-transformers"):
         CrossEncoderScore("q", model_loader="bge")
     assert BGECrossEncoderClient(model=FakeBGEModel()).rank("q", []) == []
+
+
+def test_openai_compat_embedder_real_http_transport(ray_session):
+    """The OpenAI-compatible embedder's REAL urllib transport runs through
+    the actor-pool seam against a local /v1/embeddings server serving the
+    standard response shape — the full wire path minus the provider."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from graphiti_hf_ray.models import OpenAICompatEmbedder
+
+    class FakeOpenAI(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            assert self.path == "/v1/embeddings"
+            req = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            assert self.headers.get("Authorization") == "Bearer test-key"
+            data = [
+                # deterministic: embedding = [len(text), index] padded to 4
+                {"index": i, "embedding": [float(len(t)), float(i), 0.0, 0.0]}
+                for i, t in enumerate(req["input"])
+            ]
+            body = _json.dumps({"data": data, "model": req["model"]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 8341), FakeOpenAI)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        ds = rd.from_arrow(
+            pa.table({"fact": pa.array([f"t{'x' * i}" for i in range(32)], pa.string())})
+        )
+        out = ds.map_batches(
+            OpenAICompatEmbedder(
+                "fact", "emb",
+                endpoint="http://127.0.0.1:8341/v1", api_key="test-key", dim=4,
+            ),
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 32
+        got = {int(v[0]) for v in out["emb"]}
+        assert got == {len(f"t{'x' * i}") for i in range(32)}  # lengths round-tripped
+    finally:
+        server.shutdown()
