@@ -305,3 +305,75 @@ def broadcast_lookup(ds: "ray.data.Dataset", key_col: str, mapping: dict, out_co
         return t.append_column(out_col, pa.Array.from_pandas(vals))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def semi_join(
+    data: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: str,
+    anti: bool = False,
+    num_buckets: int | None = None,
+    data_types: "dict[str, pa.DataType] | None" = None,
+) -> "ray.data.Dataset":
+    """Distributed semi-join filter: keep the rows of ``data`` whose ``on``
+    value appears in ``keys`` (a Dataset holding at least an ``on`` column);
+    ``anti=True`` inverts the predicate (anti-join). One bucketed co-shuffle
+    on ``on`` — both sides meet in the same bucket, the filter is a
+    vectorized ``isin`` per bucket, and NO driver-side set is built (the
+    scale path when the key set outgrows a ``ray.put`` broadcast).
+
+    Nested columns (list/struct) do not survive the pandas bucket body, so
+    they ride the shuffle as pickled ``binary`` and decode on the way out —
+    the same trick as the migration reader's embedding carry
+    (migration.py:84-113). Per-row pickling makes this a maintenance-op
+    join; hot per-record paths should broadcast or pre-project instead.
+    """
+    import pickle
+
+    d_types = dict(data_types) if data_types is not None else _arrow_types(data)
+    if not d_types:
+        raise ValueError(
+            "semi_join cannot derive a schema from an all-empty data side; "
+            "pass data_types explicitly"
+        )
+    ride = [c for c, t in d_types.items() if pa.types.is_nested(t)]
+
+    def enc(t: pa.Table) -> pa.Table:
+        for c in ride:
+            idx = t.schema.get_field_index(c)
+            vals = [None if v is None else pickle.dumps(v) for v in t.column(c).to_pylist()]
+            t = t.set_column(idx, c, pa.array(vals, pa.binary()))
+        return t.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
+
+    def pad_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for c, typ in d_types.items():
+            use = pa.binary() if c in ride else typ
+            cols[c] = t.column(on).cast(use) if c == on else pa.nulls(n, use)
+        cols["_side"] = pa.array([1] * n, pa.int8())
+        return pa.table(cols)
+
+    combined = data.map_batches(enc, batch_format="pyarrow").union(
+        keys.select_columns([on]).map_batches(pad_keys, batch_format="pyarrow")
+    )
+
+    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        present = set(df.loc[df["_side"] == 1, on])
+        rows = df.loc[df["_side"] == 0]
+        m = rows[on].isin(present)
+        return rows.loc[~m if anti else m].drop(columns=["_side"])
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    out = bucketed_group_apply(combined, [on], filter_bucket, num_buckets=num_buckets)
+
+    def dec(t: pa.Table) -> pa.Table:
+        for c in ride:
+            idx = t.schema.get_field_index(c)
+            vals = [None if v is None else pickle.loads(v) for v in t.column(c).to_pylist()]
+            t = t.set_column(idx, c, pa.array(vals, d_types[c]))
+        return t
+
+    restore = _restore_types(d_types)
+    return out.map_batches(lambda t: restore(dec(t)), batch_format="pyarrow")

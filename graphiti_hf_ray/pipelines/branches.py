@@ -25,8 +25,12 @@ Strategies (MergeStrategy parity, concurrency_manager.py:52-58):
                  timestamp_based_merge rule (:592-613).
 
 Scale note: the broadcast decision sets are O(source-only + conflicting
-uuids); a merge whose divergence outgrows a broadcast should route the
-apply step through ``functions.joins.hash_join`` instead.
+uuids); when the divergence count exceeds ``GRAFT_MERGE_BROADCAST_MAX``
+(default 2M uuids ≈ a few hundred MB broadcast) the apply step routes
+through ``functions.joins.semi_join`` — a bucketed co-shuffle of the data
+rows against the decision keys with NO driver-side set — and the conflict
+report is capped at ``CONFLICT_REPORT_MAX`` rows (``conflicts_truncated``
+flags the cap; counts stay exact either way).
 """
 
 from __future__ import annotations
@@ -46,6 +50,12 @@ import ray.data as rd
 from .. import io as gio
 
 _SIDE_TARGET, _SIDE_SOURCE = 0, 1
+
+# divergence size above which the apply step stops broadcasting uuid sets
+# and routes through the distributed semi/anti join instead
+BROADCAST_MAX_DIVERGENCE = 2_000_000
+# at-scale cap on the driver-side conflict report (counts stay exact)
+CONFLICT_REPORT_MAX = 100_000
 
 
 def _sig_batch(t: pa.Table, side: int, compare_cols: list[str]) -> pa.Table:
@@ -157,41 +167,114 @@ def merge_branch_table(
     ).union(
         src.map_batches(lambda t: _sig_batch(t, _SIDE_SOURCE, compare_cols), batch_format="pyarrow")
     )
-    decisions = bucketed_group_apply(
+    decisions_ds = bucketed_group_apply(
         sigs, ["uuid"], lambda df: _classify_bucket(df, strategy)
-    ).to_pandas()
-    if decisions.empty:  # Ray's to_pandas drops columns on all-empty output
-        decisions = pd.DataFrame(
-            {
-                "uuid": pd.Series([], dtype=str),
-                "take": pd.Series([], dtype=str),
-                "conflict": pd.Series([], dtype=bool),
-                "resolved": pd.Series([], dtype=bool),
-            }
+    ).materialize()
+    n_divergent = decisions_ds.count()
+    gate = int(os.environ.get("GRAFT_MERGE_BROADCAST_MAX", str(BROADCAST_MAX_DIVERGENCE)))
+    conflicts_truncated = False
+
+    if n_divergent <= gate:
+        # small divergence: driver decision frame + broadcast filter sets
+        decisions = decisions_ds.to_pandas()
+        if decisions.empty:  # Ray's to_pandas drops columns on all-empty output
+            decisions = pd.DataFrame(
+                {
+                    "uuid": pd.Series([], dtype=str),
+                    "take": pd.Series([], dtype=str),
+                    "conflict": pd.Series([], dtype=bool),
+                    "resolved": pd.Series([], dtype=bool),
+                }
+            )
+
+        conflicts = decisions[decisions["conflict"]][["uuid", "take", "resolved"]].reset_index(drop=True)
+        take_source = set(decisions.loc[decisions["take"] == "source", "uuid"])
+        drop_target = {u for u in take_source} & set(
+            decisions.loc[decisions["conflict"], "uuid"]
+        )  # conflicting uuids resolved to source replace the target copy
+        n_added = int((~decisions["conflict"] & (decisions["take"] == "source")).sum())
+        n_conflicts = int(decisions["conflict"].sum())
+        n_resolved = int((decisions["conflict"] & decisions["resolved"]).sum())
+
+        src_ref = ray.put(sorted(take_source))
+        tgt_ref = ray.put(sorted(drop_target))
+
+        def keep_target(t: pa.Table) -> pa.Table:
+            drop = pa.array(ray.get(tgt_ref), pa.string())
+            if len(drop) == 0:
+                return t
+            return t.filter(pc.invert(pc.is_in(t.column("uuid"), value_set=drop)))
+
+        def add_source(t: pa.Table) -> pa.Table:
+            want = pa.array(ray.get(src_ref), pa.string())
+            return t.filter(pc.is_in(t.column("uuid"), value_set=want))
+
+        merged = tgt.map_batches(keep_target, batch_format="pyarrow").union(
+            src.map_batches(add_source, batch_format="pyarrow")
         )
+    else:
+        # divergence outgrew a broadcast: exact counts from a partial-count
+        # pass, conflict report capped, apply via distributed semi/anti join
+        from ..functions.joins import semi_join
 
-    conflicts = decisions[decisions["conflict"]][["uuid", "take", "resolved"]].reset_index(drop=True)
-    take_source = set(decisions.loc[decisions["take"] == "source", "uuid"])
-    drop_target = {u for u in take_source} & set(
-        decisions.loc[decisions["conflict"], "uuid"]
-    )  # conflicting uuids resolved to source replace the target copy
+        def part_counts(t: pa.Table) -> pa.Table:
+            take_src = pc.equal(t.column("take"), "source")
+            conf = t.column("conflict")
+            return pa.table(
+                {
+                    "n_added": pa.array(
+                        [pc.sum(pc.and_(pc.invert(conf), take_src)).as_py() or 0], pa.int64()
+                    ),
+                    "n_conflicts": pa.array([pc.sum(conf).as_py() or 0], pa.int64()),
+                    "n_resolved": pa.array(
+                        [pc.sum(pc.and_(conf, t.column("resolved"))).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
 
-    src_ref = ray.put(sorted(take_source))
-    tgt_ref = ray.put(sorted(drop_target))
+        cdf = decisions_ds.map_batches(part_counts, batch_format="pyarrow").to_pandas()
+        n_added = int(cdf["n_added"].sum())
+        n_conflicts = int(cdf["n_conflicts"].sum())
+        n_resolved = int(cdf["n_resolved"].sum())
 
-    def keep_target(t: pa.Table) -> pa.Table:
-        drop = pa.array(ray.get(tgt_ref), pa.string())
-        if len(drop) == 0:
-            return t
-        return t.filter(pc.invert(pc.is_in(t.column("uuid"), value_set=drop)))
+        def only_conflicts(t: pa.Table) -> pa.Table:
+            return t.filter(t.column("conflict")).select(["uuid", "take", "resolved"])
 
-    def add_source(t: pa.Table) -> pa.Table:
-        want = pa.array(ray.get(src_ref), pa.string())
-        return t.filter(pc.is_in(t.column("uuid"), value_set=want))
+        conflicts = (
+            decisions_ds.map_batches(only_conflicts, batch_format="pyarrow")
+            .limit(CONFLICT_REPORT_MAX)
+            .to_pandas()
+        )
+        conflicts_truncated = n_conflicts > CONFLICT_REPORT_MAX
+        if conflicts.empty:
+            conflicts = pd.DataFrame(
+                {
+                    "uuid": pd.Series([], dtype=str),
+                    "take": pd.Series([], dtype=str),
+                    "resolved": pd.Series([], dtype=bool),
+                }
+            )
 
-    merged = tgt.map_batches(keep_target, batch_format="pyarrow").union(
-        src.map_batches(add_source, batch_format="pyarrow")
-    )
+        def take_src_keys(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("take"), "source")).select(["uuid"])
+
+        def drop_tgt_keys(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.and_(t.column("conflict"), pc.equal(t.column("take"), "source"))
+            ).select(["uuid"])
+
+        merged = semi_join(
+            tgt,
+            decisions_ds.map_batches(drop_tgt_keys, batch_format="pyarrow"),
+            "uuid",
+            anti=True,
+        ).union(
+            semi_join(
+                src,
+                decisions_ds.map_batches(take_src_keys, batch_format="pyarrow"),
+                "uuid",
+            )
+        )
 
     # atomic swap: write beside, rename over — sibling branches share file
     # inodes via hardlinks, so the old directory's files are never modified
@@ -209,10 +292,11 @@ def merge_branch_table(
     return {
         "table": table,
         "rows": n_rows,
-        "n_added": int((~decisions["conflict"] & (decisions["take"] == "source")).sum()),
-        "n_conflicts": int(decisions["conflict"].sum()),
-        "n_resolved": int((decisions["conflict"] & decisions["resolved"]).sum()),
+        "n_added": n_added,
+        "n_conflicts": n_conflicts,
+        "n_resolved": n_resolved,
         "conflicts": conflicts,
+        "conflicts_truncated": conflicts_truncated,
     }
 
 

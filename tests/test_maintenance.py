@@ -597,3 +597,97 @@ def test_merge_recovers_stranded_swap(ray_session, graph_dir, tmp_path_factory):
     shutil.copytree(old, trash)
     _recover_stranded_merge(work, "edges")
     assert os.path.isdir(old) and not os.path.isdir(trash)
+
+
+def _diverged_worktree(graph_dir, tmp_path_factory, name):
+    """Copy the built graph, branch it, then mutate MAIN: change one fact,
+    drop another edge. Returns (work, changed_uuid, dropped_uuid).
+    Deterministic, so two calls diverge identically."""
+    import glob as _glob
+
+    import pyarrow.compute as _pc
+
+    work = str(tmp_path_factory.mktemp(name))
+    shutil.copytree(graph_dir, work, dirs_exist_ok=True)
+    shutil.rmtree(os.path.join(work, gio.BRANCHES_DIR), ignore_errors=True)
+    gio.create_branch(work, "feat")
+    parts = sorted(_glob.glob(os.path.join(work, "edges", "**", "*.parquet"), recursive=True))
+    tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+    order = _pc.sort_indices(tbl.column("uuid"))
+    tbl = tbl.take(order)
+    uuids = tbl.column("uuid").to_pylist()
+    changed_uuid, dropped_uuid = uuids[0], uuids[1]
+    facts = tbl.column("fact").to_pylist()
+    facts[0] = "CHANGED FACT."
+    tbl = tbl.set_column(tbl.schema.get_field_index("fact"), "fact", pa.array(facts, pa.string()))
+    tbl = tbl.filter(_pc.not_equal(tbl.column("uuid"), pa.scalar(dropped_uuid)))
+    shutil.rmtree(os.path.join(work, "edges"))
+    gio.write_shard_atomic(tbl, os.path.join(work, "edges", "shard=0000"), "mutated")
+    return work, changed_uuid, dropped_uuid
+
+
+def test_branch_merge_distributed_join_parity(
+    ray_session, graph_dir, tmp_path_factory, monkeypatch
+):
+    """Forcing the divergence gate to 0 routes the merge apply through the
+    distributed semi/anti join (no broadcast sets); the merged table, the
+    counts, and the conflict report must be identical to the broadcast
+    path. The edges table carries the fact_embedding list column, so this
+    also exercises semi_join's pickled-binary ride."""
+    import numpy as np
+
+    from graphiti_hf_ray.pipelines.branches import merge_branch
+
+    work_a, changed_uuid, _ = _diverged_worktree(graph_dir, tmp_path_factory, "mrg_bcast")
+    work_b, changed_b, _ = _diverged_worktree(graph_dir, tmp_path_factory, "mrg_dist")
+    assert changed_uuid == changed_b  # identical divergence
+
+    res_a = merge_branch(work_a, "feat", None, strategy="source_wins", tables=("edges",))
+    monkeypatch.setenv("GRAFT_MERGE_BROADCAST_MAX", "0")
+    res_b = merge_branch(work_b, "feat", None, strategy="source_wins", tables=("edges",))
+    monkeypatch.delenv("GRAFT_MERGE_BROADCAST_MAX")
+
+    ra, rb = res_a["tables"]["edges"], res_b["tables"]["edges"]
+    for k in ("rows", "n_added", "n_conflicts", "n_resolved"):
+        assert ra[k] == rb[k], k
+    assert not rb["conflicts_truncated"]
+    assert sorted(ra["conflicts"]["uuid"]) == sorted(rb["conflicts"]["uuid"])
+
+    ma = gio.read_table_dir(work_a, "edges").to_pandas().sort_values("uuid").reset_index(drop=True)
+    mb = gio.read_table_dir(work_b, "edges").to_pandas().sort_values("uuid").reset_index(drop=True)
+    assert list(ma.columns) == list(mb.columns)
+    for c in ma.columns:
+        if c == "fact_embedding":
+            assert np.allclose(np.stack(ma[c].to_numpy()), np.stack(mb[c].to_numpy()))
+        else:
+            assert ma[c].equals(mb[c]), c
+    # the distributed path resolved the conflict to the source side too
+    assert mb.loc[mb["uuid"] == changed_uuid, "fact"].iloc[0] != "CHANGED FACT."
+
+
+def test_semi_join_anti_and_nested_ride(ray_session):
+    """semi_join keeps exactly the matching keys (anti inverts), preserves
+    nested list columns byte-exactly through the pandas bucket shuffle, and
+    restores the input dtypes."""
+    import numpy as np
+
+    from graphiti_hf_ray.functions.joins import semi_join
+
+    data = rd.from_arrow(
+        pa.table(
+            {
+                "uuid": [f"u{i}" for i in range(20)],
+                "n": pa.array(list(range(20)), pa.int64()),
+                "vec": pa.array([[float(i), float(i + 1)] for i in range(20)], pa.list_(pa.float32())),
+            }
+        )
+    )
+    keys = rd.from_arrow(pa.table({"uuid": ["u3", "u7", "u19", "zzz-absent"]}))
+
+    kept = semi_join(data, keys, "uuid").to_pandas().sort_values("uuid").reset_index(drop=True)
+    assert list(kept["uuid"]) == ["u19", "u3", "u7"]
+    assert kept["n"].dtype == "int64"
+    assert np.allclose(np.stack(kept["vec"].to_numpy()), [[19.0, 20.0], [3.0, 4.0], [7.0, 8.0]])
+
+    dropped = semi_join(data, keys, "uuid", anti=True).to_pandas()
+    assert len(dropped) == 17 and not set(dropped["uuid"]) & {"u3", "u7", "u19"}
