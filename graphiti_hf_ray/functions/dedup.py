@@ -55,6 +55,19 @@ _TOK_CACHE: dict[str, int] = {}
 _TOK_CACHE_MAX = 1 << 20
 
 
+def _fetch_arrow_blocks(ds) -> list[pa.Table]:
+    """ray.get the dataset's block refs as Arrow tables, dropping empties.
+    ``to_arrow_refs`` hands back raw pandas blocks when the lineage ends in
+    a pandas-format stage (e.g. map_groups), so normalize per block."""
+    out = []
+    for b in ray.get(ds.to_arrow_refs()):
+        if not isinstance(b, pa.Table):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows:
+            out.append(b)
+    return out
+
+
 def _tok_hash(tok: str) -> int:
     h = _TOK_CACHE.get(tok)
     if h is None:
@@ -380,7 +393,7 @@ def minhash_lsh_candidates(
         # Blocks are fetched as whole Arrow refs (one parallel ray.get),
         # not row-iterated — take_all over many post-shuffle mini-blocks
         # costs seconds of pure round-trip overhead.
-        blocks = [b for b in ray.get(cand_pairs.to_arrow_refs()) if b.num_rows]
+        blocks = _fetch_arrow_blocks(cand_pairs)
         pairs_df = (
             pa.concat_tables(blocks)
             .to_pandas()
@@ -396,12 +409,7 @@ def minhash_lsh_candidates(
 
             return t.filter(pc.is_in(t.column("doc_id"), value_set=want))
 
-        sh_blocks = [
-            b for b in ray.get(
-                sh_rows.map_batches(only_cands, batch_format="pyarrow").to_arrow_refs()
-            )
-            if b.num_rows
-        ]
+        sh_blocks = _fetch_arrow_blocks(sh_rows.map_batches(only_cands, batch_format="pyarrow"))
         sh_tbl = pa.concat_tables(sh_blocks) if sh_blocks else pa.table({"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.string())})
         sh_map = dict(zip(sh_tbl.column("doc_id").to_pylist(), sh_tbl.column("sh").to_pylist()))
         ref = ray.put(sh_map)

@@ -184,7 +184,7 @@ def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": a_out, "b": b_out}, dtype=str)
 
 
-def duplicate_pairs(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+def duplicate_pairs(mentions: "ray.data.Dataset", num_buckets: int | None = None) -> "ray.data.Dataset":
     from .shuffle import bucketed_group_apply
 
     blocked = mentions.map_batches(blocking_keys_batch, batch_format="pyarrow")
@@ -195,7 +195,7 @@ def duplicate_pairs(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
             return pd.DataFrame({"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str)})
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_group_apply(blocked, ["block_key"], per_bucket)
+    return bucketed_group_apply(blocked, ["block_key"], per_bucket, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +230,9 @@ def components_driver(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
     return {k: uf.find(k) for k in list(uf.parent)}
 
 
-def connected_components_distributed(pairs_ds: "ray.data.Dataset", max_iter: int = 50) -> "ray.data.Dataset":
+def connected_components_distributed(
+    pairs_ds: "ray.data.Dataset", max_iter: int = 50, num_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Hash-min label propagation over Datasets (scale path for A1).
 
     pairs_ds: columns (a, b). Returns (node, root) with root = the
@@ -265,6 +267,7 @@ def connected_components_distributed(pairs_ds: "ray.data.Dataset", max_iter: int
         ),
         ["node"],
         lambda df: df.drop_duplicates("node"),
+        num_buckets=num_buckets,
     ).materialize()
 
     def _label_fingerprint(ds: "ray.data.Dataset") -> int:
@@ -307,8 +310,8 @@ def connected_components_distributed(pairs_ds: "ray.data.Dataset", max_iter: int
         combined = labels.map_batches(tag_labels, batch_format="pyarrow").union(
             edges.map_batches(tag_edges, batch_format="pyarrow")
         )
-        candidates = bucketed_group_apply(combined, ["key"], propagate)
-        new_labels = bucketed_group_apply(candidates, ["node"], take_min).materialize()
+        candidates = bucketed_group_apply(combined, ["key"], propagate, num_buckets=num_buckets)
+        new_labels = bucketed_group_apply(candidates, ["node"], take_min, num_buckets=num_buckets).materialize()
         new_fp = _label_fingerprint(new_labels)
         labels = new_labels
         if new_fp == old_fp:
@@ -404,12 +407,21 @@ def canonicalize_distributed(
     distributed CC (O(diameter)) → mention⋈root co-group (1) → per-root
     canonical pick (1) → root⋈canon join (1). Every step is a
     ``bucketed_group_apply`` with a vectorized bucket body."""
-    from .shuffle import bucketed_group_apply
+    from .shuffle import bucketed_group_apply, default_num_buckets
 
     if mentions is None:
         mentions = distinct_mentions(triples)
-    pairs_ds = duplicate_pairs(mentions)
-    cc = connected_components_distributed(pairs_ds)
+    # mentions is consumed twice (pair generation AND the root-attach
+    # co-group) — pin it so the full-stream distinct shuffle runs once
+    mentions = mentions.materialize()
+    # The rest of the chain is vocabulary-sized (distinct mentions), not
+    # corpus-sized: size the shuffle width to the data so the CC loop's
+    # per-round sorts don't pay 4×cpus partitions of fixed cost for a
+    # mention set that fits in a handful of blocks.
+    n_mentions = mentions.count()
+    nb = min(default_num_buckets(), max(8, n_mentions // 50_000 + 1))
+    pairs_ds = duplicate_pairs(mentions, num_buckets=nb)
+    cc = connected_components_distributed(pairs_ds, num_buckets=nb)
 
     # 1) attach component roots: co-group mention rows with (node, root)
     #    rows on the mention key; mentions without a pair keep themselves
@@ -426,7 +438,11 @@ def canonicalize_distributed(
         return pa.table({"key": t.column("node"), "_root": t.column("root")})
 
     def attach_root(df: pd.DataFrame) -> pd.DataFrame:
-        is_cc = df["_root"].notna() if "_root" in df else pd.Series(False, index=df.index)
+        # A bucket's block may carry only one side of the union (all-mention
+        # or all-CC rows) — the absent column must be null-filled, not indexed.
+        if "_root" not in df.columns:
+            df = df.assign(_root=pd.Series(pd.NA, index=df.index, dtype="object"))
+        is_cc = df["_root"].notna()
         m = df.loc[is_cc].drop_duplicates("key").set_index("key")["_root"]
         rows = df.loc[~is_cc].drop(columns=["_root"], errors="ignore").copy()
         if rows.empty:
@@ -438,8 +454,8 @@ def canonicalize_distributed(
         mentions.map_batches(tag_mentions, batch_format="pyarrow").union(
             cc.map_batches(tag_cc, batch_format="pyarrow")
         ),
-        ["key"], attach_root,
-    )
+        ["key"], attach_root, num_buckets=nb,
+    ).materialize()  # consumed by pick_canon AND the final attach co-group
 
     # 2) canonical surface per root: longest, tie → lexicographic min
     def pick_canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -452,12 +468,14 @@ def canonicalize_distributed(
         with_root.map_batches(
             lambda t: t.select(["root", "surface"]).replace_schema_metadata(None), batch_format="pyarrow"
         ),
-        ["root"], pick_canon,
+        ["root"], pick_canon, num_buckets=nb,
     )
 
     # 3) join canonical names back and derive uuids per row
     def attach_canon(df: pd.DataFrame) -> pd.DataFrame:
-        is_c = df["_canon"].notna() if "_canon" in df else pd.Series(False, index=df.index)
+        if "_canon" not in df.columns:
+            df = df.assign(_canon=pd.Series(pd.NA, index=df.index, dtype="object"))
+        is_c = df["_canon"].notna()
         m = df.loc[is_c].drop_duplicates("root").set_index("root")["_canon"]
         rows = df.loc[~is_c].drop(columns=["_canon"], errors="ignore").copy()
         if rows.empty:
@@ -469,7 +487,7 @@ def canonicalize_distributed(
         ]
         return rows[["group_id", "label", "surface", "canon_name", "canon_uuid", "n"]]
 
-    return bucketed_group_apply(with_root.union(canon_per_root), ["root"], attach_canon)
+    return bucketed_group_apply(with_root.union(canon_per_root), ["root"], attach_canon, num_buckets=nb)
 
 
 def build_nodes_table(canon_map: pd.DataFrame, run_ts_us: int) -> pa.Table:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -135,15 +136,15 @@ def rewrite_via_join(triples: "ray.data.Dataset", canon_ds: "ray.data.Dataset") 
     from .shuffle import bucketed_group_apply
 
     def tag_map(t: pa.Table) -> pa.Table:
-        keys = [
-            f"{g}{SEP}{l}{SEP}{s}"
-            for g, l, s in zip(
-                t.column("group_id").to_pylist(), t.column("label").to_pylist(), t.column("surface").to_pylist()
-            )
-        ]
+        keys = pc.binary_join_element_wise(
+            t.column("group_id").cast(pa.string()),
+            t.column("label").cast(pa.string()),
+            t.column("surface").cast(pa.string()),
+            SEP,
+        )
         return pa.table(
             {
-                "key": pa.array(keys, pa.string()),
+                "key": keys,
                 "canon_name": t.column("canon_name"),
                 "canon_uuid": t.column("canon_uuid"),
             }
@@ -156,13 +157,13 @@ def rewrite_via_join(triples: "ray.data.Dataset", canon_ds: "ray.data.Dataset") 
         lab_col = f"{side}_label"
 
         def tag_triples(t: pa.Table) -> pa.Table:
-            keys = [
-                f"{g}{SEP}{l}{SEP}{s}"
-                for g, l, s in zip(
-                    t.column("group_id").to_pylist(), t.column(lab_col).to_pylist(), t.column(surf_col).to_pylist()
-                )
-            ]
-            return t.append_column("key", pa.array(keys, pa.string())).replace_schema_metadata(None)
+            keys = pc.binary_join_element_wise(
+                t.column("group_id").cast(pa.string()),
+                t.column(lab_col).cast(pa.string()),
+                t.column(surf_col).cast(pa.string()),
+                SEP,
+            )
+            return t.append_column("key", keys).replace_schema_metadata(None)
 
         def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
             """One hash bucket of (triples ∪ map rows): vectorized lookup."""

@@ -100,6 +100,17 @@ def bucketed_group_apply(
     Python invocations."""
     nb = num_buckets or default_num_buckets()
     withb = ds.map_batches(add_bucket_column(keys, nb), batch_format="pyarrow")
+    if num_buckets is not None:
+        # Bound the sort width: the groupby shuffle creates O(in_blocks ×
+        # out_blocks) exchange objects, and chained bucketed applies over
+        # SMALL data (each sort emits ~input-many blocks, unions add)
+        # otherwise compound near-empty block counts quadratically — a
+        # streaming split/merge (no exchange) pins the sort at nb
+        # partitions. Only callers that KNOW their data is narrow (e.g.
+        # the vocabulary-sized canonicalization chain) pass num_buckets;
+        # full-stream shuffles skip the extra pass — their input block
+        # counts are already read-bounded at ~2×cpus.
+        withb = withb.repartition(nb, shuffle=False)
 
     def apply(g: pd.DataFrame) -> pd.DataFrame:
         return fn_bucket(g.drop(columns=["_bucket"]))
