@@ -329,6 +329,39 @@ def test_canonicalize_distributed_matches_driver(ray_session, pages_parquet):
     pd.testing.assert_frame_equal(base, dist[base.columns.tolist()], check_dtype=False)
 
 
+def test_canonicalize_distributed_all_singletons(ray_session):
+    """Regression: when NO duplicate pairs exist, the CC side of the
+    root-attach union is empty, so every co-group bucket carries only
+    mention rows and the `_root` column is absent from the group block —
+    the pre-fix code indexed it and crashed (first seen at sf0.1, where
+    some buckets were single-sided even with a non-empty CC set). All
+    surfaces must come back as their own canonical."""
+    import graphiti_hf_ray.stages.canonicalize as C
+
+    # single-token, mutually non-matching names → zero blocking pairs
+    names = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    tbl = pa.table(
+        {
+            "episode_uuid": pa.array([f"e{i}" for i in range(len(names))]),
+            "group_id": pa.array(["g"] * len(names)),
+            "valid_at": pa.array([1_700_000_000_000_000] * len(names), pa.timestamp("us")),
+            "subj_surface": pa.array(names),
+            "subj_label": pa.array(["Person"] * len(names)),
+            "pred": pa.array(["KNOWS"] * len(names)),
+            "obj_surface": pa.array(list(reversed(names))),
+            "obj_label": pa.array(["Person"] * len(names)),
+            "fact": pa.array(["f"] * len(names)),
+        }
+    )
+    triples = rd.from_arrow(tbl)
+    out = C.canonicalize_distributed(triples).to_pandas()
+    assert sorted(out["surface"]) == sorted(names)
+    assert (out["surface"] == out["canon_name"]).all()
+    base = C.canonicalize(triples).sort_values(["surface"]).reset_index(drop=True)
+    dist = out.sort_values(["surface"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, dist[base.columns.tolist()], check_dtype=False)
+
+
 def test_fused_merge_invalidate_matches_unfused(ray_session, pages_parquet):
     """merge_and_invalidate (one shuffle) == dedup_edges →
     invalidate_functional (two shuffles): the fusion claim, verified."""
