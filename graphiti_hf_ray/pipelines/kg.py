@@ -43,7 +43,7 @@ from ..stages.edges import (
     CanonicalRewrite,
     canon_map_dict,
     finalize_edges,
-    mentions_edges_from_triples,
+    mentions_edges_per_shard,
     merge_and_invalidate,
 )
 from ..stages.episodes import make_episode_batch
@@ -121,6 +121,55 @@ def _fingerprint(paths: list[str], etag_map: dict[str, str] | None = None) -> st
     return h.hexdigest()
 
 
+def _read_rg_meta(fp: str) -> list[int]:
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(fp)
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def _slice_specs(files: list[str], num_shards: int) -> list[list[tuple[str, int, int, int]]]:
+    """Deterministic contiguous input slices: shard ``s`` owns global rows
+    [s·total/num_shards, (s+1)·total/num_shards), expressed as
+    (file, row_group, start_in_rg, n_rows) pieces. Depends only on the
+    input files' row-group layout (footer metadata — parallel Ray tasks
+    when a session is up; the 100-TB driver must not read 10⁵ footers
+    serially), so the same input always slices identically — the property
+    shard resume relies on. Content digests already pin the layout: same
+    bytes ⟺ same row groups."""
+    import bisect
+
+    if ray.is_initialized() and len(files) > 4:
+        task = ray.remote(num_cpus=0.25)(_read_rg_meta)
+        metas = ray.get([task.remote(fp) for fp in files])
+    else:
+        metas = [_read_rg_meta(fp) for fp in files]
+    units = [(fp, rg, n) for fp, m in zip(files, metas) for rg, n in enumerate(m)]
+    total = sum(n for _, _, n in units)
+    bounds = [s * total // num_shards for s in range(num_shards + 1)]
+    specs: list[list[tuple[str, int, int, int]]] = [[] for _ in range(num_shards)]
+    pos = 0
+    for fp, rg, n in units:
+        lo, hi = pos, pos + n
+        s = max(0, bisect.bisect_right(bounds, lo) - 1)
+        while s < num_shards and bounds[s] < hi:
+            a, b = max(lo, bounds[s]), min(hi, bounds[s + 1])
+            if b > a:
+                specs[s].append((fp, rg, a - lo, b - a))
+            s += 1
+        pos = hi
+    return specs
+
+
+_EXTRACTOR_MEMO: list = []
+
+
+def _worker_extractor() -> TripleExtractor:
+    if not _EXTRACTOR_MEMO:
+        _EXTRACTOR_MEMO.append(TripleExtractor())
+    return _EXTRACTOR_MEMO[0]
+
+
 def extract_phase(
     pages_paths: list[str],
     out_dir: str,
@@ -130,7 +179,17 @@ def extract_phase(
     store_content: bool = True,
     input_etags: dict[str, str] | None = None,
 ) -> None:
-    """P1: shard-resumable extraction. One shard = one input file slice.
+    """P1: shard-resumable extraction with ZERO exchange. One shard = one
+    deterministic contiguous input slice (``_slice_specs``); each shard
+    task reads only its own row-group slices, runs html→text + episode
+    build + triple extraction, and writes its two shard dirs atomically.
+    The whole phase is an embarrassingly parallel map over shards — the
+    previous design's groupby(shard) moved the entire page-text stream
+    through an all-to-all just to co-locate shard rows, which at 100 TB is
+    a corpus-sized shuffle bought for nothing (slices already ARE
+    co-located). A page (= episode) is one row, so episode ⊂ shard file
+    still holds — the invariant mentions_edges_per_shard documents.
+
     ``input_etags`` (path → content digest) skips reading input bytes for
     fingerprinting — pass object-store etags at scale."""
     num_shards = num_shards or max(4, len(pages_paths))
@@ -151,56 +210,54 @@ def extract_phase(
     if not todo:
         return
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    ds = rd.read_parquet(pages_paths, override_num_blocks=max(num_shards, 2 * cpus))
-    # shard assignment must be content-stable (resume-safe): hash of url
-    def add_shard(t: pa.Table) -> pa.Table:
-        shards = [
-            int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "little") % num_shards
-            for u in t.column("url").to_pylist()
-        ]
-        return t.append_column("shard", pa.array(shards, pa.int32()))
+    files = _input_files(pages_paths)
+    specs = _slice_specs(files, num_shards)
+    from ..schemas import EPISODES
 
-    ds = ds.map_batches(add_shard, batch_format="pyarrow")
-    ds = ds.map_batches(extract_text_batch, batch_format="pyarrow")
-    episodes = ds.map_batches(
-        lambda t: make_episode_batch(t.drop_columns(["shard"]), run_ts_us).append_column(
-            "shard", t.column("shard")
-        ),
-        batch_format="pyarrow",
-    )
-    # group-by-shard write: map_groups writes each shard atomically and
-    # returns only the manifest row — no episode/triple rows return to driver
-    extractor_kwargs = dict(batch_format="pyarrow", batch_size=1024)
-    if extractor_concurrency:
-        extractor_kwargs["concurrency"] = extractor_concurrency
+    def extract_one_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        from ..schemas import EPISODES
-
-        shard = int(g["shard"].iloc[0])
-        ep = pa.Table.from_pandas(g.drop(columns=["shard"]), preserve_index=False, schema=EPISODES)
-        tr = TripleExtractor()(ep)
-        if not store_content:
-            # store_raw_episode_content=False parity (graphiti.py:137,
-            # 551-552): keep the episode row, drop the raw text payload
-            idx = ep.schema.get_field_index("content")
-            ep = ep.set_column(idx, "content", pa.array([""] * ep.num_rows, pa.string()))
-        man_e = gio.write_shard_atomic(ep, sdir("episodes", shard), fps[shard])
-        man_t = gio.write_shard_atomic(
-            tr, sdir("triples", shard), fps[shard], {"triples": tr.num_rows}
+        out_rows = []
+        for shard, spec_json in zip(
+            batch.column("shard").to_pylist(), batch.column("spec").to_pylist()
+        ):
+            pieces = json.loads(spec_json)
+            tabs = [
+                pq.ParquetFile(fp).read_row_group(rg).slice(start, n)
+                for fp, rg, start, n in pieces
+            ]
+            if tabs:
+                pages = pa.concat_tables(tabs)
+                ep = make_episode_batch(extract_text_batch(pages), run_ts_us)
+                ep = ep.select(EPISODES.names).cast(EPISODES)
+            else:
+                ep = EPISODES.empty_table()
+            tr = _worker_extractor()(ep)
+            if not store_content:
+                # store_raw_episode_content=False parity (graphiti.py:137,
+                # 551-552): keep the episode row, drop the raw text payload
+                idx = ep.schema.get_field_index("content")
+                ep = ep.set_column(idx, "content", pa.array([""] * ep.num_rows, pa.string()))
+            man_e = gio.write_shard_atomic(ep, sdir("episodes", shard), fps[shard])
+            man_t = gio.write_shard_atomic(
+                tr, sdir("triples", shard), fps[shard], {"triples": tr.num_rows}
+            )
+            out_rows.append((shard, man_e["rows"], man_t["rows"]))
+        return pa.table(
+            {
+                "shard": pa.array([r[0] for r in out_rows], pa.int32()),
+                "episodes": pa.array([r[1] for r in out_rows], pa.int64()),
+                "triples": pa.array([r[2] for r in out_rows], pa.int64()),
+            }
         )
-        return pd.DataFrame({"shard": [shard], "episodes": [man_e["rows"]], "triples": [man_t["rows"]]})
 
-    todo_set = pa.array(todo, pa.int32())
-
-    def keep_todo(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t.column("shard"), value_set=todo_set))
-
-    episodes = episodes.map_batches(keep_todo, batch_format="pyarrow")
-    stats = episodes.groupby("shard").map_groups(write_shard, batch_format="pandas")
+    items = [{"shard": s, "spec": json.dumps(specs[s])} for s in todo]
+    stats = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        extract_one_shard,
+        batch_format="pyarrow",
+        batch_size=1,
+        **({"concurrency": extractor_concurrency} if extractor_concurrency else {}),
+    )
     stats.materialize()  # execute
 
 
@@ -302,19 +359,14 @@ def link_and_edges_phase(
     timings["edges_job"] = round(_time.time() - t0, 2)
     t0 = _time.time()
 
-    # mentions job: independent light path over the triples parquet with
-    # its OWN pruned read — it touches only the endpoint keys, so re-using
-    # the edges job's 9-column dataset would re-read fact/valid_at/pred
-    # (the fact strings are most of the triple bytes) for nothing
-    mentions_triples = rd.read_parquet(
-        os.path.join(out_dir, "triples"),
-        override_num_blocks=2 * cpus,
-        columns=[
-            "episode_uuid", "group_id", "subj_surface", "subj_label",
-            "obj_surface", "obj_label",
-        ],
-    )
-    mentions = mentions_edges_from_triples(mentions_triples, map_ref, run_ts_us)
+    # mentions job: zero-shuffle per-shard path — each episode's triples
+    # live entirely in one shard file (contiguous-slice sharding, one row
+    # per page + single-file atomic shard writes), so per-file dedup is
+    # globally exact and the
+    # full-stream dedup shuffle of the generic path is unnecessary; only
+    # the 6 endpoint columns are read (the fact strings, most of the
+    # triple bytes, never leave storage)
+    mentions = mentions_edges_per_shard(os.path.join(out_dir, "triples"), map_ref, run_ts_us)
     gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
     timings["mentions"] = round(_time.time() - t0, 2)
 

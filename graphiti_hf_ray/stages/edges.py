@@ -25,6 +25,8 @@ reproducible under any partitioning (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -491,9 +493,109 @@ class MentionsFromTriples:
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("uuid", pa.string()),
+        ("group_id", pa.string()),
+        ("source_node_uuid", pa.string()),
+        ("target_node_uuid", pa.string()),
+        ("created_at", pa.timestamp("us")),
+    ]
+)
+
+
+def _mentions_rows_exact(t: pa.Table, uuids: dict, run_ts_us: int) -> pa.Table:
+    """Final MENTIONS rows for one complete shard's triples table: map both
+    endpoint keys to canonical uuids, dedup (episode, entity) pairs, mint
+    the deterministic edge uuid. Exact iff ``t`` holds ALL triples of every
+    episode it contains (see mentions_edges_per_shard)."""
+    if t.num_rows == 0:
+        return MENTIONS_SCHEMA.empty_table()
+    sep = pa.scalar(SEP)
+    g = t.column("group_id")
+    skey = pc.binary_join_element_wise(g, t.column("subj_label"), t.column("subj_surface"), sep)
+    okey = pc.binary_join_element_wise(g, t.column("obj_label"), t.column("obj_surface"), sep)
+    ep = t.column("episode_uuid").to_pandas()
+    gid = g.to_pandas()
+    sk = pd.Series(skey.to_pandas()).map(uuids)
+    ok = pd.Series(okey.to_pandas()).map(uuids)
+    df = (
+        pd.DataFrame(
+            {
+                "episode_uuid": pd.concat([ep, ep], ignore_index=True),
+                "group_id": pd.concat([gid, gid], ignore_index=True),
+                "entity_uuid": pd.concat([sk, ok], ignore_index=True),
+            }
+        )
+        .dropna(subset=["entity_uuid"])
+        .drop_duplicates(["episode_uuid", "entity_uuid"])
+    )
+    n = len(df)
+    return pa.table(
+        {
+            "uuid": pa.array(
+                [md5_id(f"men:{e}:{n_}") for e, n_ in zip(df["episode_uuid"], df["entity_uuid"])],
+                pa.string(),
+            ),
+            "group_id": pa.array(df["group_id"], pa.string()),
+            "source_node_uuid": pa.array(df["episode_uuid"], pa.string()),
+            "target_node_uuid": pa.array(df["entity_uuid"], pa.string()),
+            "created_at": pa.array(np.full(n, run_ts_us, np.int64), pa.timestamp("us")),
+        }
+    )
+
+
+def mentions_edges_per_shard(triples_root: str, map_ref, run_ts_us: int) -> "ray.data.Dataset":
+    """MENTIONS episodic edges with ZERO shuffle — one task per shard file.
+
+    Partitioning assumption (relied on, documented): the extract phase
+    assigns every page — and a page IS an episode — to exactly one shard
+    (a page is one input row; shards are contiguous input slices,
+    pipelines/kg.py extract_phase) and each shard directory holds ONE
+    parquet file written in a single pq.write_table call
+    (io.write_shard_atomic). All triples of an episode therefore sit
+    in one file, so per-file dedup of (episode, entity) pairs is globally
+    exact; the generic path's full-stream dedup shuffle
+    (mentions_edges_from_triples) only ever removes duplicates that cannot
+    span files (measured: 76 of 7.19M pairs at sf0.1×256 — all within-file,
+    all caught here too). Parity-tested against the generic path.
+
+    Scale shape: embarrassingly parallel over shard files (parallelism =
+    shard count), reads only the 6 endpoint columns, emits final rows
+    straight to the sink with no exchange — at 100 TB this replaces the
+    single most expensive shuffle of the default kg_build with a streaming
+    map. Inputs whose shard layout is unknown must use
+    mentions_edges_from_triples instead."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    import ray.data as rd
+
+    files = sorted(
+        p
+        for p in _glob.glob(os.path.join(triples_root, "shard=*", "*.parquet"))
+        if not os.path.basename(p).startswith(".")
+    )
+    cols = ["episode_uuid", "group_id", "subj_surface", "subj_label", "obj_surface", "obj_label"]
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        uuids = _memo_instance(MentionsFromTriples, map_ref)._uuids
+        tables = [
+            _mentions_rows_exact(_pq.read_table(path, columns=cols), uuids, run_ts_us)
+            for path in batch.column("path").to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else MENTIONS_SCHEMA.empty_table()
+
+    paths = rd.from_items([{"path": p} for p in files], override_num_blocks=max(1, len(files)))
+    return paths.map_batches(per_file, batch_format="pyarrow", batch_size=1)
+
+
 def mentions_edges_from_triples(triples: "ray.data.Dataset", map_ref, run_ts_us: int) -> "ray.data.Dataset":
     """MENTIONS episodic edges straight from the triples parquet — no
-    dependency on the full rewritten Dataset (one independent lazy job)."""
+    dependency on the full rewritten Dataset (one independent lazy job).
+    Generic fallback: makes no layout assumption, pays one full-stream
+    dedup shuffle; shard-aligned outputs use mentions_edges_per_shard."""
     from .shuffle import bucketed_group_apply
 
     import functools

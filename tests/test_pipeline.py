@@ -411,3 +411,47 @@ def test_canon_auto_gate_routes_distributed(ray_session, pages_parquet, graph_ou
     a = gio.read_table_dir(graph_out, "edges").to_pandas()
     b = gio.read_table_dir(out2, "edges").to_pandas()
     assert sorted(a["uuid"]) == sorted(b["uuid"])
+
+
+def test_mentions_per_shard_parity_with_generic(ray_session, graph_out):
+    """The zero-shuffle per-shard MENTIONS path returns row-identical
+    output to the generic full-stream-dedup path (its documented
+    partitioning assumption — episode ⊂ shard file — holds for every
+    extract_phase output)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from graphiti_hf_ray.stages.canonicalize import canonicalize
+    from graphiti_hf_ray.stages.edges import (
+        canon_map_dict,
+        mentions_edges_from_triples,
+        mentions_edges_per_shard,
+    )
+
+    cols = ["episode_uuid", "group_id", "subj_surface", "subj_label", "obj_surface", "obj_label"]
+    troot = os.path.join(graph_out, "triples")
+    canon_map = canonicalize(
+        rd.read_parquet(
+            troot,
+            columns=["group_id", "subj_surface", "subj_label", "obj_surface", "obj_label", "pred", "fact"],
+        )
+    )
+    map_ref = ray.put(canon_map_dict(canon_map))
+    run_ts_us = DEFAULT_RUN_TS_US
+
+    a = (
+        mentions_edges_per_shard(troot, map_ref, run_ts_us)
+        .to_pandas()
+        .sort_values("uuid")
+        .reset_index(drop=True)
+    )
+    b = (
+        mentions_edges_from_triples(rd.read_parquet(troot, columns=cols), map_ref, run_ts_us)
+        .to_pandas()
+        .sort_values("uuid")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns])
