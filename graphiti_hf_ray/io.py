@@ -79,6 +79,52 @@ def write_shard_atomic(table: pa.Table, d: str, fingerprint: str, metrics: dict 
         raise
 
 
+class ShardWriter:
+    """Incremental atomic shard writer: ``write(table)`` appends one row
+    group at a time to ``part-0.parquet`` inside a ``.tmp-`` dir, ``close``
+    writes the manifest and renames — the same crash contract as
+    write_shard_atomic (a SIGKILL leaves only an ignored ``.tmp-`` dir),
+    but the shard's rows never need to be in memory at once. This is what
+    lets one extract task process a 10⁶-row shard chunk-by-chunk with
+    O(chunk) heap instead of O(shard)."""
+
+    def __init__(self, d: str, fingerprint: str, schema: pa.Schema):
+        self._d = d
+        self._fp = fingerprint
+        parent = os.path.dirname(d)
+        os.makedirs(parent, exist_ok=True)
+        self._tmp = tempfile.mkdtemp(prefix=".tmp-shard-", dir=parent)
+        self._writer = pq.ParquetWriter(os.path.join(self._tmp, "part-0.parquet"), schema)
+        self._rows = 0
+
+    def write(self, table: pa.Table) -> None:
+        if table.num_rows:
+            self._writer.write_table(table)
+            self._rows += table.num_rows
+
+    def close(self, metrics: dict | None = None) -> dict:
+        self._writer.close()
+        man = {
+            "fingerprint": self._fp,
+            "rows": self._rows,
+            "written_at": time.time(),
+            "complete": True,
+            **(metrics or {}),
+        }
+        with open(os.path.join(self._tmp, MANIFEST), "w") as f:
+            json.dump(man, f)
+        if os.path.exists(self._d):
+            shutil.rmtree(self._d)
+        os.rename(self._tmp, self._d)
+        return man
+
+    def abort(self) -> None:
+        try:
+            self._writer.close()
+        finally:
+            shutil.rmtree(self._tmp, ignore_errors=True)
+
+
 def write_table_distributed(ds, d: str, fingerprint: str, metrics: dict | None = None) -> int:
     """Distributed sink: workers stream blocks straight to part files under
     a tmp dir (no driver-side concat), then one atomic rename + manifest.

@@ -192,7 +192,12 @@ def extract_phase(
 
     ``input_etags`` (path → content digest) skips reading input bytes for
     fingerprinting — pass object-store etags at scale."""
-    num_shards = num_shards or max(4, len(pages_paths))
+    if num_shards is None:
+        # shards ARE the phase's parallelism now (no read-side split to
+        # fall back on), so the default must saturate the cluster even for
+        # one big input file
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_shards = max(4, len(_input_files(pages_paths)), 2 * cpus)
     fp_run = _fingerprint(pages_paths, input_etags)
     fps = {s: fp_run + f":{s}/{num_shards}" for s in range(num_shards)}
     # shard dirs are namespaced by the input fingerprint: re-running the
@@ -214,6 +219,10 @@ def extract_phase(
     specs = _slice_specs(files, num_shards)
     from ..schemas import EPISODES
 
+    from ..extract.triples import TRIPLES_SCHEMA
+
+    chunk_rows = int(os.environ.get("GRAFT_EXTRACT_CHUNK_ROWS", "16384"))
+
     def extract_one_shard(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -222,26 +231,34 @@ def extract_phase(
             batch.column("shard").to_pylist(), batch.column("spec").to_pylist()
         ):
             pieces = json.loads(spec_json)
-            tabs = [
-                pq.ParquetFile(fp).read_row_group(rg).slice(start, n)
-                for fp, rg, start, n in pieces
-            ]
-            if tabs:
-                pages = pa.concat_tables(tabs)
-                ep = make_episode_batch(extract_text_batch(pages), run_ts_us)
-                ep = ep.select(EPISODES.names).cast(EPISODES)
-            else:
-                ep = EPISODES.empty_table()
-            tr = _worker_extractor()(ep)
-            if not store_content:
-                # store_raw_episode_content=False parity (graphiti.py:137,
-                # 551-552): keep the episode row, drop the raw text payload
-                idx = ep.schema.get_field_index("content")
-                ep = ep.set_column(idx, "content", pa.array([""] * ep.num_rows, pa.string()))
-            man_e = gio.write_shard_atomic(ep, sdir("episodes", shard), fps[shard])
-            man_t = gio.write_shard_atomic(
-                tr, sdir("triples", shard), fps[shard], {"triples": tr.num_rows}
-            )
+            # chunked streaming: the extracted episodes/triples go straight
+            # to the incremental writers, so task heap is O(chunk + one
+            # input row group), never O(shard) — a 10⁶-page shard costs the
+            # same memory as a 10⁴-page one
+            ep_w = gio.ShardWriter(sdir("episodes", shard), fps[shard], EPISODES)
+            tr_w = gio.ShardWriter(sdir("triples", shard), fps[shard], TRIPLES_SCHEMA)
+            try:
+                for fp, rg, start, n in pieces:
+                    rg_tab = pq.ParquetFile(fp).read_row_group(rg).slice(start, n)
+                    for off in range(0, rg_tab.num_rows, chunk_rows):
+                        pages = rg_tab.slice(off, chunk_rows)
+                        ep = make_episode_batch(extract_text_batch(pages), run_ts_us)
+                        ep = ep.select(EPISODES.names).cast(EPISODES)
+                        tr = _worker_extractor()(ep)
+                        if not store_content:
+                            # store_raw_episode_content=False parity
+                            # (graphiti.py:137, 551-552): keep the episode
+                            # row, drop the raw text payload
+                            idx = ep.schema.get_field_index("content")
+                            ep = ep.set_column(idx, "content", pa.array([""] * ep.num_rows, pa.string()))
+                        ep_w.write(ep)
+                        tr_w.write(tr)
+            except BaseException:
+                ep_w.abort()
+                tr_w.abort()
+                raise
+            man_e = ep_w.close()
+            man_t = tr_w.close()
             out_rows.append((shard, man_e["rows"], man_t["rows"]))
         return pa.table(
             {

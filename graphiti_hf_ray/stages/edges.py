@@ -575,8 +575,10 @@ def mentions_edges_per_shard(triples_root: str, map_ref, run_ts_us: int) -> "ray
     files = sorted(
         p
         for p in _glob.glob(os.path.join(triples_root, "shard=*", "*.parquet"))
-        if not os.path.basename(p).startswith(".")
+        if not os.path.basename(p).startswith(".") and "/.tmp-" not in p
     )
+    if not files:
+        return rd.from_arrow(MENTIONS_SCHEMA.empty_table())
     cols = ["episode_uuid", "group_id", "subj_surface", "subj_label", "obj_surface", "obj_label"]
 
     def per_file(batch: pa.Table) -> pa.Table:
