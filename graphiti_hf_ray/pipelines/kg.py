@@ -372,20 +372,41 @@ def link_and_edges_phase(
 
     _embed = _E("fact", "fact_embedding")
     final = final.map_batches(_embed, batch_format="pyarrow")
-    n_edges = gio.write_table_distributed(final, os.path.join(out_dir, "edges"), fp)
-    timings["edges_job"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
 
     # mentions job: zero-shuffle per-shard path — each episode's triples
     # live entirely in one shard file (contiguous-slice sharding, one row
     # per page + single-file atomic shard writes), so per-file dedup is
-    # globally exact and the
-    # full-stream dedup shuffle of the generic path is unnecessary; only
-    # the 6 endpoint columns are read (the fact strings, most of the
-    # triple bytes, never leave storage)
-    mentions = mentions_edges_per_shard(os.path.join(out_dir, "triples"), map_ref, run_ts_us)
-    gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
-    timings["mentions"] = round(_time.time() - t0, 2)
+    # globally exact and the full-stream dedup shuffle of the generic path
+    # is unnecessary; only the 6 endpoint columns are read (the fact
+    # strings, most of the triple bytes, never leave storage).
+    #
+    # The edges and MENTIONS jobs share no lineage beyond the (already
+    # ray.put) canonical map, so they run CONCURRENTLY — each Dataset
+    # drives its own streaming executor and Ray schedules both task pools
+    # over the cluster; serializing them left whichever job ran second
+    # idle-waiting on the driver for no reason.
+    import threading
+
+    mention_err: list[BaseException] = []
+    t_men = _time.time()
+    men_wall: list[float] = []
+
+    def _run_mentions() -> None:
+        try:
+            mentions = mentions_edges_per_shard(os.path.join(out_dir, "triples"), map_ref, run_ts_us)
+            gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
+            men_wall.append(_time.time() - t_men)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the driver below
+            mention_err.append(e)
+
+    men_thread = threading.Thread(target=_run_mentions, name="mentions-job", daemon=True)
+    men_thread.start()
+    n_edges = gio.write_table_distributed(final, os.path.join(out_dir, "edges"), fp)
+    timings["edges_job"] = round(_time.time() - t0, 2)
+    men_thread.join()
+    if mention_err:
+        raise mention_err[0]
+    timings["mentions"] = round(men_wall[0], 2) if men_wall else 0.0
 
     metrics = gio.job_metrics(out_dir)
     metrics["timings"] = dict(timings)
@@ -497,13 +518,31 @@ def _link_and_edges_distributed(
     from ..stages.embed import Embedder as _E
 
     final = final.map_batches(_E("fact", "fact_embedding"), batch_format="pyarrow")
+
+    # same edges ∥ MENTIONS overlap as the default path: both jobs read the
+    # pinned `rewritten` blocks (materialized — safe for two consumers)
+    import threading
+
+    mention_err: list[BaseException] = []
+    t_men = _time.time()
+    men_wall: list[float] = []
+
+    def _run_mentions() -> None:
+        try:
+            mentions = mentions_edges(rewritten, run_ts_us)
+            gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
+            men_wall.append(_time.time() - t_men)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the driver below
+            mention_err.append(e)
+
+    men_thread = threading.Thread(target=_run_mentions, name="mentions-job", daemon=True)
+    men_thread.start()
     gio.write_table_distributed(final, os.path.join(out_dir, "edges"), fp)
     timings["edges_job"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-
-    mentions = mentions_edges(rewritten, run_ts_us)
-    gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
-    timings["mentions"] = round(_time.time() - t0, 2)
+    men_thread.join()
+    if mention_err:
+        raise mention_err[0]
+    timings["mentions"] = round(men_wall[0], 2) if men_wall else 0.0
 
     metrics = gio.job_metrics(out_dir)
     metrics["timings"] = dict(timings)
