@@ -332,7 +332,22 @@ def merge_and_invalidate(
     from .shuffle import bucketed_group_apply
 
     if not force_salted:
-        return bucketed_group_apply(rewritten, ["group_id", "pred", "obj_uuid"], merge_sweep_bucket)
+        # combiner round BEFORE the shuffle: each input batch partial-merges
+        # its own rows (merge_edge_bucket — at most one partial row per
+        # dedup key per batch), so the exchange ships partial EDGES, not
+        # raw triples. A web corpus repeats the same fact across pages, so
+        # this shrinks the all-to-all by the block-local duplication factor
+        # (the single memory-bus exchange was the scaling limiter measured
+        # in BASELINE.md round 4); it also caps a hub key's reduce-side
+        # rows at the input block count. The reduce side reuses the salted
+        # path's round-2 body — same associative algebra, parity-tested.
+        def partial_batch(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(merge_edge_bucket(t.to_pandas()), preserve_index=False)
+
+        partials = rewritten.map_batches(partial_batch, batch_format="pyarrow")
+        return bucketed_group_apply(
+            partials, ["group_id", "name", "target_uuid"], combine_partial_edges_and_sweep
+        )
 
     import numpy as np
 
@@ -445,8 +460,13 @@ def _memo_instance(cls, ref):
     key = cls.__name__ + ":" + (ref.hex() if hasattr(ref, "hex") else str(id(ref)))
     inst = _INSTANCE_MEMO.get(key)
     if inst is None:
+        # bound, don't clear-on-miss: the edges and MENTIONS jobs run
+        # concurrently on the same workers, so CanonicalRewrite and
+        # MentionsFromTriples tasks interleave — clearing on every miss
+        # would rebuild the O(vocabulary) dicts on each alternation
+        if len(_INSTANCE_MEMO) >= 4:
+            _INSTANCE_MEMO.clear()
         inst = cls(ref)
-        _INSTANCE_MEMO.clear()
         _INSTANCE_MEMO[key] = inst
     return inst
 
