@@ -118,14 +118,18 @@ def run_bench() -> dict:
     # the neighbors. Shard manifests would make a rerun a resume no-op, so
     # the out dir is cleared between reps.
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
-    kg_sec = float("inf")
+    kg_sec, metrics = float("inf"), None
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         # 2 shards per CPU: finer slice granularity pipelines the shard
         # tasks and the writes better than 1/CPU
-        metrics = build_graph([pages_path], out_dir, num_shards=max(16, 2 * num_cpus))
-        kg_sec = min(kg_sec, time.time() - t0)
+        rep_metrics = build_graph([pages_path], out_dir, num_shards=max(16, 2 * num_cpus))
+        sec = time.time() - t0
+        if sec < kg_sec:
+            # keep the metrics (phase timings) of the rep that achieved the
+            # headline minimum, not whichever rep happened to run last
+            kg_sec, metrics = sec, rep_metrics
     triples = metrics["tables"]["triples"]["rows"]
     timings["kg_build"] = round(kg_sec, 3)
 
@@ -168,9 +172,11 @@ def _clean_ray_state() -> None:
 def run_scaling() -> dict:
     """Same job, same input, two ``ray.init(num_cpus=…)`` levels in fresh
     processes. The N → 4N pair is derived from the box's PHYSICAL core
-    count (SMT siblings collapse): on a 32-physical-core box the pair is
-    8 → 32; on a 16-physical/32-SMT box it is 4 → 16 — using vCPUs there
-    would conflate SMT with scaling. Override with GRAFT_SCALE_LO /
+    count (SMT siblings collapse) with hi capped at 16 so the pinned
+    levels leave steal-absorbing headroom: on a 32-physical-core box the
+    default pair is 4 → 16 (not 8 → 32 — see the cap comment below); on a
+    16-physical/32-SMT box it is also 4 → 16 — using vCPUs there would
+    conflate SMT with scaling. Override with GRAFT_SCALE_LO /
     GRAFT_SCALE_HI."""
 
     def one(ncpu: int) -> dict:

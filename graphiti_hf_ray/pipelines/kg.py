@@ -192,14 +192,54 @@ def extract_phase(
 
     ``input_etags`` (path → content digest) skips reading input bytes for
     fingerprinting — pass object-store etags at scale."""
-    if num_shards is None:
-        # shards ARE the phase's parallelism now (no read-side split to
-        # fall back on), so the default must saturate the cluster even for
-        # one big input file
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_shards = max(4, len(_input_files(pages_paths)), 2 * cpus)
     fp_run = _fingerprint(pages_paths, input_etags)
+    # The shard count is PINNED per input fingerprint in a plan file written
+    # before any shard: the cluster-sized default below is NOT a pure
+    # function of the input, so a crashed run resumed on a different-sized
+    # (or autoscaled) cluster would otherwise re-slice under a new
+    # denominator — re-extracting everything while completed shards
+    # s >= num_shards' from the first attempt linger with valid manifests,
+    # and the link phase (which unions every manifested shard) would read
+    # those pages twice. The plan makes resume slicing input-deterministic
+    # regardless of where it resumes; it wins over a conflicting explicit
+    # ``num_shards`` for the same reason.
+    os.makedirs(out_dir, exist_ok=True)
+    plan_path = os.path.join(out_dir, f"_extract_plan_{fp_run[:8]}.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            num_shards = int(json.load(f)["num_shards"])
+    else:
+        if num_shards is None:
+            # shards ARE the phase's parallelism now (no read-side split to
+            # fall back on), so the default must saturate the cluster even
+            # for one big input file
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            num_shards = max(4, len(_input_files(pages_paths)), 2 * cpus)
+        tmp = plan_path + ".tmp-w"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fp_run, "num_shards": num_shards}, f)
+        os.replace(tmp, plan_path)
     fps = {s: fp_run + f":{s}/{num_shards}" for s in range(num_shards)}
+    # belt-and-braces for out_dirs predating the plan file: drop this
+    # input's shard dirs whose manifests carry a different /num_shards
+    # denominator (or no manifest at all — a crashed partial write)
+    pref = f"shard={fp_run[:8]}-"
+    for table in ("episodes", "triples"):
+        root = os.path.join(out_dir, table)
+        if not os.path.isdir(root):
+            continue
+        for d in sorted(os.listdir(root)):
+            if not d.startswith(pref):
+                continue
+            man_p = os.path.join(root, d, gio.MANIFEST)
+            ok = False
+            if os.path.exists(man_p):
+                with open(man_p) as f:
+                    ok = json.load(f).get("fingerprint", "").endswith(f"/{num_shards}")
+            if not ok:
+                import shutil
+
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     # shard dirs are namespaced by the input fingerprint: re-running the
     # same input resumes (skips complete shards); running a NEW input file
     # into the same out_dir APPENDS new shards — the TS8 incremental-delta
@@ -380,6 +420,25 @@ def link_and_edges_phase(
     # is unnecessary; only the 6 endpoint columns are read (the fact
     # strings, most of the triple bytes, never leave storage).
     #
+    # The exactness invariant holds WITHIN one run (episode ⊂ one shard
+    # file) but not across runs: episode_uuid = md5('ep:'+url), and the
+    # TS8 incremental-append model makes a url recurring across runs
+    # explicit (re-ingesting an updated corpus that shares pages). When
+    # triples/ holds shards from more than one run fingerprint, the
+    # per-shard path would emit duplicate MENTIONS rows for shared urls,
+    # so the route AUTOMATICALLY falls back to the generic dedup-shuffle
+    # path; GRAFT_MENTIONS_PER_SHARD=1 forces the fast path when the
+    # operator knows the appended runs share no urls.
+    #
+    run_fps = {
+        d.split("shard=", 1)[1].split("-", 1)[0]
+        for d in os.listdir(os.path.join(out_dir, "triples"))
+        if d.startswith("shard=")
+    }
+    per_shard_ok = len(run_fps) <= 1 or os.environ.get("GRAFT_MENTIONS_PER_SHARD") == "1"
+    if not per_shard_ok:
+        timings["mentions_path"] = "generic(multi-run)"
+    #
     # The edges and MENTIONS jobs share no lineage beyond the (already
     # ray.put) canonical map, so they run CONCURRENTLY — each Dataset
     # drives its own streaming executor and Ray schedules both task pools
@@ -393,7 +452,12 @@ def link_and_edges_phase(
 
     def _run_mentions() -> None:
         try:
-            mentions = mentions_edges_per_shard(os.path.join(out_dir, "triples"), map_ref, run_ts_us)
+            if per_shard_ok:
+                mentions = mentions_edges_per_shard(os.path.join(out_dir, "triples"), map_ref, run_ts_us)
+            else:
+                from ..stages.edges import mentions_edges_from_triples
+
+                mentions = mentions_edges_from_triples(triples, map_ref, run_ts_us)
             gio.write_table_distributed(mentions, os.path.join(out_dir, "episodic_edges"), fp)
             men_wall.append(_time.time() - t_men)
         except BaseException as e:  # noqa: BLE001 — re-raised on the driver below

@@ -580,6 +580,16 @@ def mentions_edges_per_shard(triples_root: str, map_ref, run_ts_us: int) -> "ray
     span files (measured: 76 of 7.19M pairs at sf0.1×256 — all within-file,
     all caught here too). Parity-tested against the generic path.
 
+    PRECONDITION (single-run, unique urls): episode_uuid = md5('ep:'+url)
+    and shards are POSITIONAL input slices, so the invariant only holds
+    when every url appears in at most one input row of ONE run — a url
+    recurring in a second appended run (or twice in one input) lands in a
+    different shard file and per-file dedup misses the pair. The caller
+    (pipelines/kg.py link phase) enforces this automatically: triples/
+    holding shards from more than one run fingerprint routes to
+    mentions_edges_from_triples (override: GRAFT_MENTIONS_PER_SHARD=1
+    when appended runs are known to share no urls).
+
     Scale shape: embarrassingly parallel over shard files (parallelism =
     shard count), reads only the 6 endpoint columns, emits final rows
     straight to the sink with no exchange — at 100 TB this replaces the

@@ -165,6 +165,56 @@ def test_resume_skips_completed_shards(ray_session, pages_parquet, tmp_path_fact
         assert json.load(f)["written_at"] != manifests_before[shard_dirs[2]]["written_at"]
 
 
+def test_resume_reuses_persisted_shard_plan(ray_session, pages_parquet, tmp_path_factory):
+    """A resumed run must slice the input EXACTLY like the first attempt
+    even when the caller (or a differently-sized cluster's default) asks
+    for a different num_shards — the per-fingerprint plan file pins the
+    denominator, so completed shards stay valid and no page is read twice
+    by the link phase."""
+    out = str(tmp_path_factory.mktemp("plan"))
+    extract_phase([pages_parquet], out, num_shards=6)
+    ref = gio.read_table_dir(out, "triples").to_pandas()
+    shard_dirs = sorted(os.listdir(os.path.join(out, "triples")))
+    assert len(shard_dirs) == 6
+    # simulate a crash + resume on a cluster whose default would be 3
+    shutil.rmtree(os.path.join(out, "triples", shard_dirs[1]))
+    extract_phase([pages_parquet], out, num_shards=3)  # conflicting request
+    after_dirs = sorted(os.listdir(os.path.join(out, "triples")))
+    assert after_dirs == shard_dirs  # plan won: same 6-shard layout
+    after = gio.read_table_dir(out, "triples").to_pandas()
+    key = ["episode_uuid", "sent_idx"]
+    pd.testing.assert_frame_equal(
+        ref.sort_values(key).reset_index(drop=True),
+        after.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_multi_run_shared_urls_route_generic_mentions(ray_session, pages_parquet, graph_out, tmp_path_factory):
+    """A url recurring across appended runs breaks the per-shard MENTIONS
+    exactness invariant (episode ⊂ one shard FILE only holds within a
+    run); the link phase must detect the multi-run layout and route
+    through the generic dedup-shuffle path — no duplicate MENTIONS rows."""
+    pg = pq.read_table(pages_parquet)
+    half = pg.num_rows // 2
+    d = tmp_path_factory.mktemp("overlap")
+    p1, p2 = str(d / "p1.parquet"), str(d / "p2.parquet")
+    pq.write_table(pg.slice(0, half + 2), p1)
+    pq.write_table(pg.slice(half - 2), p2)  # 4 urls shared with p1
+
+    out = str(tmp_path_factory.mktemp("overlap_graph"))
+    build_graph([p1], out, num_shards=2)
+    metrics = build_graph([p2], out, num_shards=2)
+    assert metrics["timings"].get("mentions_path") == "generic(multi-run)"
+    men = gio.read_table_dir(out, "episodic_edges").to_pandas()
+    assert men["uuid"].is_unique
+    # overlapping episodes carry identical content → the distinct MENTIONS
+    # set equals the single full build's
+    full = gio.read_table_dir(graph_out, "episodic_edges").to_pandas()
+    assert set(zip(men["source_node_uuid"], men["target_node_uuid"])) == set(
+        zip(full["source_node_uuid"], full["target_node_uuid"])
+    )
+
+
 def test_incremental_append_matches_full_build(ray_session, pages_parquet, tmp_path_factory):
     """TS8 incremental-delta model: ingesting the corpus in two batches
     (append-only episode/triple shards + global re-link) produces the SAME
