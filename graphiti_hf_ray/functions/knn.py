@@ -213,30 +213,49 @@ def knn_ivf(
     return _merge_topk(cands, k)
 
 
+def _sample_key(ids_col: pa.ChunkedArray) -> np.ndarray:
+    """Deterministic per-row sample key: int ids pass through, string ids
+    hash via pandas' fixed-key siphash (vectorized, process-independent)."""
+    if pa.types.is_integer(ids_col.type):
+        return int64_array(ids_col)
+    vals = ids_col.combine_chunks().to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(vals, object)).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+
+
 def train_ivf_centroids(
     emb: "ray.data.Dataset",
     n_lists: int = 32,
     iters: int = 25,
     sample_max: int = 32768,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: spherical k-means on a
-    partition-independent modulo sample of the corpus (rows with
-    ``vec_id % step == 0``, step sized so ≤ ``sample_max`` rows reach the
-    driver — bounded at any corpus size). Init = the first ``n_lists``
-    sample vectors in vec_id order, fixed Lloyd iteration count — no RNG,
-    so the same corpus always trains the same centroids. Returns an
-    (n_lists, dim) L2-normalized matrix."""
+    partition-independent modulo sample of the corpus (rows whose sample
+    key ``% step == 0``; key = the int id itself, or a fixed-key hash for
+    string ids — step sized so ≤ ``sample_max`` rows reach the driver,
+    bounded at any corpus size). Init = the first ``n_lists`` sample
+    vectors in id order, fixed Lloyd iteration count — no RNG, so the same
+    corpus always trains the same centroids. Returns an (n_lists, dim)
+    L2-normalized matrix."""
     n = emb.count()
     step = max(1, int(np.ceil(n / sample_max)))
 
     def take_sample(t: pa.Table) -> pa.Table:
-        ids = int64_array(t.column("vec_id"))
-        mask = pa.array(ids % step == 0)
+        mask = pa.array(_sample_key(t.column(id_col)) % step == 0)
         return t.filter(mask)
 
-    samp = emb.map_batches(take_sample, batch_format="pyarrow").to_pandas()
-    samp = samp.sort_values("vec_id").reset_index(drop=True)
-    X = _normalize(np.stack([np.asarray(v, np.float64) for v in samp["embedding"]]))
+    # bounded: ≤ sample_max rows total; flat-buffer reshape, no per-row loop
+    parts = [
+        p for p in ray.get(
+            emb.map_batches(take_sample, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        raise ValueError(f"empty sample cannot seed {n_lists} lists")
+    samp = pa.concat_tables(parts).sort_by(id_col)
+    X = _normalize(embedding_matrix(samp.column(emb_col)))
     if len(X) < n_lists:
         raise ValueError(f"sample of {len(X)} rows cannot seed {n_lists} lists")
     C = X[:n_lists].copy()
@@ -276,13 +295,18 @@ def knn_ivf_trained(
     k: int = 10,
     n_probe: int = 8,
 ) -> pd.DataFrame:
-    """Trained-centroid IVF ANN (the 100-TB scale path): scan only rows
-    whose nearest centroid is among the query's ``n_probe`` nearest lists.
-    Centroids come from ``train_ivf_centroids`` (train once, ``ray.put``
-    implicitly via the broadcast tuple, reuse across queries); scan
-    fraction ~ n_probe/n_lists with data-adaptive lists, which beats the
-    data-oblivious sign-plane buckets on recall at equal scan (measured:
-    ``ivf_recall_curve``, recorded in BASELINE.md)."""
+    """Trained-centroid IVF ANN, INDEX-FREE streaming form: stream the
+    whole embeddings table, re-derive each row's nearest centroid, score
+    only rows whose list is probed. This reads (and argmaxes) the full
+    corpus per query — fine for one-off queries over data with no sidecar,
+    WRONG as the repeated-query scale path. The 100-TB path is the
+    PERSISTED form: ``search.index.build_ivf_index`` assigns each row once
+    at build time into list-partitioned Parquet and
+    ``search.index.query_ivf_index`` reads only the probed lists' files
+    (identical results given the same centroids — parity-tested; measured
+    bytes-read fractions in BASELINE.md). Centroids come from
+    ``train_ivf_centroids``; data-adaptive lists beat the data-oblivious
+    sign-plane buckets on recall at equal scan (``ivf_recall_curve``)."""
     q = _normalize(np.asarray(query_vec, np.float64))
     C = _normalize(np.asarray(centroids, np.float64))
     probe = np.argsort(-(C @ q), kind="stable")[:n_probe]

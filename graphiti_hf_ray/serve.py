@@ -163,6 +163,62 @@ class GraphService:
         with self._lock:
             build_graph([spool], self.out_dir, self.run_ts_us, num_shards=1)
 
+    def add_episode(
+        self,
+        group_id: str,
+        name: str,
+        episode_body: str,
+        source: str = "text",
+        source_description: str = "",
+        uuid: str | None = None,
+    ) -> dict:
+        """Synchronous single-episode ingest (the reference's
+        ``Graphiti.add_episode`` surface the MCP add_memory tool queues,
+        mcp_server/graphiti_mcp_server.py:692-828). ``source`` parity:
+        'text'/'message' bodies ingest verbatim; 'json' bodies are
+        flattened to deterministic "path: value" lines (the reference
+        extracts entities from JSON properties via the LLM; the flatten
+        is this engine's deterministic stand-in feeding the same
+        extraction seam). Queueing/sequencing is the CALLER's concern
+        (mcp.McpServer keeps the reference's per-group sequential queues);
+        this method spools one pages row and runs the incremental build
+        under the single-writer lock."""
+        body = episode_body
+        if source.lower() == "json":
+            obj = json.loads(episode_body)
+
+            def flatten(prefix: str, v) -> list[str]:
+                if isinstance(v, dict):
+                    return [ln for k2, v2 in sorted(v.items()) for ln in flatten(f"{prefix}.{k2}" if prefix else str(k2), v2)]
+                if isinstance(v, list):
+                    return [ln for i, v2 in enumerate(v) for ln in flatten(f"{prefix}[{i}]", v2)]
+                return [f"{prefix}: {v}"]
+
+            body = "\n".join(flatten("", obj))
+        ep_key = uuid or md5_id("mem:" + group_id + ":" + name + ":" + body)
+        t = pa.table(
+            {
+                "url": pa.array([f"memory://{group_id}/{ep_key}"], pa.string()),
+                "warc_ts": pa.array([self.run_ts_us], pa.timestamp("us")),
+                "html": pa.array(
+                    [("<html><body><p>" + _html.escape(body) + "</p></body></html>").encode()],
+                    pa.binary(),
+                ),
+                "text": pa.array([body], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "group_id": pa.array([group_id], pa.string()),
+            }
+        )
+        spool = os.path.join(self.spool_dir, f"episode-{ep_key[:16]}.parquet")
+        if not os.path.exists(spool):
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, spool + ".tmp-w")
+            os.replace(spool + ".tmp-w", spool)
+        with self._lock:
+            build_graph([spool], self.out_dir, self.run_ts_us, num_shards=1)
+        return {"uuid": md5_id("ep:" + f"memory://{group_id}/{ep_key}"), "name": name, "group_id": group_id}
+
     def add_entity_node(
         self, group_id: str, name: str, summary: str = "", uuid: str | None = None
     ) -> dict:
@@ -257,15 +313,20 @@ class GraphService:
         group_ids: list[str] | None = None,
         max_facts: int = 10,
         recipe: str = "EDGE_HYBRID_SEARCH_RRF",
+        center_node_uuid: str | None = None,
     ) -> dict:
-        """POST /search (retrieve.py:17-27): hybrid edge search → facts."""
+        """POST /search (retrieve.py:17-27): hybrid edge search → facts.
+        ``center_node_uuid`` switches to the node-distance reranker (the
+        MCP search_memory_facts contract, graphiti_mcp_server.py:911-960)."""
         import dataclasses
 
         from .search.hybrid import ALL_RECIPES, GraphStore, search as hybrid_search
 
+        if center_node_uuid is not None and recipe == "EDGE_HYBRID_SEARCH_RRF":
+            recipe = "EDGE_HYBRID_SEARCH_NODE_DISTANCE"
         cfg = dataclasses.replace(ALL_RECIPES[recipe], limit=max_facts)
         store = GraphStore(self.out_dir)
-        res = hybrid_search(store, query, cfg, group_ids=group_ids)
+        res = hybrid_search(store, query, cfg, group_ids=group_ids, center_node_uuid=center_node_uuid)
         uuids = list(res.edges["uuid"]) if len(res.edges) else []
         if not uuids:
             return {"facts": []}
