@@ -13,6 +13,9 @@ stack — lazy-imported so the engine has zero hard dependency on torch:
 - ``BGECrossEncoderClient``      — ``.rank(query, [(id, passage)])``
   client for ``search/rerank.CrossEncoderScore`` backed by a
   sentence-transformers ``CrossEncoder`` (BGE reranker).
+- ``OpenAICompatExtractor``      — the ST1 extraction seam's real-LLM
+  form: an OpenAI-compatible ``/chat/completions`` client with the same
+  batch contract as ``extract.triples.TripleExtractor``.
 
 Both accept a pre-built ``model`` object (anything with the
 ``.encode(texts)`` / ``.predict(pairs)`` surface), which is how the
@@ -185,3 +188,160 @@ class OpenAICompatEmbedder:
             pa.array(mat.ravel(), pa.float32()), self._dim or 1
         )
         return batch.append_column(self.out_col, arr)
+
+
+# ---------------------------------------------------------------------------
+# ST1: real-LLM extractor adapter
+# ---------------------------------------------------------------------------
+
+# Fused entity+edge extraction prompt modeled on the reference's two-prompt
+# flow (graphiti_core/prompts/extract_nodes.py:82-191 asks for entities with
+# labels; extract_edges.py:60-128 asks for (source, relation, target, fact,
+# valid_at) over those entities) — one structured-output call per episode
+# returns both at once, since the engine's triple rows carry the entity
+# labels inline.
+EXTRACTOR_SYSTEM_PROMPT = (
+    "You are an AI assistant that extracts entity relations from text. "
+    "Given an episode, extract every factual relation as a JSON object "
+    '{"edges": [{"subject": str, "subject_label": str, "predicate": str, '
+    '"object": str, "object_label": str, "fact": str, "valid_at": str|null}]}. '
+    "Use SCREAMING_SNAKE_CASE predicates; subject/object are entity name "
+    "spans exactly as written; labels are entity types (Person, "
+    "Organization, Place, Project, Document, Event, ...); fact quotes the "
+    "supporting sentence; valid_at is the ISO-8601 time the fact became "
+    "true, or null to inherit the episode's reference time. Respond with "
+    "JSON only."
+)
+
+
+class OpenAICompatExtractor:
+    """Actor-pool extraction stage for any OpenAI-compatible
+    ``/chat/completions`` endpoint (OpenAI, vLLM, Ollama, LM Studio) — the
+    real-LLM form of the ST1 extractor seam. Batch contract identical to
+    ``extract.triples.TripleExtractor``: episodes batch (uuid, group_id,
+    content, valid_at) in, ``TRIPLES_SCHEMA`` rows out — so it drops into
+    ``extract_phase``'s actor pool / per-shard tasks without engine
+    changes. One request per EPISODE (the reference's per-episode prompt
+    granularity; pool concurrency supplies the reference's
+    SEMAPHORE_LIMIT-style fan-out), retried with capped backoff.
+
+    stdlib-urllib only. ``transport`` injects a ``messages ->
+    assistant_content_str`` callable for tests/custom stacks; without it
+    the real HTTP transport binds to ``endpoint``. Responses are parsed
+    leniently (code fences stripped), schema-checked, and filtered through
+    the type registry's edge legality map — exactly the constraint the
+    deterministic extractor enforces at pattern-compile time
+    (graphiti_core/graphiti.py:398, 492-497 edge_type_map)."""
+
+    def __init__(
+        self,
+        endpoint: str = "http://127.0.0.1:8000/v1",
+        model: str = "gpt-4o-mini",
+        api_key: str | None = None,
+        registry=None,
+        transport=None,
+        max_retries: int = 3,
+        temperature: float = 0.0,
+    ):
+        if registry is None:
+            from .state.types import default_registry
+
+            registry = default_registry()
+        self._registry = registry
+        if transport is not None:
+            self._transport = transport
+        else:
+            url = endpoint.rstrip("/") + "/chat/completions"
+
+            def http_transport(messages: list[dict]) -> str:
+                import json as _json
+                import time as _time
+                import urllib.request
+
+                body = _json.dumps(
+                    {
+                        "model": model,
+                        "messages": messages,
+                        "temperature": temperature,
+                        "response_format": {"type": "json_object"},
+                    }
+                ).encode()
+                headers = {"Content-Type": "application/json"}
+                if api_key:
+                    headers["Authorization"] = f"Bearer {api_key}"
+                last = None
+                for attempt in range(max_retries):
+                    try:
+                        req = urllib.request.Request(url, data=body, headers=headers)
+                        with urllib.request.urlopen(req) as r:
+                            payload = _json.loads(r.read())
+                        return payload["choices"][0]["message"]["content"]
+                    except Exception as e:  # retry transient transport errors
+                        last = e
+                        _time.sleep(min(2.0, 0.1 * 2**attempt))
+                raise RuntimeError(f"chat endpoint failed after {max_retries} tries") from last
+
+            self._transport = http_transport
+
+    @staticmethod
+    def _parse_edges(content: str) -> list[dict]:
+        import json as _json
+
+        text = content.strip()
+        if text.startswith("```"):
+            text = text.split("\n", 1)[1] if "\n" in text else ""
+            if text.rstrip().endswith("```"):
+                text = text.rstrip()[: -3]
+        obj = _json.loads(text)
+        edges = obj.get("edges", []) if isinstance(obj, dict) else obj
+        if not isinstance(edges, list):
+            raise ValueError(f"model returned non-list edges: {type(edges).__name__}")
+        return edges
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pandas as pd
+
+        from .extract.triples import TRIPLES_SCHEMA
+
+        uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid = batch.column("valid_at").to_pylist()
+        cols: dict[str, list] = {k: [] for k in TRIPLES_SCHEMA.names}
+        for u, g, c, v in zip(uuids, groups, contents, valid):
+            raw = self._transport(
+                [
+                    {"role": "system", "content": EXTRACTOR_SYSTEM_PROMPT},
+                    {"role": "user", "content": f"Episode:\n{c}"},
+                ]
+            )
+            kept = 0
+            for e in self._parse_edges(raw):
+                need = ("subject", "subject_label", "predicate", "object", "object_label")
+                if not all(isinstance(e.get(f), str) and e.get(f) for f in need):
+                    continue  # malformed edge — skip, never crash the shard
+                if not self._registry.check_edge_legal(
+                    e["subject_label"], e["object_label"], e["predicate"]
+                ):
+                    continue  # edge_type_map legality, same rule as the grammar
+                va = v
+                if e.get("valid_at"):
+                    try:
+                        va = pd.Timestamp(e["valid_at"]).tz_localize(None).to_pydatetime()
+                    except (ValueError, TypeError):
+                        va = v  # unparseable date → episode reference time
+                cols["episode_uuid"].append(u)
+                cols["group_id"].append(g)
+                cols["valid_at"].append(va)
+                cols["subj_surface"].append(e["subject"])
+                cols["subj_label"].append(e["subject_label"])
+                cols["pred"].append(e["predicate"])
+                cols["obj_surface"].append(e["object"])
+                cols["obj_label"].append(e["object_label"])
+                cols["fact"].append(e.get("fact") or f"{e['subject']} {e['predicate']} {e['object']}")
+                cols["sent_idx"].append(kept)
+                kept += 1
+        return pa.table(
+            {k: pa.array(cols[k], TRIPLES_SCHEMA.field(k).type) for k in TRIPLES_SCHEMA.names},
+            schema=TRIPLES_SCHEMA,
+        )

@@ -100,6 +100,13 @@ class GraphService:
         os.makedirs(self.spool_dir, exist_ok=True)
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()  # one build at a time
+        # deterministic per-episode reference-time sequence: MCP add_memory
+        # has no client timestamp (the reference stamps now(); wall clock is
+        # banned here), so each new episode gets run_ts + seq µs — ingestion
+        # order IS the temporal order, and a restart resumes past the
+        # already-spooled episodes
+        self._ep_seq = len([f for f in os.listdir(self.spool_dir) if f.startswith("episode-")])
+        self._seq_lock = threading.Lock()
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
 
@@ -196,10 +203,13 @@ class GraphService:
 
             body = "\n".join(flatten("", obj))
         ep_key = uuid or md5_id("mem:" + group_id + ":" + name + ":" + body)
+        with self._seq_lock:
+            self._ep_seq += 1
+            seq = self._ep_seq
         t = pa.table(
             {
                 "url": pa.array([f"memory://{group_id}/{ep_key}"], pa.string()),
-                "warc_ts": pa.array([self.run_ts_us], pa.timestamp("us")),
+                "warc_ts": pa.array([self.run_ts_us + seq], pa.timestamp("us")),
                 "html": pa.array(
                     [("<html><body><p>" + _html.escape(body) + "</p></body></html>").encode()],
                     pa.binary(),

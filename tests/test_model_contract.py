@@ -274,3 +274,113 @@ def test_openai_compat_embedder_real_http_transport(ray_session):
         assert got == {len(f"t{'x' * i}") for i in range(32)}  # lengths round-tripped
     finally:
         server.shutdown()
+
+
+def test_openai_compat_extractor_injected_transport(ray_session):
+    """ST1's real-LLM adapter (models.OpenAICompatExtractor) through the
+    actor-pool seam with a monkeypatched transport: TRIPLES_SCHEMA out,
+    code fences stripped, illegal edge_type_map signatures dropped,
+    malformed edges skipped, valid_at inherits the episode time when the
+    model returns null."""
+    import json as _json
+
+    from graphiti_hf_ray.models import OpenAICompatExtractor
+
+    def fake_llm(messages):
+        assert messages[0]["role"] == "system"
+        body = messages[1]["content"]
+        edges = [
+            {
+                "subject": "Ada", "subject_label": "Person", "predicate": "WORKS_AT",
+                "object": "Acme", "object_label": "Organization",
+                "fact": body.splitlines()[-1], "valid_at": "2024-02-03T00:00:00Z",
+            },
+            # illegal per edge_type_map: MOVED_TO needs (Person, Place)
+            {
+                "subject": "Acme", "subject_label": "Organization", "predicate": "MOVED_TO",
+                "object": "Oslo", "object_label": "Organization", "fact": "x", "valid_at": None,
+            },
+            # malformed: missing object
+            {"subject": "Ada", "subject_label": "Person", "predicate": "FOUNDED"},
+            # no valid_at → episode reference time; no fact → synthesized
+            {
+                "subject": "Grace", "subject_label": "Person", "predicate": "MOVED_TO",
+                "object": "Oslo", "object_label": "Place", "valid_at": None,
+            },
+        ]
+        return "```json\n" + _json.dumps({"edges": edges}) + "\n```"
+
+    out = (
+        _episodes_ds(64)
+        .map_batches(
+            OpenAICompatExtractor(transport=fake_llm),
+            batch_format="pyarrow", batch_size=16, concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert list(out.columns) == list(TRIPLES_SCHEMA.names)
+    assert len(out) == 128  # 2 kept edges per episode
+    one = out[out["episode_uuid"] == "ep00000"].sort_values("sent_idx")
+    assert list(one["pred"]) == ["WORKS_AT", "MOVED_TO"]
+    assert list(one["sent_idx"]) == [0, 1]
+    assert str(one.iloc[0]["valid_at"]) == "2024-02-03 00:00:00"   # model date
+    assert str(one.iloc[1]["valid_at"]) == "2024-01-01 00:00:00"   # episode time
+    assert one.iloc[1]["fact"] == "Grace MOVED_TO Oslo"            # synthesized
+
+
+def test_openai_compat_extractor_real_http_transport(ray_session):
+    """Full wire path minus the provider: the adapter's urllib transport
+    against a local /v1/chat/completions server returning the standard
+    response shape, driven through the actor pool."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from graphiti_hf_ray.models import OpenAICompatExtractor
+
+    class FakeChat(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            assert self.path == "/v1/chat/completions"
+            req = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            assert req["response_format"] == {"type": "json_object"}
+            assert self.headers.get("Authorization") == "Bearer test-key"
+            content = _json.dumps(
+                {
+                    "edges": [
+                        {
+                            "subject": "Ada", "subject_label": "Person",
+                            "predicate": "WORKS_AT", "object": "Acme",
+                            "object_label": "Organization",
+                            "fact": req["messages"][1]["content"][-18:], "valid_at": None,
+                        }
+                    ]
+                }
+            )
+            body = _json.dumps(
+                {"choices": [{"message": {"role": "assistant", "content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 8342), FakeChat)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        out = (
+            _episodes_ds(16)
+            .map_batches(
+                OpenAICompatExtractor(endpoint="http://127.0.0.1:8342/v1", api_key="test-key"),
+                batch_format="pyarrow", batch_size=8, concurrency=2,
+            )
+            .to_pandas()
+        )
+        assert len(out) == 16
+        assert set(out["pred"]) == {"WORKS_AT"}
+        assert list(out.columns) == list(TRIPLES_SCHEMA.names)
+    finally:
+        server.shutdown()
