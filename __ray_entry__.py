@@ -22,6 +22,7 @@ from typing import Any
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 from graphiti_hf_ray.fixtures import pages as _P
+from graphiti_hf_ray.functions.textclean import PII_PATTERNS as _PII_PATTERNS
 from graphiti_hf_ray.functions.textstats import _LANG_PROFILES, STOPWORDS as _STOPWORDS
 from graphiti_hf_ray.pipelines.queries import QUERIES as _QUERIES
 
@@ -118,6 +119,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
+        # PII columns: the fixture text has zero digits, so the scrub probe
+        # appends the same deterministic doc_id-derived contact suffix on
+        # both sides (email + ipv4 — the lookaround-free PII subset RE2 can
+        # express); counts AND the scrubbed-text md5 must match, in the
+        # engine's application order (email first, then ipv4 over the
+        # already-scrubbed text). Patterns come from textclean.PII_PATTERNS
+        # — one constant, both sides.
         "q13_doc_profile": f"""
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -130,8 +138,20 @@ def oracle_sql() -> dict[str, str]:
                     AND list_sum(list_transform(t, x -> length(x))) <= 10 * len(t)
                     AND 100 * len(list_filter(t, x -> list_contains({_sql_stoplist()}, x))) >= 2 * len(t)
                    ) AS passes_gopher,
-                   md5(text) AS fingerprint
-            FROM (SELECT doc_id, text, string_split(text, chr(32)) AS t FROM documents)
+                   md5(text) AS fingerprint,
+                   len(regexp_extract_all(ptext, '{_PII_PATTERNS["email"]}')) AS n_pii_email,
+                   len(regexp_extract_all(
+                       regexp_replace(ptext, '{_PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                       '{_PII_PATTERNS["ipv4"]}')) AS n_pii_ipv4,
+                   md5(regexp_replace(
+                       regexp_replace(ptext, '{_PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                       '{_PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS pii_fingerprint
+            FROM (
+                SELECT doc_id, text, string_split(text, chr(32)) AS t,
+                       text || ' Contact doc' || doc_id || '@example.org or 192.168.'
+                            || (doc_id % 256) || '.' || (doc_id % 100) || ' now.' AS ptext
+                FROM documents
+            )
         """,
         "q16_knn": """
             SELECT vec_id FROM embeddings

@@ -39,21 +39,54 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+PII_PROBE_SUFFIX = " Contact doc{d}@example.org or 192.168.{a}.{b} now."
+# the oracle-expressible PII subset: email + ipv4 have no lookarounds, so
+# DuckDB's RE2 regexp_* reconstruct them exactly; digit_run/phone (which
+# need lookbehinds) stay pytest-covered via the full PiiScrub stage
+_PII_ORACLE_KEYS = ("email", "ipv4")
+
+
+def _pii_rx():
+    import re
+
+    from .textclean import PII_PATTERNS
+
+    return {k: re.compile(PII_PATTERNS[k]) for k in _PII_ORACLE_KEYS}
+
+
+_PII_RX_MEMO: list = []
+
+
 def doc_profile_batch(batch: pa.Table) -> pa.Table:
     """Single-pass per-document profile fusing the structural stats
-    (``doc_stats_batch``), quality counters and Gopher flags
-    (``gopher_quality_batch``) — one tokenization per document instead of
-    three separate stages. All counters INTEGER-exact; the Gopher ratio
-    thresholds compare as cross-multiplied ints (float rounding can never
-    flip the SQL oracle).
+    (``doc_stats_batch``), quality counters, Gopher flags
+    (``gopher_quality_batch``) and a PII-scrub probe — one tokenization per
+    document instead of three separate stages. All counters INTEGER-exact;
+    the Gopher ratio thresholds compare as cross-multiplied ints (float
+    rounding can never flip the SQL oracle).
+
+    PII columns: the corpus text carries no PII shapes (zero digits in the
+    fixture), which would make a raw-text oracle vacuously all-zero — so
+    each row is scrubbed WITH a deterministic doc_id-derived contact
+    suffix appended (one email + one ipv4, the same fixture-synthesis
+    technique the pages table uses), exercising match+replacement per row;
+    ``pii_fingerprint`` hashes the scrubbed result so the oracle must
+    reproduce the placeholder rewrite byte-exactly, in application order
+    (email first, then ipv4 over the already-scrubbed text).
 
     Columns: doc_id, n_chars, n_tokens, n_uniq_tokens, n_stopwords,
-    sum_token_len, passes_gopher, fingerprint.
+    sum_token_len, passes_gopher, fingerprint, n_pii_email, n_pii_ipv4,
+    pii_fingerprint.
     """
+    if not _PII_RX_MEMO:
+        _PII_RX_MEMO.append(_pii_rx())  # compiled once per worker process
+    rx = _PII_RX_MEMO[0]
     texts_col = batch.column("text")
     texts = texts_col.to_pylist()
+    doc_ids = batch.column("doc_id").to_pylist()
     n_tok, n_uniq, n_stop, sum_len, passes = [], [], [], [], []
-    for x in texts:
+    n_email, n_ipv4, pii_fp = [], [], []
+    for d, x in zip(doc_ids, texts):
         toks = x.split(" ")
         n = len(toks)
         sl = sum(len(w) for w in toks)
@@ -67,6 +100,12 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
             and 3 * n <= sl <= 10 * n
             and 100 * st >= 2 * n
         )
+        probe = x + PII_PROBE_SUFFIX.format(d=int(d), a=int(d) % 256, b=int(d) % 100)
+        s, ne = rx["email"].subn("<EMAIL>", probe)
+        s, ni = rx["ipv4"].subn("<IPV4>", s)
+        n_email.append(ne)
+        n_ipv4.append(ni)
+        pii_fp.append(hashlib.md5(s.encode()).hexdigest())
     fp = pa.array([hashlib.md5(x.encode()).hexdigest() for x in texts], pa.string())
     return pa.table(
         {
@@ -78,6 +117,9 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
             "sum_token_len": pa.array(sum_len, pa.int64()),
             "passes_gopher": pa.array(passes, pa.bool_()),
             "fingerprint": fp,
+            "n_pii_email": pa.array(n_email, pa.int64()),
+            "n_pii_ipv4": pa.array(n_ipv4, pa.int64()),
+            "pii_fingerprint": pa.array(pii_fp, pa.string()),
         }
     )
 
