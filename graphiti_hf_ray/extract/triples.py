@@ -44,6 +44,9 @@ RELATIONS: dict[str, tuple[str, str, str]] = {
     "founded": ("FOUNDED", "Person", "Organization"),
     "is located in": ("LOCATED_IN", "Organization", "Place"),
     "partnered with": ("PARTNERED_WITH", "Organization", "Organization"),
+    "collaborates on": ("COLLABORATES_ON", "Person", "Project"),
+    "was authored by": ("AUTHORED_BY", "Document", "Person"),
+    "participates in": ("PARTICIPATES_IN", "Person", "Event"),
 }
 
 TRIPLES_SCHEMA = pa.schema(

@@ -15,7 +15,11 @@ Grammar properties exercised (FIXTURES.md):
 - contradicting facts at different warc_ts (IS_CEO_OF is functional per
   object) → bi-temporal invalidation (TS2-TS4);
 - duplicate facts across pages → edge-dedup upsert (D3/A3);
-- a hub person on ~30% of person slots → head-entity skew / salting.
+- a hub person on ~30% of person slots → head-entity skew / salting;
+- 8 templates spanning the full built-in type catalog (Person/Organization/
+  Place/Project/Document/Event; reference custom_types.py:212-375), so
+  typed-attribute hydration rules (stages/attributes.py) fire for every
+  built-in entity type.
 """
 
 from __future__ import annotations
@@ -74,14 +78,46 @@ PLACES: list[str] = [
     "Oslo",
 ]
 
+# Project / Document / Event vocabularies (single surface variant each, like
+# places — canonicalization for these is identity). Every token is unique
+# across the WHOLE vocabulary so blocking keys never collide across entities.
+PROJECTS: list[str] = [
+    "Aurora Pipeline",
+    "Basilisk Compiler",
+    "Cascade Renderer",
+    "Dynamo Scheduler",
+    "Eclipse Kernel",
+    "Fulcrum Allocator",
+]
+
+DOCTITLES: list[str] = [
+    "Vermilion Notebook",
+    "Cobalt Whitepaper",
+    "Saffron Memorandum",
+    "Juniper Thesis",
+    "Obsidian Digest",
+]
+
+EVENTS: list[str] = [
+    "Solstice Symposium",
+    "Meridian Conference",
+    "Zenith Workshop",
+    "Equinox Summit",
+]
+
 NP, NO, NL = len(PERSONS), len(ORGS), len(PLACES)
+NJ, ND, NE = len(PROJECTS), len(DOCTITLES), len(EVENTS)
 
 EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z
 TS_PERIOD = 63072000  # 2 years in seconds
 TS_STEP = 8761  # prime → no warc_ts collisions below 63M docs
 
-# predicate per template id
-PREDS = ["WORKS_AT", "IS_CEO_OF", "ACQUIRED", "MOVED_TO", "FOUNDED"]
+# predicate per template id (8 templates; 5-7 exercise the Project /
+# Document / Event built-in types, reference custom_types.py:258-320)
+PREDS = [
+    "WORKS_AT", "IS_CEO_OF", "ACQUIRED", "MOVED_TO", "FOUNDED",
+    "COLLABORATES_ON", "AUTHORED_BY", "PARTICIPATES_IN",
+]
 # one subject per object at a time → invalidation sweep. Two functional
 # predicates (matching state/types.default_registry) so the sweep is
 # exercised for a SET, not a special case: one CEO per company, one founder
@@ -89,6 +125,7 @@ PREDS = ["WORKS_AT", "IS_CEO_OF", "ACQUIRED", "MOVED_TO", "FOUNDED"]
 FUNCTIONAL_PREDS = {"IS_CEO_OF", "FOUNDED"}
 
 LABEL_PERSON, LABEL_ORG, LABEL_PLACE = "Person", "Organization", "Place"
+LABEL_PROJECT, LABEL_DOC, LABEL_EVENT = "Project", "Document", "Event"
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +137,7 @@ def n_sentences(d: int) -> int:
 
 
 def template_id(d: int, j: int) -> int:
-    return (d + j) % 5
+    return (d + j) % 8
 
 
 def person_idx(d: int, j: int) -> int:
@@ -117,6 +154,18 @@ def org2_idx(d: int, j: int) -> int:
 
 def place_idx(d: int, j: int) -> int:
     return (d * 7 + j * 3) % NL
+
+
+def proj_idx(d: int, j: int) -> int:
+    return (d * 11 + j * 5) % NJ
+
+
+def doctitle_idx(d: int, j: int) -> int:
+    return (d * 13 + j * 7) % ND
+
+
+def event_idx(d: int, j: int) -> int:
+    return (d * 17 + j * 11) % NE
 
 
 def person_variant(d: int, j: int) -> int:
@@ -151,7 +200,13 @@ def sentence(d: int, j: int) -> str:
         return f"{ORGS[org_idx(d, j)][org_variant(d, j)]} acquired {ORGS[org2_idx(d, j)][0]}."
     if t == 3:
         return f"{PERSONS[person_idx(d, j)][person_variant(d, j)]} moved to {PLACES[place_idx(d, j)]}."
-    return f"{PERSONS[person_idx(d, j)][person_variant(d, j)]} founded {ORGS[org_idx(d, j)][org_variant(d, j)]}."
+    if t == 4:
+        return f"{PERSONS[person_idx(d, j)][person_variant(d, j)]} founded {ORGS[org_idx(d, j)][org_variant(d, j)]}."
+    if t == 5:
+        return f"{PERSONS[person_idx(d, j)][person_variant(d, j)]} collaborates on {PROJECTS[proj_idx(d, j)]}."
+    if t == 6:
+        return f"{DOCTITLES[doctitle_idx(d, j)]} was authored by {PERSONS[person_idx(d, j)][person_variant(d, j)]}."
+    return f"{PERSONS[person_idx(d, j)][person_variant(d, j)]} participates in {EVENTS[event_idx(d, j)]}."
 
 
 def gold_triples(d: int) -> list[tuple[str, str, str, str, str]]:
@@ -167,8 +222,14 @@ def gold_triples(d: int) -> list[tuple[str, str, str, str, str]]:
             out.append((ORGS[org_idx(d, j)][0], LABEL_ORG, "ACQUIRED", ORGS[org2_idx(d, j)][0], LABEL_ORG))
         elif t == 3:
             out.append((PERSONS[person_idx(d, j)][0], LABEL_PERSON, "MOVED_TO", PLACES[place_idx(d, j)], LABEL_PLACE))
-        else:
+        elif t == 4:
             out.append((PERSONS[person_idx(d, j)][0], LABEL_PERSON, "FOUNDED", ORGS[org_idx(d, j)][0], LABEL_ORG))
+        elif t == 5:
+            out.append((PERSONS[person_idx(d, j)][0], LABEL_PERSON, "COLLABORATES_ON", PROJECTS[proj_idx(d, j)], LABEL_PROJECT))
+        elif t == 6:
+            out.append((DOCTITLES[doctitle_idx(d, j)], LABEL_DOC, "AUTHORED_BY", PERSONS[person_idx(d, j)][0], LABEL_PERSON))
+        else:
+            out.append((PERSONS[person_idx(d, j)][0], LABEL_PERSON, "PARTICIPATES_IN", EVENTS[event_idx(d, j)], LABEL_EVENT))
     return out
 
 
@@ -326,6 +387,9 @@ def _sql_list(v: list[str]) -> str:
 SQL_PERSONS = _sql_list_of_lists(PERSONS)
 SQL_ORGS = _sql_list_of_lists(ORGS)
 SQL_PLACES = _sql_list(PLACES)
+SQL_PROJECTS = _sql_list(PROJECTS)
+SQL_DOCTITLES = _sql_list(DOCTITLES)
+SQL_EVENTS = _sql_list(EVENTS)
 SQL_PREDS = _sql_list(PREDS)
 # `pred IN (...)` fragment for the oracle's invalidation sweep — generated
 # from the same constant the engine's registry mirrors, so oracle and sweep
@@ -334,11 +398,14 @@ SQL_FUNCTIONAL_IN = "(" + ",".join("'" + p + "'" for p in sorted(FUNCTIONAL_PRED
 
 # arithmetic expressions in terms of columns d (doc_id) and j (sentence idx)
 SQL_K = "(2 + d % 3)"
-SQL_T = "((d + j) % 5)"
+SQL_T = "((d + j) % 8)"
 SQL_P = f"(CASE WHEN (d + j) % 10 < 3 THEN 0 ELSE (d * 3 + j * 5) % {NP} END)"
 SQL_O = f"((d * 5 + j * 7) % {NO})"
 SQL_O2 = f"((({SQL_O}) + 1 + d % {NO - 1}) % {NO})"
 SQL_L = f"((d * 7 + j * 3) % {NL})"
+SQL_J = f"((d * 11 + j * 5) % {NJ})"
+SQL_D = f"((d * 13 + j * 7) % {ND})"
+SQL_E = f"((d * 17 + j * 11) % {NE})"
 SQL_PV = "(((d // 3) + 2 * j) % 3)"
 SQL_OV = "(((d // 3) + j) % 2)"
 SQL_EPOCH = f"({EPOCH0} + (d * {TS_STEP}) % {TS_PERIOD})"
@@ -350,6 +417,9 @@ SQL_PSURF = f"({SQL_PERSONS}[{SQL_P} + 1][{SQL_PV} + 1])"
 SQL_OSURF = f"({SQL_ORGS}[{SQL_O} + 1][{SQL_OV} + 1])"
 SQL_O2SURF = f"({SQL_ORGS}[{SQL_O2} + 1][1])"
 SQL_LSURF = f"({SQL_PLACES}[{SQL_L} + 1])"
+SQL_JSURF = f"({SQL_PROJECTS}[{SQL_J} + 1])"
+SQL_DSURF = f"({SQL_DOCTITLES}[{SQL_D} + 1])"
+SQL_ESURF = f"({SQL_EVENTS}[{SQL_E} + 1])"
 
 SQL_PCANON = f"({SQL_PERSONS}[{SQL_P} + 1][1])"
 SQL_OCANON = f"({SQL_ORGS}[{SQL_O} + 1][1])"
@@ -360,7 +430,10 @@ SQL_SENTENCE = (
     f"WHEN 1 THEN {SQL_PSURF} || ' is the CEO of ' || {SQL_OSURF} || '.' "
     f"WHEN 2 THEN {SQL_OSURF} || ' acquired ' || {SQL_O2SURF} || '.' "
     f"WHEN 3 THEN {SQL_PSURF} || ' moved to ' || {SQL_LSURF} || '.' "
-    f"ELSE {SQL_PSURF} || ' founded ' || {SQL_OSURF} || '.' END)"
+    f"WHEN 4 THEN {SQL_PSURF} || ' founded ' || {SQL_OSURF} || '.' "
+    f"WHEN 5 THEN {SQL_PSURF} || ' collaborates on ' || {SQL_JSURF} || '.' "
+    f"WHEN 6 THEN {SQL_DSURF} || ' was authored by ' || {SQL_PSURF} || '.' "
+    f"ELSE {SQL_PSURF} || ' participates in ' || {SQL_ESURF} || '.' END)"
 )
 
 # one row per (doc, sentence): the exploded grammar — base for mention/triple oracles
@@ -392,18 +465,30 @@ def sql_gold_triples() -> str:
     e.g. 'P3' / 'O5' / 'L2' — used to compute per-group canonicals).
     """
     subj = (
-        f"(CASE WHEN {SQL_T} = 2 THEN {SQL_OCANON} ELSE {SQL_PCANON} END)"
+        f"(CASE {SQL_T} WHEN 2 THEN {SQL_OCANON} WHEN 6 THEN {SQL_DSURF} ELSE {SQL_PCANON} END)"
     )
-    subj_label = f"(CASE WHEN {SQL_T} = 2 THEN '{LABEL_ORG}' ELSE '{LABEL_PERSON}' END)"
+    subj_label = (
+        f"(CASE {SQL_T} WHEN 2 THEN '{LABEL_ORG}' WHEN 6 THEN '{LABEL_DOC}' ELSE '{LABEL_PERSON}' END)"
+    )
     obj = (
-        f"(CASE {SQL_T} WHEN 2 THEN {SQL_O2SURF} WHEN 3 THEN {SQL_LSURF} ELSE {SQL_OCANON} END)"
+        f"(CASE {SQL_T} WHEN 2 THEN {SQL_O2SURF} WHEN 3 THEN {SQL_LSURF} WHEN 5 THEN {SQL_JSURF} "
+        f"WHEN 6 THEN {SQL_PCANON} WHEN 7 THEN {SQL_ESURF} ELSE {SQL_OCANON} END)"
     )
-    obj_label = f"(CASE {SQL_T} WHEN 3 THEN '{LABEL_PLACE}' ELSE '{LABEL_ORG}' END)"
+    obj_label = (
+        f"(CASE {SQL_T} WHEN 3 THEN '{LABEL_PLACE}' WHEN 5 THEN '{LABEL_PROJECT}' "
+        f"WHEN 6 THEN '{LABEL_PERSON}' WHEN 7 THEN '{LABEL_EVENT}' ELSE '{LABEL_ORG}' END)"
+    )
     pred = f"({SQL_PREDS}[{SQL_T} + 1])"
-    subj_key = f"(CASE WHEN {SQL_T} = 2 THEN 'O' || {SQL_O} ELSE 'P' || {SQL_P} END)"
-    obj_key = f"(CASE {SQL_T} WHEN 2 THEN 'O' || {SQL_O2} WHEN 3 THEN 'L' || {SQL_L} ELSE 'O' || {SQL_O} END)"
-    subj_surf = f"(CASE WHEN {SQL_T} = 2 THEN {SQL_OSURF} ELSE {SQL_PSURF} END)"
-    obj_surf = f"(CASE {SQL_T} WHEN 2 THEN {SQL_O2SURF} WHEN 3 THEN {SQL_LSURF} ELSE {SQL_OSURF} END)"
+    subj_key = f"(CASE {SQL_T} WHEN 2 THEN 'O' || {SQL_O} WHEN 6 THEN 'D' || {SQL_D} ELSE 'P' || {SQL_P} END)"
+    obj_key = (
+        f"(CASE {SQL_T} WHEN 2 THEN 'O' || {SQL_O2} WHEN 3 THEN 'L' || {SQL_L} WHEN 5 THEN 'J' || {SQL_J} "
+        f"WHEN 6 THEN 'P' || {SQL_P} WHEN 7 THEN 'E' || {SQL_E} ELSE 'O' || {SQL_O} END)"
+    )
+    subj_surf = f"(CASE {SQL_T} WHEN 2 THEN {SQL_OSURF} WHEN 6 THEN {SQL_DSURF} ELSE {SQL_PSURF} END)"
+    obj_surf = (
+        f"(CASE {SQL_T} WHEN 2 THEN {SQL_O2SURF} WHEN 3 THEN {SQL_LSURF} WHEN 5 THEN {SQL_JSURF} "
+        f"WHEN 6 THEN {SQL_PSURF} WHEN 7 THEN {SQL_ESURF} ELSE {SQL_OSURF} END)"
+    )
     return (
         f"SELECT d, j, {SQL_GROUP} AS group_id, {SQL_WARC_TS} AS valid_at, "
         f"CAST({SQL_EPOCH} AS BIGINT) * 1000000 AS epoch_us, "

@@ -11,10 +11,18 @@ custom_types.py:212-375):
 
 - ``Person.location``          ← object of the LATEST ``MOVED_TO`` edge
 - ``Person.employer``          ← object of the latest ``WORKS_AT`` edge
+- ``Person.project``           ← object of the latest ``COLLABORATES_ON`` edge
 - ``Organization.founded_by``  ← subject of the latest ``FOUNDED`` edge
 - ``Organization.ceo``         ← subject of the latest ``IS_CEO_OF`` edge
+- ``Project.lead``             ← subject of the latest ``COLLABORATES_ON`` edge
+- ``Document.author``          ← object of the latest ``AUTHORED_BY`` edge
+- ``Event.organizer``          ← subject of the latest ``PARTICIPATES_IN`` edge
 - ``WORKS_AT.start_date``      ← date the merged edge first became true
 - ``FOUNDED.year``             ← year the merged edge first became true
+- ``AUTHORED_BY.publication_date`` ← date the merged edge first became true
+
+11 rules across 5 entity types + 3 edge types — one per built-in catalog
+type (custom_types.py:212-375), all riding the same fused shuffle.
 
 "Latest" = max ``valid_at`` over the entity's merged edges of that
 predicate (merged valid_at is already min-over-occurrences), tie → the
@@ -53,6 +61,10 @@ NODE_ATTR_RULES: tuple[NodeAttrRule, ...] = (
     NodeAttrRule("employer", "WORKS_AT", "source", "Person"),
     NodeAttrRule("founded_by", "FOUNDED", "target", "Organization"),
     NodeAttrRule("ceo", "IS_CEO_OF", "target", "Organization"),
+    NodeAttrRule("project", "COLLABORATES_ON", "source", "Person"),
+    NodeAttrRule("lead", "COLLABORATES_ON", "target", "Project"),
+    NodeAttrRule("author", "AUTHORED_BY", "source", "Document"),
+    NodeAttrRule("organizer", "PARTICIPATES_IN", "target", "Event"),
 )
 
 _RULE_LABEL = {r.attr: r.require_label for r in NODE_ATTR_RULES}
@@ -62,6 +74,7 @@ EDGE_ATTR_RULES: dict[str, tuple[str, str]] = {
     # fmt is a strftime pattern; 'year' values are written as JSON ints
     "WORKS_AT": ("start_date", "%Y-%m-%d"),
     "FOUNDED": ("year", "%Y"),
+    "AUTHORED_BY": ("publication_date", "%Y-%m-%d"),
 }
 _INT_EDGE_ATTRS = frozenset({"year"})
 
