@@ -6,9 +6,10 @@ Prints ONE JSON line:
    "queries": {...per-stage/query seconds...}, "sf": ..., "num_cpus": N,
    "pages": N, "triples": N, "triples_per_sec": N}
 
-`--scaling` runs the same bench twice in fresh processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input (page cache warmed by the
-first run's untimed fixture build) and prints throughputs + efficiency.
+`--scaling` runs the same bench twice in fresh taskset-pinned processes
+(default pair lo=hi/4, hi=min(16, physical cores) — override with
+GRAFT_SCALE_LO / GRAFT_SCALE_HI) on the same input (page cache warmed by
+the first run's untimed fixture build) and prints throughputs + efficiency.
 """
 
 from __future__ import annotations
