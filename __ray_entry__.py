@@ -519,7 +519,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # boilerplate removal: fragments (len >= 4) in >= 50% of docs removed;
     # threshold mirrors the engine's max(2, ceil(frac * n_docs))
-    sql["q39_boilerplate_removal"] = """
+    # the domain-cap probe mirrors queries._DOMAIN_CAP and the fixture's
+    # host assignment (url_of: host = doc_id % 13); smallest doc_id wins
+    from graphiti_hf_ray.pipelines.queries import _DOMAIN_CAP as _DCAP
+
+    sql["q39_boilerplate_removal"] = f"""
         WITH d AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
         tok AS (
             SELECT DISTINCT doc_id, w
@@ -532,7 +536,9 @@ def oracle_sql() -> dict[str, str]:
         bad AS (SELECT coalesce(list(w), []) AS b FROM freq)
         SELECT doc_id,
                CAST(len(t) - len(kept) AS BIGINT) AS n_dropped_lines,
-               md5(coalesce(array_to_string(kept, chr(32)), '')) AS fingerprint
+               md5(coalesce(array_to_string(kept, chr(32)), '')) AS fingerprint,
+               CAST(row_number() OVER (PARTITION BY doc_id % 13 ORDER BY doc_id)
+                    <= {_DCAP} AS BIGINT) AS kept_after_domain_cap
         FROM (
             SELECT doc_id, t,
                    list_filter(t, x -> NOT (length(x) >= 4 AND list_contains(b, x))) AS kept

@@ -685,16 +685,30 @@ def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# q39's domain-cap probe: keep at most this many docs per host. 13 fixture
+# hosts × ~38 docs/host at 500 docs → the cap actually drops rows at every
+# test scale. Mirrored literally in the q39 oracle's window rank.
+_DOMAIN_CAP = 25
+
+
 def q39_boilerplate_removal(sf_dir: str) -> pd.DataFrame:
     """Corpus boilerplate-fragment removal (textclean family, CCNet-style
     frequent-fragment pass): whitespace-separated fragments of length >= 4
     appearing in >= 50% of documents are removed corpus-wide — per-batch
     DISTINCT-per-doc partial counts → bucketed sum → size-gated broadcast
     of the frequent set → map-side strip. The driver checks per-doc drop
-    counts and the md5 of the cleaned text."""
+    counts and the md5 of the cleaned text.
+
+    Fused second probe: ``kept_after_domain_cap`` drives the REAL
+    ``cap_per_domain`` head-domain guard (at most ``_DOMAIN_CAP`` docs per
+    host, smallest doc_id wins; urls are the fixture's deterministic
+    host assignment, doc_id % 13) and joins the kept set back with the
+    partitioned hash join — the oracle reconstructs it as a window rank."""
     import hashlib as _hl
 
-    from ..functions.textclean import remove_boilerplate_lines
+    from ..fixtures.pages import url_of
+    from ..functions.joins import hash_join
+    from ..functions.textclean import cap_per_domain, remove_boilerplate_lines
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cleaned = remove_boilerplate_lines(docs, min_doc_frac=0.5, sep=" ")
@@ -709,7 +723,26 @@ def q39_boilerplate_removal(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return cleaned.map_batches(fp, batch_format="pyarrow").to_pandas()
+    def with_url(t: pa.Table) -> pa.Table:
+        urls = [url_of(int(d)) for d in t.column("doc_id").to_pylist()]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    kept = cap_per_domain(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(with_url, batch_format="pyarrow"),
+        cap=_DOMAIN_CAP,
+    ).map_batches(
+        lambda t: pa.table(
+            {"k_doc_id": t.column("doc_id"), "_kept": pa.array([1] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        cleaned.map_batches(fp, batch_format="pyarrow"), kept, "doc_id", "k_doc_id", how="left",
+        right_types={"k_doc_id": pa.int64(), "_kept": pa.int64()},
+    )
+    out = joined.to_pandas()
+    out["kept_after_domain_cap"] = out.pop("_kept").fillna(0).astype("int64")
+    return out[["doc_id", "n_dropped_lines", "fingerprint", "kept_after_domain_cap"]]
 
 
 QUERIES.update(
