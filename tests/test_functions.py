@@ -967,3 +967,55 @@ def test_ivf_trained_recall_on_fixture(ray_session, sf_small):
     curve = ivf_recall_curve(emb, Q, k=10, configs=((16, 4),))
     row = curve.iloc[0]
     assert row["recall"] >= 0.9 and row["scan_reduction"] >= 4.0, curve.to_string()
+
+
+def test_typed_attribute_rules_full_catalog(ray_session):
+    """Round-5 catalog breadth (VERDICT r4 #5): the Project/Document/Event
+    rules fire through the same fused shuffle — Document.author /
+    Project.lead / Event.organizer / Person.project node rules and the
+    AUTHORED_BY.publication_date edge rule — and the labels gate keeps a
+    rule's attr off nodes that do not carry its required label."""
+    import json as _json
+
+    from graphiti_hf_ray.stages.attributes import hydrate_node_attributes, typed_attribute_rows
+
+    ts = pd.to_datetime(["2024-01-10", "2024-04-01", "2024-02-20", "2024-03-05"]).astype("datetime64[us]")
+    edges = pd.DataFrame(
+        {
+            "uuid": ["e1", "e2", "e3", "e4"],
+            "group_id": ["g0"] * 4,
+            "source_uuid": ["d1", "p1", "p1", "p2"],
+            "target_uuid": ["p1", "j1", "j1", "v1"],
+            "name": ["AUTHORED_BY", "COLLABORATES_ON", "COLLABORATES_ON", "PARTICIPATES_IN"],
+            "valid_at": ts,
+            "attributes": ["{}"] * 4,
+        }
+    )
+    nodes = pd.DataFrame(
+        {
+            "uuid": ["d1", "p1", "p2", "j1", "v1"],
+            "name": ["Cobalt Whitepaper", "Ada", "Bob", "Aurora Pipeline", "Zenith Workshop"],
+            "group_id": ["g0"] * 5,
+            "labels": [["Document"], ["Person"], ["Person"], ["Project"], ["Event"]],
+            "attributes": ["{}"] * 5,
+        }
+    )
+    rows = typed_attribute_rows(rd.from_pandas(edges), rd.from_pandas(nodes)).to_pandas()
+    by = {
+        (r["kind"], r["uuid"], _json.loads(r["attributes"]).popitem()[0]): r["attributes"]
+        for _, r in rows.iterrows()
+    }
+    assert by[("node", "d1", "author")] == '{"author": "Ada"}'
+    # j1's latest COLLABORATES_ON is e2 (2024-04-01, subj p1 = Ada)
+    assert by[("node", "j1", "lead")] == '{"lead": "Ada"}'
+    assert by[("node", "p1", "project")] == '{"project": "Aurora Pipeline"}'
+    assert by[("node", "v1", "organizer")] == '{"organizer": "Bob"}'
+    assert by[("edge", "e1", "publication_date")] == '{"publication_date": "2024-01-10"}'
+
+    # labels gate: a COLLABORATES_ON target NOT labeled Project gets no 'lead'
+    nodes2 = nodes.copy()
+    nodes2.loc[nodes2["uuid"] == "j1", "labels"] = [["Organization"]]
+    hn = hydrate_node_attributes(rd.from_pandas(nodes2), rd.from_pandas(edges)).to_pandas()
+    m = dict(zip(hn["uuid"], hn["attributes"]))
+    assert "lead" not in _json.loads(m["j1"])
+    assert _json.loads(m["d1"])["author"] == "Ada"
