@@ -1019,3 +1019,49 @@ def test_typed_attribute_rules_full_catalog(ray_session):
     m = dict(zip(hn["uuid"], hn["attributes"]))
     assert "lead" not in _json.loads(m["j1"])
     assert _json.loads(m["d1"])["author"] == "Ada"
+
+
+def test_chunk_documents_invariants(ray_session):
+    """Token-window chunking: budget respected, exact overlap, lossless
+    reconstruction from non-overlapping suffixes, single-chunk and empty
+    edge cases, determinism across runs."""
+    from graphiti_hf_ray.functions.textchunk import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(23)),  # multi-chunk
+        1: " ".join(f"u{i}" for i in range(8)),   # exactly max_tokens
+        2: "one two",                              # < max_tokens
+        3: "",                                     # empty → no chunks
+        4: " ".join(f"v{i}" for i in range(9)),   # max_tokens + 1
+    }
+    docs = pd.DataFrame({"doc_id": list(texts), "text": [texts[k] for k in texts]})
+    out = chunk_documents(rd.from_pandas(docs), max_tokens=8, overlap=3).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    assert (out["n_tokens"] <= 8).all()
+    assert set(out["doc_id"]) == {0, 1, 2, 4}  # empty doc absent
+    assert len(out[out["doc_id"] == 1]) == 1 and len(out[out["doc_id"] == 2]) == 1
+    assert len(out[out["doc_id"] == 4]) == 2
+
+    for d, g in out.groupby("doc_id"):
+        toks = texts[d].split()
+        rebuilt = []
+        prev_end = 0
+        for r in g.itertuples(index=False):
+            ct = r.text.split()
+            assert ct == toks[r.start_tok : r.start_tok + r.n_tokens]  # exact span
+            if rebuilt:
+                assert r.start_tok == prev_end - 3  # exact overlap
+            rebuilt.extend(ct[prev_end - r.start_tok :] if rebuilt else ct)
+            prev_end = r.start_tok + r.n_tokens
+        assert rebuilt == toks  # lossless coverage
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+
+    again = chunk_documents(rd.from_pandas(docs), max_tokens=8, overlap=3).to_pandas()
+    again = again.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(docs), max_tokens=8, overlap=8)
