@@ -204,3 +204,99 @@ def cap_per_domain(
 
     with_host = docs.map_batches(add_host, batch_format="pyarrow")
     return bucketed_group_apply(with_host, ["_host"], keep)
+
+
+def dedup_paragraphs_global(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> "ray.data.Dataset":
+    """CCNet-style CROSS-document paragraph dedup: each distinct paragraph
+    survives only at its globally FIRST occurrence (smallest
+    ``(doc_id, par_idx)``); every later copy — in the same doc or any other
+    doc — is removed. Complements ``dedup_paragraphs_batch`` (within-doc
+    only) and ``remove_boilerplate_lines`` (drops a line EVERYWHERE once
+    frequent; this keeps exactly one copy of every paragraph).
+
+    Scale shape — paragraph text crosses the wire ONCE:
+    - exchange 1 (keyed by paragraph md5, coords only — 3 narrow columns):
+      per hash bucket the winner is min (doc_id, par_idx); losers emit
+      (doc_id, par_idx) drop markers. No text in this shuffle.
+    - exchange 2 (keyed by doc_id): the exploded text rows and the drop
+      markers meet in the doc's bucket; reassembly filters dropped
+      positions, rejoins with ``sep`` in original order, and counts drops.
+    Duplicate-heavy corpora shrink exchange 2's marker side, never grow it
+    past the paragraph count.
+
+    Returns (id_col, text, n_dropped_paragraphs) — one row per input doc
+    (docs whose every paragraph was dropped return the empty string).
+    """
+    import hashlib as _hl
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    def explode_coords(t: pa.Table) -> pa.Table:
+        ids, idxs, hs = [], [], []
+        for d, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            for i, p in enumerate((txt or "").split(sep)):
+                ids.append(d)
+                idxs.append(i)
+                hs.append(_hl.md5(p.encode()).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(ids, t.column(id_col).type),
+                "par_idx": pa.array(idxs, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "par_idx"], kind="mergesort")
+        drop = g.groupby("h", sort=False).tail(-1)  # everything but the first
+        return drop[[id_col, "par_idx"]]
+
+    drops = bucketed_group_apply(docs.map_batches(explode_coords, batch_format="pyarrow"), ["h"], losers)
+
+    def explode_text(t: pa.Table) -> pa.Table:
+        ids, idxs, ps = [], [], []
+        for d, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            for i, p in enumerate((txt or "").split(sep)):
+                ids.append(d)
+                idxs.append(i)
+                ps.append(p)
+        return pa.table(
+            {
+                id_col: pa.array(ids, t.column(id_col).type),
+                "par_idx": pa.array(idxs, pa.int64()),
+                "par_text": pa.array(ps, pa.string()),
+                "_drop": pa.array([0] * len(ids), pa.int64()),
+            }
+        )
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "par_idx": t.column("par_idx"),
+                "par_text": pa.array([""] * t.num_rows, pa.string()),
+                "_drop": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    both = docs.map_batches(explode_text, batch_format="pyarrow").union(
+        drops.map_batches(mark, batch_format="pyarrow")
+    )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_texts, out_drops = [], [], []
+        for d, rows in g.groupby(id_col, sort=False):
+            dropped = set(rows.loc[rows["_drop"] == 1, "par_idx"])
+            body = rows[rows["_drop"] == 0].sort_values("par_idx", kind="mergesort")
+            kept = body[~body["par_idx"].isin(dropped)]
+            out_ids.append(d)
+            out_texts.append(sep.join(kept["par_text"]))
+            out_drops.append(len(dropped))
+        return pd.DataFrame({id_col: out_ids, "text": out_texts, "n_dropped_paragraphs": out_drops})
+
+    return bucketed_group_apply(both, [id_col], reassemble)

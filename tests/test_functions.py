@@ -1065,3 +1065,56 @@ def test_chunk_documents_invariants(ray_session):
 
     with _pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(docs), max_tokens=8, overlap=8)
+
+
+def test_dedup_paragraphs_global(ray_session):
+    """Cross-doc paragraph dedup: a paragraph survives only at its globally
+    first (doc_id, par_idx) occurrence — later copies in the SAME doc and
+    in OTHER docs are removed; doc order preserved; drop counts exact; the
+    kept multiset equals the distinct-paragraph set."""
+    from graphiti_hf_ray.functions.textclean import dedup_paragraphs_global
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2, 3], np.int64),
+            "text": [
+                "alpha\nbeta\nalpha",          # within-doc repeat of alpha
+                "beta\ngamma",                  # beta already seen in doc 0
+                "delta",                        # unique
+                "alpha\ngamma\nepsilon",        # both seen before
+            ],
+        }
+    )
+    out = (
+        dedup_paragraphs_global(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["alpha\nbeta", "gamma", "delta", "epsilon"]
+    assert list(out["n_dropped_paragraphs"]) == [1, 1, 0, 2]
+
+    # global invariant: kept paragraphs = exactly the distinct set, and
+    # each survivor sits at the minimal (doc_id, par_idx) of its group
+    all_pars = [
+        (d, i, p)
+        for d, t in zip(docs["doc_id"], docs["text"])
+        for i, p in enumerate(t.split("\n"))
+    ]
+    first = {}
+    for d, i, p in all_pars:
+        first.setdefault(p, (d, i))
+    kept = [
+        (d, p)
+        for d, t in zip(out["doc_id"], out["text"])
+        for p in (t.split("\n") if t else [])
+    ]
+    assert sorted(p for _, p in kept) == sorted(first)
+    for d, p in kept:
+        assert first[p][0] == d
+
+    # a doc that is entirely duplicates collapses to the empty string
+    docs2 = pd.DataFrame({"doc_id": np.array([0, 1], np.int64), "text": ["x\ny", "y\nx"]})
+    out2 = dedup_paragraphs_global(rd.from_pandas(docs2)).to_pandas().sort_values("doc_id")
+    assert list(out2["text"]) == ["x\ny", ""]
+    assert list(out2["n_dropped_paragraphs"]) == [0, 2]
