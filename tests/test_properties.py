@@ -185,3 +185,49 @@ def test_hash_join_matches_pandas_merge(ray_session, lefts, rights, how):
         a = got["rv"].fillna(-1).astype("int64").tolist()
         b = exp["rv"].fillna(-1).astype("int64").tolist()
         assert a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(st.lists(st.integers(0, 9), max_size=40), min_size=1, max_size=8),
+    max_tokens=st.integers(1, 12),
+    data=st.data(),
+)
+def test_chunk_batch_invariants_property(docs, max_tokens, data):
+    """chunk_batch (the pure kernel under chunk_documents) holds its
+    invariants for arbitrary token streams and (max_tokens, overlap):
+    per-chunk budget, exact start offsets, exact overlap stride, lossless
+    reconstruction, and single-chunk behavior for short docs."""
+    import pyarrow as pa
+
+    from graphiti_hf_ray.functions.textchunk import chunk_batch
+
+    overlap = data.draw(st.integers(0, max_tokens - 1))
+    texts = [" ".join(f"w{v}" for v in d) for d in docs]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = chunk_batch(t, max_tokens=max_tokens, overlap=overlap, id_col="doc_id", text_col="text")
+    rows = out.to_pylist()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = max_tokens - overlap
+    for d, txt in enumerate(texts):
+        toks = txt.split()
+        g = sorted(by_doc.get(d, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert not g
+            continue
+        assert [r["chunk_idx"] for r in g] == list(range(len(g)))
+        for i, r in enumerate(g):
+            assert r["n_tokens"] <= max_tokens
+            assert r["start_tok"] == i * stride
+            assert r["text"].split() == toks[r["start_tok"] : r["start_tok"] + r["n_tokens"]]
+        last = g[-1]
+        assert last["start_tok"] + last["n_tokens"] == len(toks)  # full coverage
+        if len(toks) <= max_tokens:
+            assert len(g) == 1
+        # reconstruction from non-overlapping suffixes
+        rebuilt = g[0]["text"].split()
+        for r in g[1:]:
+            rebuilt.extend(r["text"].split()[overlap:])
+        assert rebuilt == toks
