@@ -443,17 +443,44 @@ def oracle_sql() -> dict[str, str]:
         for lang, prof in sorted(_LANG_PROFILES.items())
         if prof
     )
+    # q36's fused decontamination probe mirrors pipelines/queries
+    # ._BENCH_DOCS/_BENCH_N: benchmark suite = docs 0..4, 8-token grams,
+    # count = collision POSITIONS (every window of the doc whose gram is in
+    # the benchmark set), so the oracle explodes windows and joins against
+    # the distinct benchmark grams.
     sql["q36_langid"] = f"""
-        SELECT doc_id,
-               CASE WHEN m = 0 THEN 'und'
-                    WHEN n_de = m THEN 'de'
-                    WHEN n_en = m THEN 'en'
-                    WHEN n_es = m THEN 'es'
-                    ELSE 'fr' END AS lang_pred
-        FROM (
-            SELECT doc_id, greatest(n_de, n_en, n_es, n_fr) AS m, n_de, n_en, n_es, n_fr
-            FROM (SELECT doc_id, {lang_counts} FROM documents)
+        WITH langid AS (
+          SELECT doc_id,
+                 CASE WHEN m = 0 THEN 'und'
+                      WHEN n_de = m THEN 'de'
+                      WHEN n_en = m THEN 'en'
+                      WHEN n_es = m THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM (
+              SELECT doc_id, greatest(n_de, n_en, n_es, n_fr) AS m, n_de, n_en, n_es, n_fr
+              FROM (SELECT doc_id, {lang_counts} FROM documents)
+          )
+        ),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(text, ' ') AS a,
+                 len(regexp_split_to_array(text, ' ')) AS n
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(a[i+1 : i+8], ' ') AS g
+          FROM (SELECT doc_id, a,
+                       unnest(generate_series(0, n - 8)) AS i
+                FROM toks WHERE n >= 8)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+        hits AS (
+          SELECT grams.doc_id, count(*) AS n_contaminated_ngrams
+          FROM grams JOIN bench USING (g) GROUP BY grams.doc_id
         )
+        SELECT l.doc_id, l.lang_pred,
+               coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams
+        FROM langid l LEFT JOIN hits h ON l.doc_id = h.doc_id
     """
 
     sql["q34_event_overlaps"] = """
@@ -508,6 +535,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
     thresh = format(int(0.2 * 16**8), "08x")
+    # strat branch mirrors pipelines/queries._STRAT_RATES via the engine's
+    # threshold encoding format(int(rate * 16**8), "08x") — rates are
+    # powers of two so the encoding is exact; 'zh' has no rate → excluded.
+    strat_case = " ".join(
+        f"WHEN lang = '{s}' THEN '{format(int(r * 16**8), '08x')}'"
+        for s, r in [("en", 0.5), ("de", 0.25), ("es", 0.125), ("fr", 0.0625)]
+    )
     sql["q38_sample_synopsis"] = f"""
         SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS v FROM documents
         WHERE substr(md5('s:' || doc_id), 1, 8) < '{thresh}'
@@ -516,6 +550,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT h FROM (SELECT DISTINCT md5('k:' || text) AS h FROM documents)
             ORDER BY h LIMIT 32
         )
+        UNION ALL
+        SELECT 'strat', CAST(doc_id AS VARCHAR) FROM documents
+        WHERE substr(md5('s:' || doc_id), 1, 8) < CASE {strat_case} ELSE '00000000' END
     """
     # boilerplate removal: fragments (len >= 4) in >= 50% of docs removed;
     # threshold mirrors the engine's max(2, ceil(frac * n_docs))
@@ -754,10 +791,58 @@ def oracle_sql() -> dict[str, str]:
             + 0.4 * list_cosine_similarity(ea.embedding, eb.embedding) >= 0.6
     """
 
+    # q48's fused probes mirror pipelines/queries._CHUNK_MAX/_CHUNK_OVERLAP/
+    # _PAR_TOKENS literally: 32-token chunks with 8 overlap (stride 24), and
+    # disjoint 10-token paragraphs for the global cross-doc paragraph dedup
+    # (row_number over (paragraph) ordered by (doc_id, par_idx) = the
+    # engine's first-occurrence-wins rule). Fixture text is single-space
+    # separated with no edge whitespace, so split-on-' ' == Python .split()
+    # (validated: zero rows differ from the \s+ split at every sf).
     sql["q48_bpe_token_count"] = r"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
-        FROM documents
+        WITH toks AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+                 regexp_split_to_array(text, ' ') AS a,
+                 len(regexp_split_to_array(text, ' ')) AS n
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+                     ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) END)) AS chunk_idx,
+                 a, n
+          FROM toks WHERE n > 0
+        ),
+        cagg AS (
+          SELECT doc_id, count(*) AS n_chunks,
+                 md5(string_agg(array_to_string(a[chunk_idx*24+1 : least(chunk_idx*24+32, n)], ' '),
+                                chr(31) ORDER BY chunk_idx)) AS chunks_md5
+          FROM chunks GROUP BY doc_id
+        ),
+        pars AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, CASE WHEN n <= 10 THEN 0
+                     ELSE CAST(ceil((n - 10) / 10.0) AS BIGINT) END)) AS par_idx,
+                 a, n
+          FROM toks WHERE n > 0
+        ),
+        ranked AS (
+          SELECT doc_id, par_idx,
+                 array_to_string(a[par_idx*10+1 : least(par_idx*10+10, n)], ' ') AS p,
+                 row_number() OVER (
+                   PARTITION BY array_to_string(a[par_idx*10+1 : least(par_idx*10+10, n)], ' ')
+                   ORDER BY doc_id, par_idx) AS rn
+          FROM pars
+        ),
+        pdd AS (
+          SELECT doc_id,
+                 count(*) FILTER (rn > 1) AS n_dropped_paragraphs,
+                 md5(coalesce(string_agg(p, chr(10) ORDER BY par_idx) FILTER (rn = 1), '')) AS pardedup_md5
+          FROM ranked GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_bpe_tokens, cagg.n_chunks, cagg.chunks_md5,
+               pdd.n_dropped_paragraphs, pdd.pardedup_md5
+        FROM toks t JOIN cagg USING (doc_id) JOIN pdd USING (doc_id)
     """
 
     sql["q47_knn_multi"] = " UNION ALL ".join(

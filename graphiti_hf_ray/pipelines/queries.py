@@ -618,13 +618,34 @@ def q35_bm25_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id"]]
 
 
+# q36's fused decontamination probe: the "benchmark suite" is the first
+# _BENCH_DOCS documents (deterministic, filter-pushdown read), n-gram
+# length _BENCH_N. Mirrored literally in the q36 oracle's gram join.
+_BENCH_DOCS, _BENCH_N = 5, 8
+
+
 def q36_langid(sf_dir: str) -> pd.DataFrame:
-    """Language-ID heuristic stage (stopword-profile overlap)."""
+    """Language-ID heuristic stage (stopword-profile overlap).
+
+    Fused probe (50-slot budget): ``n_contaminated_ngrams`` drives the REAL
+    ``ngram_decontaminate`` — the benchmark suite is docs 0..4's texts
+    (small side, built once and broadcast via ``ray.put``), and each doc
+    counts its 8-token windows colliding with the benchmark gram set. The
+    oracle reconstructs the count as a gram-explode join."""
+    from ..functions.decontam import ngram_decontaminate
     from ..functions.textstats import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
-    return out[["doc_id", "lang_pred"]]
+    bench = [
+        r["text"]
+        for r in sorted(
+            ds.filter(expr=f"doc_id < {_BENCH_DOCS}").take(_BENCH_DOCS),
+            key=lambda r: r["doc_id"],
+        )
+    ]
+    marked = ngram_decontaminate(ds, bench, n=_BENCH_N, mode="mark")
+    out = marked.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "lang_pred", "n_contaminated_ngrams"]]
 
 
 QUERIES.update(
@@ -667,20 +688,33 @@ def q37_large_join(sf_dir: str) -> pd.DataFrame:
 QUERIES["q37_large_join"] = q37_large_join
 
 
+# q38's stratified-mixture probe: per-language target rates (DoReMi-style
+# static domain reweighting — upsample the head language, downsample the
+# tail, drop 'zh' entirely). Mirrored literally in the q38 oracle's CASE.
+_STRAT_RATES = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.0625}
+
+
 def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
     """Fused sampling + sketch slot (the driver records at most 50
     queries): a deterministic ~20% hash sample of documents
     (coordination-free, rerun-stable, partitioning-independent) UNION the
-    exact 32-hash K-minimum-values distinct synopsis — both operators,
-    one driver row, aligned on (kind, v)."""
-    from ..functions.sample import hash_sample, kmv_synopsis
+    exact 32-hash K-minimum-values distinct synopsis UNION the stratified
+    per-domain mixture sample (``stratified_hash_sample``, rates per
+    ``lang`` — the static domain-reweighting step of a training-data
+    pipeline) — three operators, one driver row, aligned on (kind, v)."""
+    from ..functions.sample import hash_sample, kmv_synopsis, stratified_hash_sample
 
     samp = hash_sample(_read(sf_dir, "documents", ["doc_id"]), "doc_id", 0.2).to_pandas()
     synopsis, _est = kmv_synopsis(_read(sf_dir, "documents", ["text"]), "text", k=32)
+    strat = stratified_hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", "lang", _STRAT_RATES
+    ).to_pandas()
     return pd.DataFrame(
         {
-            "kind": ["sample"] * len(samp) + ["kmv"] * len(synopsis),
-            "v": [str(int(d)) for d in samp["doc_id"]] + list(synopsis),
+            "kind": ["sample"] * len(samp) + ["kmv"] * len(synopsis) + ["strat"] * len(strat),
+            "v": [str(int(d)) for d in samp["doc_id"]]
+            + list(synopsis)
+            + [str(int(d)) for d in strat["doc_id"]],
         }
     )
 
@@ -917,12 +951,88 @@ def q47_knn_multi(sf_dir: str) -> pd.DataFrame:
 QUERIES["q47_knn_multi"] = q47_knn_multi
 
 
-def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
-    """BPE-ish regex token counting (actor pool, compiled once per actor)."""
-    from ..functions.textstats import BpeTokenCount
+# q48's fused token-family probes, mirrored literally in the oracle SQL:
+# chunk windows of 32 whitespace tokens with 8 overlapping, and 10-token
+# "paragraphs" (disjoint windows) for the cross-doc paragraph dedup.
+_CHUNK_MAX, _CHUNK_OVERLAP, _PAR_TOKENS = 32, 8, 10
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(BpeTokenCount, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+
+def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex token counting (actor pool, compiled once per actor).
+
+    Fused probes (one driver row per doc, the 50-slot budget pattern):
+
+    - ``n_chunks`` / ``chunks_md5`` drive the REAL ``chunk_documents``
+      (32-token windows, 8-token overlap) and checksum the full chunk
+      stream per doc (md5 of chunk texts joined by 0x1f in chunk_idx
+      order) — content, offsets and count all feed the hash.
+    - ``n_dropped_paragraphs`` / ``pardedup_md5`` drive the REAL
+      ``dedup_paragraphs_global`` over deterministic 10-token paragraphs
+      (built with the same chunk kernel, overlap 0): each distinct
+      paragraph survives only at its globally first (doc_id, par_idx);
+      the md5 is over the reassembled per-doc text.
+    The oracle reconstructs all four as window/array SQL."""
+    from ..functions.joins import hash_join
+    from ..functions.textchunk import chunk_batch, chunk_documents
+    from ..functions.textclean import dedup_paragraphs_global
+    from ..functions.textstats import BpeTokenCount
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bpe = docs.map_batches(BpeTokenCount, batch_format="pyarrow", concurrency=(1, 4))
+
+    # probe 1: chunk stream → per-doc (n_chunks, chunks_md5)
+    chunks = chunk_documents(docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP)
+
+    def chunk_agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        return pd.DataFrame(
+            {
+                "c_doc_id": g.size().index.astype("int64"),
+                "n_chunks": g.size().astype("int64").values,
+                "chunks_md5": g["text"].agg(
+                    lambda ts: hashlib.md5("\x1f".join(ts).encode()).hexdigest()
+                ).values,
+            }
+        )
+
+    cagg = bucketed_group_apply(
+        chunks.select_columns(["doc_id", "chunk_idx", "text"]), ["doc_id"], chunk_agg
+    )
+
+    # probe 2: rewrite each doc as newline-joined 10-token paragraphs
+    # (same kernel, overlap 0), then global cross-doc paragraph dedup
+    def to_paragraphs(t: pa.Table) -> pa.Table:
+        pt = chunk_batch(t, max_tokens=_PAR_TOKENS, overlap=0, id_col="doc_id", text_col="text")
+        df = pt.to_pandas().sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)["text"].agg("\n".join)
+        return pa.table(
+            {"doc_id": pa.array(g.index.astype("int64"), pa.int64()), "text": pa.array(g.values, pa.string())}
+        )
+
+    pdd = dedup_paragraphs_global(docs.map_batches(to_paragraphs, batch_format="pyarrow"))
+
+    def pd_fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "p_doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_dropped_paragraphs": t.column("n_dropped_paragraphs").cast(pa.int64()),
+                "pardedup_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    joined = hash_join(
+        bpe, cagg, "doc_id", "c_doc_id",
+        right_types={"c_doc_id": pa.int64(), "n_chunks": pa.int64(), "chunks_md5": pa.string()},
+    )
+    joined = hash_join(
+        joined, pdd.map_batches(pd_fp, batch_format="pyarrow"), "doc_id", "p_doc_id",
+        right_types={"p_doc_id": pa.int64(), "n_dropped_paragraphs": pa.int64(), "pardedup_md5": pa.string()},
+    )
+    out = joined.to_pandas()
+    return out[["doc_id", "n_bpe_tokens", "n_chunks", "chunks_md5", "n_dropped_paragraphs", "pardedup_md5"]]
 
 
 QUERIES["q48_bpe_token_count"] = q48_bpe_token_count

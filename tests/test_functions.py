@@ -1118,3 +1118,46 @@ def test_dedup_paragraphs_global(ray_session):
     out2 = dedup_paragraphs_global(rd.from_pandas(docs2)).to_pandas().sort_values("doc_id")
     assert list(out2["text"]) == ["x\ny", ""]
     assert list(out2["n_dropped_paragraphs"]) == [0, 2]
+
+
+def test_ngram_decontaminate(ray_session):
+    """Benchmark decontamination: collision-position counts are exact,
+    docs shorter than n contribute/receive nothing, mode='filter' keeps
+    exactly the clean rows, and the benchmark texts flag themselves."""
+    from graphiti_hf_ray.functions.decontam import benchmark_ngrams, ngram_decontaminate
+
+    bench = ["a b c d", "x y z w v"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2, 3, 4], np.int64),
+            "text": [
+                "a b c d",            # == bench[0]: 1 window, 1 hit
+                "q a b c d r a b c d",  # windows at 1 and 6 hit (n=4)
+                "a b c e d",          # no 4-window matches
+                "a b",                # shorter than n: 0 windows
+                "",                   # empty
+            ],
+        }
+    )
+    out = (
+        ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode="mark")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["n_contaminated_ngrams"]) == [1, 2, 0, 0, 0]
+    assert list(out["contaminated"]) == [True, True, False, False, False]
+
+    kept = (
+        ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode="filter")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(kept["doc_id"]) == [2, 3, 4]
+    assert "n_contaminated_ngrams" not in kept.columns
+
+    # gram builder: every position, both texts; short bench text adds none
+    g = benchmark_ngrams(["p q r s t", "tiny"], n=4)
+    assert g == frozenset({"p q r s", "q r s t"})
+
+    with pytest.raises(ValueError):
+        ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode="bogus")
