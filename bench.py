@@ -148,6 +148,31 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
         del res, n
 
+    # composed corpus → training-set pipeline (exact dedup → decontam →
+    # gate → paragraph dedup → chunk → pack → manifest sink), streaming
+    # mode (no stage counts); benchmark suite = first 5 docs, lang gate
+    # off (the fixture corpus is one-language word soup)
+    if not os.environ.get("GRAFT_BENCH_KG_ONLY"):
+        import pyarrow.parquet as _pq
+
+        from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+        bench_docs = (
+            _pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+            .slice(0, 5)
+            .column("text")
+            .to_pylist()
+        )
+        corpus_out = f"{scratch}/corpus_{sf_tag}_{num_cpus}"
+        shutil.rmtree(corpus_out, ignore_errors=True)
+        t0 = time.time()
+        docs_ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        prepare_training_set(
+            docs_ds, bench_docs, corpus_out,
+            lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
+        )
+        timings["corpus_prep"] = round(time.time() - t0, 3)
+
     return {
         "metric": "kg_build_sec",
         "value": timings["kg_build"],

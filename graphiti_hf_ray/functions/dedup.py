@@ -153,7 +153,7 @@ def minhash_signature(text: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup(docs: "ray.data.Dataset", num_buckets: int | None = None) -> "ray.data.Dataset":
     """One row per distinct text: (fingerprint, keep_doc_id = min, n_dups)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -168,7 +168,8 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     from ..stages.shuffle import bucketed_group_apply
 
     return bucketed_group_apply(
-        docs.map_batches(add_hash, batch_format="pyarrow"), ["fingerprint"], first
+        docs.map_batches(add_hash, batch_format="pyarrow"), ["fingerprint"], first,
+        num_buckets=num_buckets,
     )
 
 

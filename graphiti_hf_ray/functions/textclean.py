@@ -211,6 +211,7 @@ def dedup_paragraphs_global(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """CCNet-style CROSS-document paragraph dedup: each distinct paragraph
     survives only at its globally FIRST occurrence (smallest
@@ -256,7 +257,10 @@ def dedup_paragraphs_global(
         drop = g.groupby("h", sort=False).tail(-1)  # everything but the first
         return drop[[id_col, "par_idx"]]
 
-    drops = bucketed_group_apply(docs.map_batches(explode_coords, batch_format="pyarrow"), ["h"], losers)
+    drops = bucketed_group_apply(
+        docs.map_batches(explode_coords, batch_format="pyarrow"), ["h"], losers,
+        num_buckets=num_buckets,
+    )
 
     def explode_text(t: pa.Table) -> pa.Table:
         ids, idxs, ps = [], [], []
@@ -299,4 +303,4 @@ def dedup_paragraphs_global(
             out_drops.append(len(dropped))
         return pd.DataFrame({id_col: out_ids, "text": out_texts, "n_dropped_paragraphs": out_drops})
 
-    return bucketed_group_apply(both, [id_col], reassemble)
+    return bucketed_group_apply(both, [id_col], reassemble, num_buckets=num_buckets)

@@ -1,0 +1,104 @@
+"""Sequence packing: assemble chunk rows into fixed-token-budget training
+sequences (the step between chunking and batching in an LLM data pipeline —
+packing short pieces together so no budget is wasted on padding).
+
+Algorithm: greedy NEXT-FIT per bucket. Chunks are hash-partitioned by
+``id_col`` (all chunks of one document co-locate, so a document's windows
+tend to share packs and provenance stays local), ordered by ``(id_col,
+idx_col)`` inside the bucket, and accumulated into the current pack until
+the next chunk would overflow ``budget`` — then the pack closes and a new
+one starts. A chunk alone larger than ``budget`` is rejected up front
+(callers chunk with ``max_tokens <= budget``).
+
+Determinism and the partitioning assumption: pack composition depends on
+which bucket a document hashes into, so ``num_buckets`` is a FIXED default
+(64), not a cluster-sized value — the same corpus packs identically on any
+cluster. Pack ids are ``md5(bucket:seq)``: stable across reruns.
+
+Scale shape: one hash exchange (the chunk stream, already smaller than the
+corpus after dedup/filter), then per-bucket sequential packing — the only
+inherently order-dependent step, bounded by bucket size, O(bucket) memory
+via the pandas group. No driver materialization; output rows ≈ input
+tokens / budget.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["pack_chunks"]
+
+
+def pack_chunks(
+    chunks: "object",
+    budget: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> "object":
+    """Dataset[(doc_id, chunk_idx, n_tokens, text)] → Dataset[(pack_id,
+    n_chunks, n_tokens, text, members)].
+
+    ``text`` is the packed token stream (member texts joined by a single
+    space, in order); ``members`` is the provenance list as
+    ``"doc:idx,doc:idx,..."``. Raises on any chunk with
+    ``n_tokens > budget`` (no silent truncation)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def pack_one(bucket: int, df: pd.DataFrame, out: dict) -> None:
+        df = df.sort_values([id_col, idx_col], kind="mergesort")
+        over = df[df[tok_col] > budget]
+        if len(over):
+            r = over.iloc[0]
+            raise ValueError(
+                f"chunk ({r[id_col]}, {r[idx_col]}) has {r[tok_col]} tokens"
+                f" > budget {budget}; chunk with max_tokens <= budget"
+            )
+        cur_toks, cur_texts, cur_members, seq = 0, [], [], 0
+
+        def close():
+            nonlocal cur_toks, cur_texts, cur_members, seq
+            out["pack_id"].append(hashlib.md5(f"{bucket}:{seq}".encode()).hexdigest())
+            out["n_chunks"].append(len(cur_members))
+            out["n_tokens"].append(cur_toks)
+            out["text"].append(" ".join(cur_texts))
+            out["members"].append(",".join(cur_members))
+            cur_toks, cur_texts, cur_members = 0, [], []
+            seq += 1
+
+        for d, i, nt, tx in zip(df[id_col], df[idx_col], df[tok_col], df[text_col]):
+            if cur_members and cur_toks + int(nt) > budget:
+                close()
+            cur_toks += int(nt)
+            cur_texts.append(tx)
+            cur_members.append(f"{d}:{i}")
+        if cur_members:
+            close()
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket may hold several _pack_bucket values — pack each
+        # independently so pack composition is bucket-count-stable
+        out: dict = {"pack_id": [], "n_chunks": [], "n_tokens": [], "text": [], "members": []}
+        for b, g in df.groupby("_pack_bucket", sort=True):
+            pack_one(int(b), g, out)
+        res = pd.DataFrame(out)
+        res["n_chunks"] = res["n_chunks"].astype("int64")
+        res["n_tokens"] = res["n_tokens"].astype("int64")
+        return res
+
+    # carry the bucket index into the group fn so pack ids are bucket-stable
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t.column(id_col).to_pylist()
+        b = [
+            int.from_bytes(hashlib.md5(f"pk:{k}".encode()).digest()[:4], "little") % num_buckets
+            for k in keys
+        ]
+        return t.append_column("_pack_bucket", pa.array(b, pa.int32()))
+
+    tagged = chunks.map_batches(tag, batch_format="pyarrow")
+    return bucketed_group_apply(tagged, ["_pack_bucket"], pack_bucket, num_buckets=num_buckets)

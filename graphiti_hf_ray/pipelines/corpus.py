@@ -1,0 +1,158 @@
+"""End-to-end corpus → training-set preparation pipeline.
+
+Composes the training-data operator family into the one pipeline a 100 TB
+crawl ingest actually runs before any KG or model work (the corpus-side
+complement to ``pipelines/kg.build_graph``; the reference starts from
+curated episodes, graphiti_hf/graphiti.py:200-260, so this stage has no
+reference twin — it is what produces such a corpus):
+
+1. **exact dedup** — one row per distinct text, smallest doc_id wins
+   (``functions/dedup.exact_dedup`` + a semi-join back to the doc rows);
+2. **decontamination** — drop docs colliding with the benchmark suite by
+   whole n-grams (``functions/decontam``, broadcast small side);
+3. **language / length gate** — keep allowlisted LangId predictions with
+   at least ``min_tokens`` whitespace tokens (one stateful actor pass);
+4. **global paragraph dedup** — every distinct paragraph survives once
+   corpus-wide (``functions/textclean.dedup_paragraphs_global``);
+5. **chunk** — overlapping token windows (``functions/textchunk``);
+6. **pack** — fixed-budget training sequences (``functions/textpack``);
+7. **sink** — partitioned Parquet with an atomic manifest
+   (``io.write_table_distributed``), resumable by fingerprint.
+
+Every stage is a streaming Dataset transform; the only exchanges are the
+ones the operators themselves declare (dedup hash partitions, the
+paragraph-dedup coord/reassembly pair, the pack bucketing). Nothing
+materializes the corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+__all__ = ["prepare_training_set"]
+
+
+def prepare_training_set(
+    docs: "object",
+    benchmark_texts: list[str],
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contam_n: int = 8,
+    lang_allow: tuple[str, ...] = ("en",),
+    min_tokens: int = 8,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    pack_budget: int = 1024,
+    fingerprint: str = "corpus-v1",
+    collect_counts: bool = False,
+    shuffle_buckets: int = 64,
+) -> dict:
+    """Run the 7-stage corpus pipeline; write packs under
+    ``{out_dir}/packs``; return metrics (always ``n_packs`` from the sink
+    manifest; per-stage row counts only with ``collect_counts=True``).
+
+    ``collect_counts`` materializes each stage boundary so the count is
+    free and the lineage is never re-executed (counting a LAZY stage would
+    re-run everything upstream once per count — and re-entering an
+    actor-pool stage from two consumers can deadlock a small cluster).
+    Leave it False for production-size runs: the pipeline then streams
+    end-to-end with no barrier, and the only count is the manifest's.
+
+    ``lang_allow=()`` disables the language gate (length gate still
+    applies); packs are deterministic for a fixed input and knob set, so
+    ``fingerprint`` should encode the knobs when callers vary them.
+
+    ``shuffle_buckets`` pins the sort width of EVERY exchange in the chain
+    (dedup, join, paragraph-dedup pair; packing has its own fixed bucket
+    count — see below). This pipeline chains ~6
+    all-to-all stages; left unbounded, each sort emits ~input-many blocks
+    and the chained near-empty block counts compound (measured 2.2× slower
+    end-to-end at sf0.1) — the bound costs one streaming split/merge per
+    exchange and keeps the block count flat. Size it ~2× cluster cores."""
+    import pyarrow.compute as pc
+
+    from .. import io as gio
+    from ..functions.decontam import ngram_decontaminate
+    from ..functions.dedup import exact_dedup
+    from ..functions.joins import hash_join
+    from ..functions.textchunk import chunk_documents
+    from ..functions.textclean import dedup_paragraphs_global
+    from ..functions.textpack import pack_chunks
+    from ..functions.textstats import LangId
+
+    def checkpoint(ds, key: str):
+        """Optionally materialize + count a stage boundary."""
+        if not collect_counts:
+            return ds
+        ds = ds.materialize()
+        metrics[key] = ds.count()
+        return ds
+
+    metrics: dict = {}
+    docs = checkpoint(docs, "n_input")
+
+    # 1. exact dedup: winners (min doc_id per distinct text) semi-join back
+    winners = exact_dedup(docs, num_buckets=shuffle_buckets).map_batches(
+        lambda t: pa.table({"k_doc_id": t.column("keep_doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    docs = hash_join(
+        docs, winners, id_col, "k_doc_id",
+        num_buckets=shuffle_buckets, right_types={"k_doc_id": pa.int64()},
+    )
+    docs = checkpoint(docs, "n_after_exact_dedup")
+
+    # 2. benchmark decontamination (filter mode: clean rows only)
+    docs = ngram_decontaminate(docs, benchmark_texts, n=contam_n, text_col=text_col, mode="filter")
+    docs = checkpoint(docs, "n_after_decontam")
+
+    # 3. language + length gate
+    allow = tuple(lang_allow)
+
+    def gate(t: pa.Table) -> pa.Table:
+        n_toks = pa.array(
+            [len((x or "").split()) for x in t.column(text_col).to_pylist()], pa.int64()
+        )
+        keep = pc.greater_equal(n_toks, pa.scalar(min_tokens))
+        if allow:
+            keep = pc.and_(keep, pc.is_in(t.column("lang_pred"), value_set=pa.array(allow)))
+        return t.filter(keep).drop_columns(["lang_pred"])
+
+    docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    docs = checkpoint(docs, "n_after_gate")
+
+    # 4. global paragraph dedup (single-paragraph docs == sentence-level
+    # exact dedup already ran, so this bites on multi-paragraph corpora).
+    # BRANCH POINT: the operator consumes its input twice (a coords-only
+    # pass that elects winners, then the text pass the markers rejoin) —
+    # un-materialized, the whole upstream prefix (read → dedup → join →
+    # decontam → gate) would execute twice (measured 2× end-to-end at
+    # sf0.1). Same rule as pipelines/kg.py's branch points; the object
+    # store spills if the gated corpus exceeds memory.
+    if not collect_counts:  # checkpoint() already materialized this boundary
+        docs = docs.materialize()
+    docs = dedup_paragraphs_global(
+        docs.select_columns([id_col, text_col]), text_col=text_col, id_col=id_col,
+        num_buckets=shuffle_buckets,
+    )
+    docs = docs.filter(expr="text != ''")
+    docs = checkpoint(docs, "n_after_paragraph_dedup")
+
+    # 5-6. chunk then pack
+    chunks = chunk_documents(docs, max_tokens=max_tokens, overlap=overlap, id_col=id_col, text_col=text_col)
+    # pack_chunks keeps its own FIXED num_buckets: bucket count defines
+    # pack COMPOSITION, which must not vary with the cluster-sizing knob
+    packs = pack_chunks(chunks, budget=pack_budget, id_col=id_col)
+
+    # 7. partitioned, resumable sink
+    fp = hashlib.md5(
+        f"{fingerprint}:{contam_n}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
+    ).hexdigest()
+    metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
+    return metrics

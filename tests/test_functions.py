@@ -1161,3 +1161,76 @@ def test_ngram_decontaminate(ray_session):
 
     with pytest.raises(ValueError):
         ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode="bogus")
+
+
+def test_pack_chunks_invariants(ray_session):
+    """Sequence packing: every chunk lands in exactly one pack, pack totals
+    respect the budget and equal the member sum, members are consecutive
+    in (doc_id, chunk_idx) order, packing is next-fit dense (the first
+    member of pack k+1 would overflow pack k), ids are deterministic
+    across reruns, and an oversized chunk raises."""
+    from graphiti_hf_ray.functions.textchunk import chunk_documents
+    from graphiti_hf_ray.functions.textpack import pack_chunks
+
+    rng = np.random.default_rng(7)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": [" ".join(f"w{d}_{i}" for i in range(rng.integers(1, 60))) for d in range(20)],
+        }
+    )
+    chunks = chunk_documents(rd.from_pandas(docs), max_tokens=16, overlap=4)
+    out = pack_chunks(chunks, budget=40, num_buckets=4).to_pandas()
+
+    exp_chunks = chunks.to_pandas()
+    got_members = [m for row in out["members"] for m in row.split(",")]
+    assert sorted(got_members) == sorted(
+        f"{d}:{i}" for d, i in zip(exp_chunks["doc_id"], exp_chunks["chunk_idx"])
+    )
+    tok_of = {
+        f"{d}:{i}": n
+        for d, i, n in zip(exp_chunks["doc_id"], exp_chunks["chunk_idx"], exp_chunks["n_tokens"])
+    }
+    text_of = {
+        f"{d}:{i}": t
+        for d, i, t in zip(exp_chunks["doc_id"], exp_chunks["chunk_idx"], exp_chunks["text"])
+    }
+    for _, r in out.iterrows():
+        ms = r["members"].split(",")
+        assert r["n_tokens"] == sum(tok_of[m] for m in ms) <= 40
+        assert r["n_chunks"] == len(ms)
+        assert r["text"] == " ".join(text_of[m] for m in ms)
+        keys = [tuple(map(int, m.split(":"))) for m in ms]
+        assert keys == sorted(keys)
+
+    # next-fit density within each bucket: reconstruct bucket sequences via
+    # the deterministic md5(bucket:seq) id scheme
+    import hashlib as _hl
+
+    id2row = {r["pack_id"]: r for _, r in out.iterrows()}
+    for b in range(4):
+        seq = 0
+        while _hl.md5(f"{b}:{seq+1}".encode()).hexdigest() in id2row:
+            cur = id2row[_hl.md5(f"{b}:{seq}".encode()).hexdigest()]
+            nxt = id2row[_hl.md5(f"{b}:{seq+1}".encode()).hexdigest()]
+            first_next = nxt["members"].split(",")[0]
+            assert cur["n_tokens"] + tok_of[first_next] > 40
+            seq += 1
+
+    # rerun → identical result (deterministic ids and composition)
+    out2 = pack_chunks(
+        chunk_documents(rd.from_pandas(docs), max_tokens=16, overlap=4), budget=40, num_buckets=4
+    ).to_pandas()
+    a = out.sort_values("pack_id").reset_index(drop=True)
+    b = out2.sort_values("pack_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # a chunk larger than the budget is rejected, not truncated
+    big = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.array([0], np.int64), "chunk_idx": np.array([0], np.int32),
+             "n_tokens": np.array([99], np.int32), "text": ["x " * 99]}
+        )
+    )
+    with pytest.raises(Exception):
+        pack_chunks(big, budget=40).to_pandas()

@@ -505,3 +505,96 @@ def test_mentions_per_shard_parity_with_generic(ray_session, graph_out):
     )
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_prepare_training_set_end_to_end(ray_session, tmp_path):
+    """Corpus → training-set pipeline: each stage bites on a corpus built
+    to trigger it (an exact duplicate, a contaminated doc, a wrong-language
+    doc, a too-short doc, a cross-doc repeated paragraph), the packed
+    output is budget-respecting and lossless vs the expected survivor
+    token streams, and a rerun resumes from the manifest."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    en = ("the of and to in is was for on with " * 4).strip()  # 40 en stopwords
+    para_a = " ".join(f"pa{i}" for i in range(12))
+    para_b = " ".join(f"pb{i}" for i in range(12))
+    bench = ["leak1 leak2 leak3 leak4 leak5 leak6 leak7 leak8"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(7, dtype=np.int64),
+            "text": [
+                en + " alpha beta gamma",                       # 0: survives
+                en + " alpha beta gamma",                       # 1: exact dup of 0
+                en + " " + bench[0] + " tail",                  # 2: contaminated
+                "el la de que en los se del las por un " * 4,   # 3: not English
+                "too short",                                    # 4: length gate
+                en + "\n" + para_a + "\n" + para_b,             # 5: survives
+                en + " extra words here\n" + para_a,            # 6: loses para_a to 5? no — 5 < 6, 5 wins
+            ],
+        }
+    )
+    m = prepare_training_set(
+        rd.from_pandas(docs),
+        bench,
+        str(tmp_path / "out"),
+        min_tokens=5,
+        max_tokens=16,
+        overlap=4,
+        pack_budget=32,
+        collect_counts=True,
+    )
+    assert m["n_input"] == 7
+    assert m["n_after_exact_dedup"] == 6          # doc 1 dropped
+    assert m["n_after_decontam"] == 5             # doc 2 dropped
+    assert m["n_after_gate"] == 3                 # docs 3 (lang) and 4 (length) dropped
+    assert m["n_after_paragraph_dedup"] == 3      # doc 6 loses para_a but keeps its head
+
+    packed = pq.read_table(str(tmp_path / "out" / "packs")).to_pandas()
+    assert m["n_packs"] == len(packed) > 0
+    assert (packed["n_tokens"] <= 32).all()
+
+    # lossless coverage: each survivor doc's deduped token stream must be
+    # reconstructable from its chunks (members encode doc:idx; overlap 4)
+    survivors = {
+        0: (en + " alpha beta gamma").split(),
+        5: (en + " " + para_a + " " + para_b).split(),   # '\n' joins → split() flattens
+        6: (en + " extra words here").split(),           # para_a deduped away
+    }
+    got: dict[int, dict[int, list[str]]] = {d: {} for d in survivors}
+    for _, r in packed.iterrows():
+        ms = r["members"].split(",")
+        texts = r["text"].split()
+        pos = 0
+        for mref in ms:
+            d, i = map(int, mref.split(":"))
+            # reconstruct member lengths from the chunk grammar
+            n = len(survivors[d])
+            starts = list(range(0, max(n - 4, 1), 12))
+            ln = min(16, n - starts[i])
+            got[d][i] = texts[pos : pos + ln]
+            pos += ln
+        assert pos == len(texts)
+    for d, toks in survivors.items():
+        idxs = sorted(got[d])
+        assert idxs == list(range(len(idxs))) and idxs, f"doc {d} chunks missing"
+        rebuilt = list(got[d][0])
+        for i in idxs[1:]:
+            rebuilt.extend(got[d][i][4:])
+        assert rebuilt == toks, f"doc {d} token stream mismatch"
+
+    # resume: same fingerprint → manifest short-circuits, same pack count
+    m2 = prepare_training_set(
+        rd.from_pandas(docs),
+        bench,
+        str(tmp_path / "out"),
+        min_tokens=5,
+        max_tokens=16,
+        overlap=4,
+        pack_budget=32,
+    )
+    assert m2 == {"n_packs": m["n_packs"]}  # default: stream-only, manifest resume
