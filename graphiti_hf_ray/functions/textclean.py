@@ -232,6 +232,12 @@ def dedup_paragraphs_global(
 
     Returns (id_col, text, n_dropped_paragraphs) — one row per input doc
     (docs whose every paragraph was dropped return the empty string).
+
+    BRANCH POINT: ``docs`` is consumed TWICE (once per exchange above).
+    If its lineage is expensive (actor pools, upstream shuffles),
+    ``.materialize()`` it first or the prefix executes twice — measured
+    2× end-to-end in ``pipelines/corpus.prepare_training_set``. A raw
+    ``read_parquet`` input is fine to leave lazy (re-reading is cheap).
     """
     import hashlib as _hl
 

@@ -29,7 +29,29 @@ import hashlib
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pack_chunks"]
+__all__ = ["pack_chunks", "next_fit_pack"]
+
+
+def next_fit_pack(items: list[tuple], budget: int) -> list[list[int]]:
+    """Pure next-fit kernel: ``items`` = [(n_tokens, ...), ...] in final
+    order; returns pack membership as lists of item indices. The Dataset
+    operator below is this kernel per bucket; tests property-check it
+    directly (no Ray needed)."""
+    packs: list[list[int]] = []
+    cur: list[int] = []
+    cur_toks = 0
+    for i, it in enumerate(items):
+        nt = int(it[0])
+        if nt > budget:
+            raise ValueError(f"item {i} has {nt} tokens > budget {budget}")
+        if cur and cur_toks + nt > budget:
+            packs.append(cur)
+            cur, cur_toks = [], 0
+        cur.append(i)
+        cur_toks += nt
+    if cur:
+        packs.append(cur)
+    return packs
 
 
 def pack_chunks(
@@ -52,33 +74,18 @@ def pack_chunks(
 
     def pack_one(bucket: int, df: pd.DataFrame, out: dict) -> None:
         df = df.sort_values([id_col, idx_col], kind="mergesort")
-        over = df[df[tok_col] > budget]
-        if len(over):
-            r = over.iloc[0]
-            raise ValueError(
-                f"chunk ({r[id_col]}, {r[idx_col]}) has {r[tok_col]} tokens"
-                f" > budget {budget}; chunk with max_tokens <= budget"
-            )
-        cur_toks, cur_texts, cur_members, seq = 0, [], [], 0
-
-        def close():
-            nonlocal cur_toks, cur_texts, cur_members, seq
+        rows = list(zip(df[tok_col], df[id_col], df[idx_col], df[text_col]))
+        try:
+            packs = next_fit_pack(rows, budget)
+        except ValueError as e:
+            raise ValueError(f"{e}; chunk with max_tokens <= budget") from e
+        for seq, member_idxs in enumerate(packs):
+            ms = [rows[i] for i in member_idxs]
             out["pack_id"].append(hashlib.md5(f"{bucket}:{seq}".encode()).hexdigest())
-            out["n_chunks"].append(len(cur_members))
-            out["n_tokens"].append(cur_toks)
-            out["text"].append(" ".join(cur_texts))
-            out["members"].append(",".join(cur_members))
-            cur_toks, cur_texts, cur_members = 0, [], []
-            seq += 1
-
-        for d, i, nt, tx in zip(df[id_col], df[idx_col], df[tok_col], df[text_col]):
-            if cur_members and cur_toks + int(nt) > budget:
-                close()
-            cur_toks += int(nt)
-            cur_texts.append(tx)
-            cur_members.append(f"{d}:{i}")
-        if cur_members:
-            close()
+            out["n_chunks"].append(len(ms))
+            out["n_tokens"].append(sum(int(r[0]) for r in ms))
+            out["text"].append(" ".join(r[3] for r in ms))
+            out["members"].append(",".join(f"{r[1]}:{r[2]}" for r in ms))
 
     def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # one hash bucket may hold several _pack_bucket values — pack each

@@ -231,3 +231,31 @@ def test_chunk_batch_invariants_property(docs, max_tokens, data):
         for r in g[1:]:
             rebuilt.extend(r["text"].split()[overlap:])
         assert rebuilt == toks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    toks=st.lists(st.integers(1, 20), max_size=60),
+    budget=st.integers(20, 50),
+)
+def test_next_fit_pack_property(toks, budget):
+    """The pure next-fit kernel under pack_chunks: every item packed
+    exactly once in order, pack sums within budget, and density — the
+    first item of each pack except the first would have overflowed the
+    previous pack."""
+    from graphiti_hf_ray.functions.textpack import next_fit_pack
+
+    items = [(n,) for n in toks]
+    packs = next_fit_pack(items, budget)
+    flat = [i for p in packs for i in p]
+    assert flat == list(range(len(items)))          # exactly once, in order
+    assert all(p for p in packs)                    # no empty packs
+    sums = [sum(toks[i] for i in p) for p in packs]
+    assert all(s <= budget for s in sums)
+    for k in range(1, len(packs)):
+        assert sums[k - 1] + toks[packs[k][0]] > budget
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        next_fit_pack([(budget + 1,)], budget)
