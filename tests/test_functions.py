@@ -1162,6 +1162,26 @@ def test_ngram_decontaminate(ray_session):
     with pytest.raises(ValueError):
         ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode="bogus")
 
+    # redact: spans removed, clean docs byte-identical (odd whitespace kept)
+    docs_r = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], np.int64),
+            "text": [
+                "q a b c d r",   # one hit: tokens 1-4 removed
+                "a  b\tc e d",   # clean — weird whitespace must survive
+                "a b c d",       # entirely a benchmark text → empty
+            ],
+        }
+    )
+    red = (
+        ngram_decontaminate(rd.from_pandas(docs_r), bench, n=4, mode="redact")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(red["text"]) == ["q r", "a  b\tc e d", ""]
+    assert list(red["n_redacted_tokens"]) == [4, 0, 4]
+    assert list(red["n_contaminated_ngrams"]) == [1, 0, 1]
+
 
 def test_pack_chunks_invariants(ray_session):
     """Sequence packing: every chunk lands in exactly one pack, pack totals

@@ -259,3 +259,32 @@ def test_next_fit_pack_property(toks, budget):
 
     with pytest.raises(ValueError):
         next_fit_pack([(budget + 1,)], budget)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    doc=st.lists(st.sampled_from("abcdef"), max_size=40),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=10),
+        max_size=4,
+    ),
+    n=st.integers(2, 4),
+)
+def test_redact_tokens_fixpoint_property(doc, bench, n):
+    """redact_tokens invariant: the survivors are a subsequence of the
+    input, contain NO benchmark n-gram (even ones created by splicing),
+    and clean inputs pass through untouched."""
+    from graphiti_hf_ray.functions.decontam import (
+        benchmark_ngrams,
+        collision_positions,
+        redact_tokens,
+    )
+
+    grams = benchmark_ngrams([" ".join(b) for b in bench], n=n)
+    kept, removed = redact_tokens(list(doc), grams, n)
+    assert collision_positions(kept, grams, n) == []   # fixpoint: clean
+    assert removed == len(doc) - len(kept)
+    it = iter(doc)
+    assert all(any(t == u for u in it) for t in kept)  # subsequence
+    if not collision_positions(list(doc), grams, n):
+        assert kept == list(doc) and removed == 0      # clean → identity
