@@ -7,6 +7,8 @@ resolution. Nothing materializes the corpus driver-side — candidate-pair
 verification runs as bucketed shuffle joins, not driver loops.
 
 - ``exact_dedup``            — md5(text) → groupby(hash).first (D1 analog)
+- ``exact_dedup_rows``       — row-keeping variant: one fused exchange,
+                               full schema preserved (corpus stage 1)
 - ``minhash_lsh_candidates`` — k-shingle → 64-perm MinHash → banded LSH
                                buckets → candidate pairs → exact-Jaccard
                                verification via two bucketed shuffle joins
@@ -169,6 +171,42 @@ def exact_dedup(docs: "ray.data.Dataset", num_buckets: int | None = None) -> "ra
 
     return bucketed_group_apply(
         docs.map_batches(add_hash, batch_format="pyarrow"), ["fingerprint"], first,
+        num_buckets=num_buckets,
+    )
+
+
+def exact_dedup_rows(
+    docs: "ray.data.Dataset",
+    num_buckets: int | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Row-KEEPING exact dedup in ONE exchange: the min-``id_col`` row per
+    distinct ``text_col`` survives with its full schema intact.
+
+    Equivalent to ``exact_dedup`` followed by a semi-join of the winners
+    back onto the doc rows (parity-tested), but fuses the two exchanges
+    into one: the doc rows themselves shuffle by text fingerprint and each
+    bucket keeps the first row per fingerprint. The composed form ships
+    the text through the join exchange anyway, so the fusion halves the
+    exchange count without shipping anything new — this is the shape the
+    corpus pipeline's stage 1 runs at 100 TB."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        fp = pa.array(
+            [hashlib.md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        )
+        return t.append_column("_fp", fp).replace_schema_metadata(None)
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        return df.drop_duplicates("_fp", keep="first").drop(columns=["_fp"])
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        docs.map_batches(add_hash, batch_format="pyarrow"), ["_fp"], keep_first,
         num_buckets=num_buckets,
     )
 

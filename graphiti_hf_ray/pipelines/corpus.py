@@ -6,8 +6,8 @@ complement to ``pipelines/kg.build_graph``; the reference starts from
 curated episodes, graphiti_hf/graphiti.py:200-260, so this stage has no
 reference twin — it is what produces such a corpus):
 
-1. **exact dedup** — one row per distinct text, smallest doc_id wins
-   (``functions/dedup.exact_dedup`` + a semi-join back to the doc rows);
+1. **exact dedup** — one row per distinct text, smallest doc_id wins, in
+   a single fused exchange (``functions/dedup.exact_dedup_rows``);
 2. **decontamination** — drop docs colliding with the benchmark suite by
    whole n-grams (``functions/decontam``, broadcast small side);
 3. **language / length gate** — keep allowlisted LangId predictions with
@@ -77,8 +77,7 @@ def prepare_training_set(
 
     from .. import io as gio
     from ..functions.decontam import ngram_decontaminate
-    from ..functions.dedup import exact_dedup
-    from ..functions.joins import hash_join
+    from ..functions.dedup import exact_dedup_rows
     from ..functions.textchunk import chunk_documents
     from ..functions.textclean import dedup_paragraphs_global
     from ..functions.textpack import pack_chunks
@@ -95,14 +94,12 @@ def prepare_training_set(
     metrics: dict = {}
     docs = checkpoint(docs, "n_input")
 
-    # 1. exact dedup: winners (min doc_id per distinct text) semi-join back
-    winners = exact_dedup(docs, num_buckets=shuffle_buckets).map_batches(
-        lambda t: pa.table({"k_doc_id": t.column("keep_doc_id").cast(pa.int64())}),
-        batch_format="pyarrow",
-    )
-    docs = hash_join(
-        docs, winners, id_col, "k_doc_id",
-        num_buckets=shuffle_buckets, right_types={"k_doc_id": pa.int64()},
+    # 1. exact dedup, fused: the min-doc_id row per distinct text survives
+    # in ONE exchange (the doc rows shuffle by text fingerprint directly —
+    # parity-tested against the composed exact_dedup + semi-join form,
+    # which shipped the same text through a second join exchange)
+    docs = exact_dedup_rows(
+        docs, num_buckets=shuffle_buckets, id_col=id_col, text_col=text_col
     )
     docs = checkpoint(docs, "n_after_exact_dedup")
 

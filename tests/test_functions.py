@@ -1120,6 +1120,52 @@ def test_dedup_paragraphs_global(ray_session):
     assert list(out2["n_dropped_paragraphs"]) == [0, 2]
 
 
+def test_exact_dedup_rows_parity(ray_session):
+    """The fused one-exchange row-keeping exact dedup equals the composed
+    form (exact_dedup winners semi-joined back onto the doc rows), full
+    schema preserved, min doc_id winning per distinct text."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.dedup import exact_dedup, exact_dedup_rows
+    from graphiti_hf_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    texts = [f"doc body {i % 13} repeated payload" for i in range(60)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(60).astype(np.int64),
+            "text": texts,
+            "extra": np.arange(60, dtype=np.int64) * 10,  # must survive intact
+        }
+    )
+    ds = rd.from_pandas(docs)
+
+    fused = (
+        exact_dedup_rows(ds, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    winners = exact_dedup(ds, num_buckets=8).map_batches(
+        lambda t: pa.table({"k_doc_id": t.column("keep_doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    composed = (
+        hash_join(ds, winners, "doc_id", "k_doc_id", num_buckets=8,
+                  right_types={"k_doc_id": pa.int64()})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    assert len(fused) == 13
+    pd.testing.assert_frame_equal(fused, composed[fused.columns])
+    # min doc_id wins per distinct text
+    expect = docs.sort_values("doc_id").drop_duplicates("text", keep="first")
+    assert sorted(fused["doc_id"]) == sorted(expect["doc_id"])
+
+
 def test_ngram_decontaminate(ray_session):
     """Benchmark decontamination: collision-position counts are exact,
     docs shorter than n contribute/receive nothing, mode='filter' keeps
