@@ -190,8 +190,12 @@ def oracle_sql() -> dict[str, str]:
         # PRECONDITION: no band bucket exceeds MAX_BUCKET_DOCS (the engine
         # counts drops in dedup.DROP_METRICS; nonzero ⇒ this exact oracle no
         # longer applies for the dropped docs and the compare SHOULD fail).
+        # Fused probe: kind='root' rows are the connected-component
+        # assignment over the pair graph (node → smallest reachable doc_id,
+        # the fuzzy_dedup_rows cluster-winner basis), oracled by a recursive
+        # reachability CTE over the same exact-Jaccard pairs.
         "q19_minhash_neardup": """
-            WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
+            WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),
             sh AS (
                 SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
                        i -> t[i] || chr(32) || t[i+1] || chr(32) || t[i+2] || chr(32)
@@ -206,10 +210,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                 FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
+            ),
+            thr AS (
+                SELECT doc_a, doc_b
+                FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+                WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.3
+            ),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                    UNION ALL SELECT doc_b, doc_a FROM thr),
+            reach AS (
+                SELECT a AS node, a AS r FROM sym
+                UNION
+                SELECT s.a AS node, reach.r FROM reach JOIN sym s ON s.b = reach.node
             )
-            SELECT doc_a, doc_b
-            FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
-            WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.3
+            SELECT 'pair' AS kind, doc_a, doc_b FROM thr
+            UNION ALL
+            SELECT 'root' AS kind, node AS doc_a, min(r) AS doc_b FROM reach GROUP BY node
         """,
         # q19b: SimHash at Hamming <= 3 with 4×16-bit bands is EXACT
         # (pigeonhole), so the all-pairs simhash reconstruction below is an

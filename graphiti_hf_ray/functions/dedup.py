@@ -9,6 +9,14 @@ verification runs as bucketed shuffle joins, not driver loops.
 - ``exact_dedup``            — md5(text) → groupby(hash).first (D1 analog)
 - ``exact_dedup_rows``       — row-keeping variant: one fused exchange,
                                full schema preserved (corpus stage 1)
+- ``fuzzy_dedup_rows``       — corpus-wide row-keeping fuzzy dedup
+                               (CCNet/RefinedWeb shape): MinHash-LSH pairs
+                               → connected components (auto-gated driver /
+                               distributed) → min-doc_id cluster winner;
+                               losers removed by broadcast filter or, past
+                               the broadcast gate, one bucketed anti-join
+- ``components_of_pairs``    — (doc_a, doc_b) pairs → (node, root) with
+                               root = smallest reachable doc_id
 - ``minhash_lsh_candidates`` — k-shingle → 64-perm MinHash → banded LSH
                                buckets → candidate pairs → exact-Jaccard
                                verification via two bucketed shuffle joins
@@ -478,6 +486,183 @@ def minhash_lsh_candidates(
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def components_of_pairs(
+    pairs: "ray.data.Dataset",
+    driver_max_pairs: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Connected components over near-dup pair rows (doc_a, doc_b int64 ≥ 0)
+    → (node, root) int64, root = the SMALLEST doc_id reachable. One row per
+    doc that appears in any pair; singletons are absent (their root is
+    themselves by definition).
+
+    Auto-gated like canonicalization (stages/canonicalize.py): pair counts
+    at or below ``driver_max_pairs`` run the driver union-find (pairs are
+    candidate-capped ≪ corpus by LSH design, so this is the common case);
+    above it, the distributed hash-min label propagation. Both paths use
+    zero-padded decimal keys so the lexicographic-min root the union-find
+    keeps IS the numeric min."""
+    import ray.data as rd
+
+    empty = pa.table({"node": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(empty)
+
+    if n_pairs <= driver_max_pairs:
+        from ..stages.canonicalize import components_driver
+
+        comp = components_driver(
+            (f"{r['doc_a']:020d}", f"{r['doc_b']:020d}") for r in pairs.iter_rows()
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([int(k) for k in comp], pa.int64()),
+                    "root": pa.array([int(v) for v in comp.values()], pa.int64()),
+                }
+            )
+        )
+
+    from ..stages.canonicalize import connected_components_distributed
+
+    def pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(t.column("doc_a").cast(pa.string()), 20, "0"),
+                "b": pc.utf8_lpad(t.column("doc_b").cast(pa.string()), 20, "0"),
+            }
+        )
+
+    labels = connected_components_distributed(
+        pairs.map_batches(pad, batch_format="pyarrow"), num_buckets=num_buckets
+    )
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "root": t.column("root").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+class _DropLosers:
+    """Actor-pool stage: filter out loser doc_ids. The loser id set is
+    fetched from the object store ONCE per actor, not per batch."""
+
+    def __init__(self, losers_ref: "ray.ObjectRef", id_col: str):
+        self.value_set = pa.array(sorted(ray.get(losers_ref)), pa.int64())
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(t.column(self.id_col).cast(pa.int64()), value_set=self.value_set)
+        )
+        return t.filter(keep)
+
+
+def fuzzy_dedup_rows(
+    docs: "ray.data.Dataset",
+    jaccard_threshold: float = 0.8,
+    *,
+    n_bands: int = N_BANDS,
+    id_col: str = "doc_id",
+    broadcast_max_losers: int = 2_000_000,
+    num_buckets: int | None = None,
+    metrics_out: dict | None = None,
+) -> "ray.data.Dataset":
+    """Corpus-wide row-KEEPING fuzzy dedup (the CCNet/RefinedWeb shape):
+    MinHash-LSH verified near-dup pairs → connected components → the
+    min-``doc_id`` doc per cluster survives with its full schema; every
+    other cluster member is dropped. Requires ``doc_id``/``text`` columns
+    (the pair generator's contract); ``id_col`` names the id column of the
+    rows being filtered when it differs from the pair key.
+
+    Loser removal is gated on the loser count: at or below
+    ``broadcast_max_losers`` (~16 MB of int64 at the default) the loser id
+    set broadcasts once via ``ray.put`` and the corpus streams through one
+    actor-pool filter with ZERO shuffle; above it, a bucketed anti-join
+    (the corpus rows shuffle once by id). ``metrics_out`` receives
+    ``fuzzy_dropped_docs`` plus the pair generator's
+    ``minhash_dropped_docs`` (nonzero = LSH bucket caps voided exactness
+    for the dropped docs).
+
+    ``docs`` is consumed up to three times (band rows, shingle payloads,
+    the loser filter) — when it sits atop an expensive lineage, materialize
+    it first (pipelines/corpus.py does; a plain ``read_parquet`` input just
+    re-reads)."""
+    pairs = minhash_lsh_candidates(
+        docs, jaccard_threshold, n_bands=n_bands, metrics_out=metrics_out
+    )
+    comp = components_of_pairs(pairs, num_buckets=num_buckets).materialize()
+    losers = comp.filter(expr="node != root").materialize()
+    n_losers = losers.count()
+    if metrics_out is not None:
+        metrics_out["fuzzy_dropped_docs"] = n_losers
+    if n_losers == 0:
+        return docs
+
+    if n_losers <= broadcast_max_losers:
+        ref = ray.put(frozenset(r["node"] for r in losers.iter_rows()))
+        return docs.map_batches(
+            _DropLosers,
+            fn_constructor_kwargs={"losers_ref": ref, "id_col": id_col},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
+    # huge-loser fallback: bucketed anti-join — corpus rows and loser ids
+    # co-locate on the id hash, each bucket drops the marked rows. Ships
+    # the full rows through one exchange; only reached when the loser set
+    # itself exceeds a broadcastable size.
+    from ..stages.shuffle import bucketed_group_apply
+
+    doc_schema = _arrow_schema(docs)
+    doc_cols = list(doc_schema.names)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        out = t.select(doc_cols).append_column("_k", t.column(id_col).cast(pa.int64()))
+        return out.append_column("_loser", pa.array([False] * t.num_rows)).replace_schema_metadata(None)
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        # null-pad to the doc schema so the union is schema-uniform
+        cols = {f.name: pa.nulls(t.num_rows, f.type) for f in doc_schema}
+        cols["_k"] = t.column("node").cast(pa.int64())
+        cols["_loser"] = pa.array([True] * t.num_rows)
+        return pa.table(cols)
+
+    def drop_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_loser = df["_loser"].astype(bool)
+        bad = set(df.loc[is_loser, "_k"])
+        keep = df.loc[~is_loser & ~df["_k"].isin(bad), doc_cols].copy()
+        # the null-padded loser rows float-ified int/bool columns in the
+        # pandas union; no nulls survive the filter, so restore the dtypes
+        for name, typ in zip(doc_schema.names, doc_schema.types):
+            if pa.types.is_integer(typ):
+                keep[name] = keep[name].astype(str(typ))
+            elif pa.types.is_boolean(typ):
+                keep[name] = keep[name].astype(bool)
+        return keep
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        losers.map_batches(tag_losers, batch_format="pyarrow")
+    )
+    return bucketed_group_apply(tagged, ["_k"], drop_in_bucket, num_buckets=num_buckets)
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Arrow schema of a Dataset regardless of block format (pandas-backed
+    datasets report numpy/Python types; one row converts them exactly)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.Table.from_pandas(ds.limit(1).to_pandas(), preserve_index=False).schema
 
 
 def simhash64(text: str) -> int:

@@ -7,7 +7,9 @@ curated episodes, graphiti_hf/graphiti.py:200-260, so this stage has no
 reference twin — it is what produces such a corpus):
 
 1. **exact dedup** — one row per distinct text, smallest doc_id wins, in
-   a single fused exchange (``functions/dedup.exact_dedup_rows``);
+   a single fused exchange (``functions/dedup.exact_dedup_rows``); with
+   ``fuzzy_jaccard`` set, a corpus-wide MinHash fuzzy dedup follows (one
+   survivor per near-dup cluster, ``functions/dedup.fuzzy_dedup_rows``);
 2. **decontamination** — drop docs colliding with the benchmark suite by
    whole n-grams (``functions/decontam``, broadcast small side);
 3. **language / length gate** — keep allowlisted LangId predictions with
@@ -42,6 +44,7 @@ def prepare_training_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     contam_n: int = 8,
+    fuzzy_jaccard: float | None = None,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -77,7 +80,7 @@ def prepare_training_set(
 
     from .. import io as gio
     from ..functions.decontam import ngram_decontaminate
-    from ..functions.dedup import exact_dedup_rows
+    from ..functions.dedup import exact_dedup_rows, fuzzy_dedup_rows
     from ..functions.textchunk import chunk_documents
     from ..functions.textclean import dedup_paragraphs_global
     from ..functions.textpack import pack_chunks
@@ -102,6 +105,21 @@ def prepare_training_set(
         docs, num_buckets=shuffle_buckets, id_col=id_col, text_col=text_col
     )
     docs = checkpoint(docs, "n_after_exact_dedup")
+
+    # 1b. optional corpus-wide fuzzy dedup (MinHash-LSH clusters → the
+    # min-id doc per near-dup cluster survives). BRANCH POINT: the pair
+    # generator consumes its input twice (band rows, then shingle payloads)
+    # and the loser filter a third time — materialize the boundary so the
+    # upstream prefix runs once (same rule as the paragraph-dedup stage).
+    if fuzzy_jaccard is not None:
+        if (id_col, text_col) != ("doc_id", "text"):
+            raise ValueError("fuzzy_jaccard requires doc_id/text column names")
+        if not collect_counts:
+            docs = docs.materialize()
+        docs = fuzzy_dedup_rows(
+            docs, fuzzy_jaccard, num_buckets=shuffle_buckets, metrics_out=metrics
+        )
+        docs = checkpoint(docs, "n_after_fuzzy_dedup")
 
     # 2. benchmark decontamination (filter mode: clean rows only)
     docs = ngram_decontaminate(docs, benchmark_texts, n=contam_n, text_col=text_col, mode="filter")
@@ -149,7 +167,7 @@ def prepare_training_set(
 
     # 7. partitioned, resumable sink
     fp = hashlib.md5(
-        f"{fingerprint}:{contam_n}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
+        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
     return metrics

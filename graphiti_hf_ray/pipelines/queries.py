@@ -326,10 +326,29 @@ def q19_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dups, exact-Jaccard verified. With 16 bands of 4
     rows the per-pair miss probability at the fixture's near-dup similarity
     (J >= 0.85) is < 1e-6, so the output equals the exact O(n²) Jaccard scan
-    and the q18-style SQL (5-token shingles, t = 0.3) is an exact oracle."""
+    and the q18-style SQL (5-token shingles, t = 0.3) is an exact oracle.
+
+    Fused fuzzy-dedup probe: kind='root' rows carry the connected-component
+    assignment over the pair graph — (node, smallest reachable doc_id), the
+    cluster-winner basis of ``functions/dedup.fuzzy_dedup_rows`` — oracled
+    by a recursive reachability CTE over the same exact-Jaccard pairs."""
+    from ..functions.dedup import components_of_pairs
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_candidates(ds, jaccard_threshold=0.3, n_bands=16).to_pandas()
-    return out[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.3, n_bands=16).materialize()
+    comp = components_of_pairs(pairs).to_pandas()
+    out = pd.concat(
+        [
+            pairs.to_pandas()[["doc_a", "doc_b"]].assign(kind="pair"),
+            comp.rename(columns={"node": "doc_a", "root": "doc_b"}).assign(kind="root"),
+        ],
+        ignore_index=True,
+    )
+    return (
+        out[["kind", "doc_a", "doc_b"]]
+        .sort_values(["kind", "doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q19b_simhash_neardup(sf_dir: str) -> pd.DataFrame:

@@ -45,7 +45,7 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     rows.append({"doc_id": 100, "text": base})
     rows.append({"doc_id": 101, "text": base + " extra"})
     ds = rd.from_pandas(pd.DataFrame(rows))
-    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.5).to_pandas()
+    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.7, n_bands=16).to_pandas()
     assert (100, 101) in set(zip(pairs["doc_a"], pairs["doc_b"]))
     # the shuffle-join verification path (forced by zeroing the broadcast
     # gate) returns the identical verified pair set
@@ -1164,6 +1164,96 @@ def test_exact_dedup_rows_parity(ray_session):
     # min doc_id wins per distinct text
     expect = docs.sort_values("doc_id").drop_duplicates("text", keep="first")
     assert sorted(fused["doc_id"]) == sorted(expect["doc_id"])
+
+
+def test_fuzzy_dedup_rows(ray_session):
+    """Corpus-wide fuzzy dedup: survivors = min doc_id per connected
+    component of the verified near-dup pair graph (transitive chains
+    collapse to ONE survivor), full schema + dtypes preserved, and the
+    four internal paths agree: driver vs distributed components, broadcast
+    filter vs bucketed anti-join loser removal."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.dedup import (
+        components_of_pairs,
+        fuzzy_dedup_rows,
+        minhash_lsh_candidates,
+    )
+    from graphiti_hf_ray.stages.canonicalize import components_driver
+
+    base = [f"tok{i}" for i in range(40)]
+    a4 = [f"a{i}" for i in range(4)]
+    b4 = [f"b{i}" for i in range(4)]
+    texts = {
+        # transitive chain at threshold 0.7: J(10,11)=J(11,12)=32/40=0.8
+        # but J(10,12)=28/44≈0.64 — 10 and 12 only meet through 11 (their
+        # direct candidate pair is rejected by exact-Jaccard verification)
+        10: " ".join(base),
+        11: " ".join(base[:36] + a4),
+        12: " ".join(b4 + base[4:36] + a4),
+        3: " ".join(f"u{i}" for i in range(40)),          # singleton
+        5: " ".join(f"v{i}" for i in range(40)),          # pair: 5~6
+        6: " ".join(f"v{i}" for i in range(39)) + " zz",
+        7: " ".join(f"q{i}" for i in range(40)),          # singleton
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array(sorted(texts), np.int64),
+            "text": [texts[i] for i in sorted(texts)],
+            "extra": np.arange(len(texts), dtype=np.int32),
+        }
+    )
+    ds = rd.from_pandas(docs)
+
+    # expected: union-find over the engine's own verified pairs
+    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.7, n_bands=16).to_pandas()
+    comp = components_driver(
+        (f"{a:020d}", f"{b:020d}") for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    )
+    losers = {int(k) for k, v in comp.items() if k != v}
+    assert losers  # the fixture must exercise removal
+    expect = docs[~docs["doc_id"].isin(losers)].reset_index(drop=True)
+
+    m: dict = {}
+    got = (
+        fuzzy_dedup_rows(ds, jaccard_threshold=0.7, n_bands=16, metrics_out=m)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+    assert m["fuzzy_dropped_docs"] == len(losers)
+    assert m["minhash_dropped_docs"] == 0
+    # the 10~11~12 chain collapses to doc 10 though 10 and 12 never pair
+    assert not ((pairs["doc_a"] == 10) & (pairs["doc_b"] == 12)).any()
+    assert 10 in set(got["doc_id"]) and not {11, 12} & set(got["doc_id"])
+
+    # forced distributed components path agrees with the driver path
+    pr = rd.from_pandas(pairs[["doc_a", "doc_b"]])
+    for dmax in (10**6, 0):
+        c = (
+            components_of_pairs(pr, driver_max_pairs=dmax, num_buckets=8)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert {(n, r) for n, r in zip(c["node"], c["root"])} == {
+            (int(k), int(v)) for k, v in comp.items()
+        }
+
+    # forced anti-join loser removal agrees (incl. int32 dtype restore)
+    got2 = (
+        fuzzy_dedup_rows(ds, jaccard_threshold=0.7, n_bands=16, broadcast_max_losers=0, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, expect)
+
+    # no near-dups → input passes through untouched
+    solo = docs[docs["doc_id"].isin([3, 7])].reset_index(drop=True)
+    got3 = fuzzy_dedup_rows(rd.from_pandas(solo)).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(got3.reset_index(drop=True), solo)
 
 
 def test_ngram_decontaminate(ray_session):

@@ -598,3 +598,46 @@ def test_prepare_training_set_end_to_end(ray_session, tmp_path):
         pack_budget=32,
     )
     assert m2 == {"n_packs": m["n_packs"]}  # default: stream-only, manifest resume
+
+
+def test_prepare_training_set_fuzzy_stage(ray_session, tmp_path):
+    """With fuzzy_jaccard set, stage 1b drops near-duplicate docs that
+    exact dedup cannot see (one survivor per MinHash cluster, min doc_id
+    wins); the knob is encoded in the sink fingerprint."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"   # J ≈ 0.86 vs base
+    other = " ".join(f"x{i}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [base, near, other],
+        }
+    )
+    m = prepare_training_set(
+        rd.from_pandas(docs),
+        ["no overlap with the corpus at all"],
+        str(tmp_path / "out"),
+        fuzzy_jaccard=0.8,
+        lang_allow=(),
+        min_tokens=5,
+        max_tokens=16,
+        overlap=4,
+        pack_budget=32,
+        collect_counts=True,
+    )
+    assert m["n_after_exact_dedup"] == 3      # no exact dups
+    assert m["n_after_fuzzy_dedup"] == 2      # doc 1 lost to doc 0
+    assert m["fuzzy_dropped_docs"] == 1
+    assert m["n_packs"] > 0
+
+    with pytest.raises(ValueError):
+        prepare_training_set(
+            rd.from_pandas(docs.rename(columns={"doc_id": "id"})),
+            [], str(tmp_path / "out2"), id_col="id", fuzzy_jaccard=0.8,
+        )
