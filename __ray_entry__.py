@@ -159,10 +159,26 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10
         """,
+        # q17: exact cosine pairs + fused semantic-dedup probe — kind='root'
+        # rows are the connected-component assignment over the pair graph
+        # (node → smallest reachable vec_id, the semantic_dedup_rows
+        # cluster-winner basis), oracled by a recursive reachability CTE.
         "q17_embedding_neardup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            WITH RECURSIVE thr AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ),
+            sym AS (SELECT vec_a AS a, vec_b AS b FROM thr
+                    UNION ALL SELECT vec_b, vec_a FROM thr),
+            reach AS (
+                SELECT a AS node, a AS r FROM sym
+                UNION
+                SELECT s.a AS node, reach.r FROM reach JOIN sym s ON s.b = reach.node
+            )
+            SELECT 'pair' AS kind, vec_a, vec_b FROM thr
+            UNION ALL
+            SELECT 'root' AS kind, node AS vec_a, min(r) AS vec_b FROM reach GROUP BY node
         """,
         "q18_ngram_jaccard": """
             WITH toks AS (SELECT doc_id, string_split(text, chr(32)) AS t FROM documents),

@@ -15,6 +15,10 @@ verification runs as bucketed shuffle joins, not driver loops.
                                distributed) → min-doc_id cluster winner;
                                losers removed by broadcast filter or, past
                                the broadcast gate, one bucketed anti-join
+- ``semantic_dedup_rows``    — SemDeDup shape: exact cosine pairs over the
+                               embedding sidecar → same cluster-winner tail
+- ``dedup_rows_from_pairs``  — the shared tail: any (doc_a, doc_b) pair
+                               set → components → min-id winner kept
 - ``components_of_pairs``    — (doc_a, doc_b) pairs → (node, root) with
                                root = smallest reachable doc_id
 - ``minhash_lsh_candidates`` — k-shingle → 64-perm MinHash → banded LSH
@@ -599,11 +603,71 @@ def fuzzy_dedup_rows(
     pairs = minhash_lsh_candidates(
         docs, jaccard_threshold, n_bands=n_bands, metrics_out=metrics_out
     )
+    return dedup_rows_from_pairs(
+        docs, pairs, id_col=id_col, broadcast_max_losers=broadcast_max_losers,
+        num_buckets=num_buckets, metrics_out=metrics_out,
+        metric_key="fuzzy_dropped_docs",
+    )
+
+
+def semantic_dedup_rows(
+    docs: "ray.data.Dataset",
+    emb: "ray.data.Dataset",
+    cosine_threshold: float = 0.95,
+    *,
+    id_col: str = "doc_id",
+    n_parts: int = 8,
+    broadcast_max_losers: int = 2_000_000,
+    num_buckets: int | None = None,
+    metrics_out: dict | None = None,
+) -> "ray.data.Dataset":
+    """SemDeDup-style row-KEEPING semantic dedup: EXACT cosine ≥ threshold
+    pairs over the embedding table (``embedding_neardup``'s block-pair
+    matmuls) → connected components → the min-id doc per cluster survives.
+
+    ``emb`` carries (vec_id, embedding) with ``vec_id`` keyed to
+    ``docs[id_col]`` — the sidecar shape of the testdata ``embeddings``
+    table. Only the (small) embedding table enters the all-pairs stage;
+    the doc rows stream through one loser filter (broadcast set or, past
+    the gate, a bucketed anti-join). For corpora where exact O(n²) scoring
+    is off the table, generate pairs with ``embedding_neardup_lsh`` and
+    call ``dedup_rows_from_pairs`` directly."""
+    pairs = embedding_neardup(emb, cosine_threshold, n_parts=n_parts).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t.column("vec_a").cast(pa.int64()),
+             "doc_b": t.column("vec_b").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_rows_from_pairs(
+        docs, pairs, id_col=id_col, broadcast_max_losers=broadcast_max_losers,
+        num_buckets=num_buckets, metrics_out=metrics_out,
+        metric_key="semantic_dropped_docs",
+    )
+
+
+def dedup_rows_from_pairs(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    broadcast_max_losers: int = 2_000_000,
+    num_buckets: int | None = None,
+    metrics_out: dict | None = None,
+    metric_key: str = "pair_dedup_dropped_docs",
+) -> "ray.data.Dataset":
+    """Row-keeping dedup given any near-dup PAIR dataset (doc_a, doc_b):
+    connected components (auto-gated driver / distributed) elect the
+    min-id winner per cluster; every other member is dropped from
+    ``docs``. The shared tail of ``fuzzy_dedup_rows`` /
+    ``semantic_dedup_rows`` — usable directly with any pair generator
+    (``simhash_pairs``, ``ngram_jaccard_pairs``,
+    ``embedding_neardup_lsh`` after a rename to doc_a/doc_b)."""
     comp = components_of_pairs(pairs, num_buckets=num_buckets).materialize()
     losers = comp.filter(expr="node != root").materialize()
     n_losers = losers.count()
     if metrics_out is not None:
-        metrics_out["fuzzy_dropped_docs"] = n_losers
+        metrics_out[metric_key] = n_losers
     if n_losers == 0:
         return docs
 

@@ -310,10 +310,37 @@ def q16_knn(sf_dir: str) -> pd.DataFrame:
 
 
 def q17_embedding_neardup(sf_dir: str) -> pd.DataFrame:
-    from ..functions.dedup import embedding_neardup
+    """Exact cosine ≥ 0.4 pairs, plus a fused semantic-dedup probe:
+    kind='root' rows carry the connected-component assignment (node, min
+    reachable vec_id) — the cluster-winner basis of
+    ``functions/dedup.semantic_dedup_rows`` — oracled by a recursive
+    reachability CTE over the same cosine pairs."""
+    from ..functions.dedup import components_of_pairs, embedding_neardup
 
-    out = embedding_neardup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4).to_pandas()
-    return out[["vec_a", "vec_b"]]
+    pairs = embedding_neardup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    ).materialize()
+    comp = components_of_pairs(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {"doc_a": t.column("vec_a").cast(pa.int64()),
+                 "doc_b": t.column("vec_b").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    ).to_pandas()
+    out = pd.concat(
+        [
+            pairs.to_pandas()[["vec_a", "vec_b"]].assign(kind="pair"),
+            comp.rename(columns={"node": "vec_a", "root": "vec_b"}).assign(kind="root"),
+        ],
+        ignore_index=True,
+    )
+    return (
+        out[["kind", "vec_a", "vec_b"]]
+        .sort_values(["kind", "vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q18_ngram_jaccard(sf_dir: str) -> pd.DataFrame:

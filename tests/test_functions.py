@@ -95,6 +95,40 @@ def test_embedding_neardup_exact_matches_bruteforce(ray_session, sf_small):
     assert len(out) == len(out.drop_duplicates(["vec_a", "vec_b"]))  # scored once
 
 
+def test_semantic_dedup_rows(ray_session, sf_small):
+    """SemDeDup composition: survivors = min vec_id per connected
+    component of the exact cosine ≥ t pair graph, doc schema intact."""
+    import pyarrow.parquet as pq
+
+    from graphiti_hf_ray.functions.dedup import semantic_dedup_rows
+    from graphiti_hf_ray.stages.canonicalize import components_driver
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+    m = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    ia, ib = np.where((sims >= 0.4) & (ids[:, None] < ids[None, :]))
+    comp = components_driver(
+        (f"{a:020d}", f"{b:020d}") for a, b in zip(ids[ia].tolist(), ids[ib].tolist())
+    )
+    losers = {int(k) for k, v in comp.items() if k != v}
+    assert losers  # fixture must exercise removal
+
+    docs = pd.DataFrame({"doc_id": ids, "payload": [f"p{i}" for i in ids]})
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mo: dict = {}
+    got = (
+        semantic_dedup_rows(rd.from_pandas(docs), emb, 0.4, n_parts=3, metrics_out=mo)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = docs[~docs["doc_id"].isin(losers)].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+    assert mo["semantic_dropped_docs"] == len(losers)
+
+
 def test_embedding_neardup_lsh_subset_of_exact(ray_session, sf_small):
     """The approximate LSH path returns a subset of the exact pairs and
     keeps the highest-similarity ones (same-bucket near-identicals)."""
