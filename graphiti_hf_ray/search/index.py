@@ -29,7 +29,14 @@ Layout::
       _index_manifest.json        # n_planes|centroids, dim, cols, counts
       bucket=0003/part=0000/part-0.parquet + _manifest.json
       list=0007/part=0001/...
+      list=0007/epoch=ab12cd34ef56/part=0000/...   # incremental adds
       ...
+
+Incremental adds (``append_to_ivf_index`` / ``append_to_vector_index``,
+the FAISS ``index.add`` contract): new rows are assigned with the
+PERSISTED centroids/planes and written as an epoch subdir per partition —
+no collision with base parts, no rebuild, query path unchanged (it walks
+probed partitions recursively). A full rebuild sweeps every epoch.
 
 Build shape: one cheap occupancy histogram pass sizes per-partition part
 counts (``ceil(rows / rows_per_part)`` — skew-exact, a hot partition gets
@@ -105,14 +112,17 @@ def _partition_parquet_files(index_dir: str, dirnames: list[str]) -> list[str]:
 def _sweep_stale_parts(index_dir: str, prefix: str, expected: set[tuple[int, int]], fingerprint: str) -> None:
     """Remove partition/part dirs a previous build (different fingerprint,
     plane count, salt sizing) left behind — the query path globs every part
-    in a probed partition, so stale parts would silently double rows."""
+    in a probed partition, so stale parts would silently double rows. A
+    FULL build owns the whole directory: append epochs
+    (``epoch=<tag>`` subdirs, see ``_append_to_index``) from any earlier
+    generation are removed too."""
     for d in sorted(os.listdir(index_dir)):
         if not d.startswith(prefix + "="):
             continue
         pdir = os.path.join(index_dir, d)
         pid = int(d.split("=", 1)[1])
         for sub in sorted(os.listdir(pdir)):
-            if sub.startswith(".tmp-"):
+            if sub.startswith(".tmp-") or sub.startswith("epoch="):
                 shutil.rmtree(os.path.join(pdir, sub), ignore_errors=True)
                 continue
             if not sub.startswith("part="):
@@ -131,6 +141,37 @@ def _sweep_stale_parts(index_dir: str, prefix: str, expected: set[tuple[int, int
             os.rmdir(pdir)
 
 
+def _sweep_stale_epoch_parts(index_dir: str, prefix: str, epoch: str, expected: set[tuple[int, int]], fingerprint: str) -> None:
+    """Epoch-scoped sweep for appends: clean only inside this epoch's
+    subdirs (a crashed earlier attempt of the SAME append), leaving the
+    base parts and other epochs untouched."""
+    for d in sorted(os.listdir(index_dir)):
+        if not d.startswith(prefix + "="):
+            continue
+        pid = int(d.split("=", 1)[1])
+        edir = os.path.join(index_dir, d, f"epoch={epoch}")
+        if not os.path.isdir(edir):
+            continue
+        for sub in sorted(os.listdir(edir)):
+            if sub.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(edir, sub), ignore_errors=True)
+                continue
+            if not sub.startswith("part="):
+                continue
+            sid = int(sub.split("=", 1)[1])
+            keep = (pid, sid) in expected
+            if keep:
+                man_p = os.path.join(edir, sub, gio.MANIFEST)
+                keep = os.path.exists(man_p)
+                if keep:
+                    with open(man_p) as f:
+                        keep = json.load(f).get("fingerprint", "").startswith(fingerprint + ":")
+            if not keep:
+                shutil.rmtree(os.path.join(edir, sub), ignore_errors=True)
+        if not os.listdir(edir):
+            os.rmdir(edir)
+
+
 def _write_partitioned(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -140,11 +181,18 @@ def _write_partitioned(
     emb_col: str,
     fingerprint: str,
     rows_per_part: int,
+    epoch: str | None = None,
 ) -> dict[int, int]:
     """Shared build body for both layouts: histogram pass → per-partition
     part counts → ONE (partition, salt) bucketed shuffle → atomic part-dir
     writes inside the group task (rows never return to the driver).
-    Returns {partition: rows}."""
+    Returns {partition: rows}.
+
+    ``epoch`` (append mode): parts land under
+    ``{prefix}=NNNN/epoch=<epoch>/part=MMMM`` — a namespace the base
+    build's part ids can never collide with — and the stale-part sweep is
+    scoped to that epoch, so existing data is never touched. The query
+    path needs no change: it walks the partition dir recursively."""
 
     def hist(t: pa.Table) -> pa.Table:
         part = assign_fn(t)
@@ -173,6 +221,8 @@ def _write_partitioned(
 
     os.makedirs(index_dir, exist_ok=True)
 
+    sub = "" if epoch is None else f"epoch={epoch}"
+
     def write_part(g: pd.DataFrame) -> pd.DataFrame:
         p = int(g["_p"].iloc[0])
         s = int(g["_pkey"].iloc[0]) - p * (max_salts + 1)
@@ -181,7 +231,7 @@ def _write_partitioned(
         )
         man = gio.write_shard_atomic(
             t,
-            os.path.join(index_dir, f"{prefix}={p:04d}", f"part={s:04d}"),
+            os.path.join(index_dir, f"{prefix}={p:04d}", sub, f"part={s:04d}"),
             fingerprint + f":{prefix}{p}:s{s}/{salts[p]}",
         )
         return pd.DataFrame({"p": [p], "rows": [man["rows"]]})
@@ -193,7 +243,10 @@ def _write_partitioned(
         .to_pandas()
     )
     expected = {(p, s) for p, ns in salts.items() for s in range(ns)}
-    _sweep_stale_parts(index_dir, prefix, expected, fingerprint)
+    if epoch is None:
+        _sweep_stale_parts(index_dir, prefix, expected, fingerprint)
+    else:
+        _sweep_stale_epoch_parts(index_dir, prefix, epoch, expected, fingerprint)
     return stats.groupby("p")["rows"].sum().to_dict()
 
 
@@ -303,6 +356,142 @@ def build_ivf_index(
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
     return manifest
+
+
+def _scan_partition_stats(index_dir: str, prefix: str) -> tuple[dict[int, int], dict[int, int]]:
+    """(rows, bytes) per partition, rescanned from the part-shard manifests
+    and file sizes on disk — the idempotent ground truth after appends or
+    resumed/crashed builds (driver-held counts can be stale)."""
+    rows: dict[int, int] = {}
+    bts: dict[int, int] = {}
+    for d in sorted(os.listdir(index_dir)):
+        if not d.startswith(prefix + "="):
+            continue
+        pid = int(d.split("=", 1)[1])
+        pdir = os.path.join(index_dir, d)
+        r = b = 0
+        for dirpath, dn, filenames in os.walk(pdir):
+            gio._prune_tmp(dn)
+            for fn in filenames:
+                if fn == gio.MANIFEST:
+                    with open(os.path.join(dirpath, fn)) as f:
+                        r += int(json.load(f).get("rows", 0))
+                elif fn.endswith(".parquet"):
+                    b += os.path.getsize(os.path.join(dirpath, fn))
+        if r or b:
+            rows[pid], bts[pid] = r, b
+    return rows, bts
+
+
+def _epoch_tag(fingerprint: str) -> str:
+    import hashlib
+
+    return hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+
+
+def append_to_ivf_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    fingerprint: str,
+    rows_per_part: int = DEFAULT_ROWS_PER_PART,
+) -> dict:
+    """Incrementally add vectors to an EXISTING trained-IVF sidecar — the
+    reference's FAISS ``index.add`` contract (graphiti_hf/search/
+    vector_search.py:229-285) without rebuilding or retraining: new rows
+    are assigned to the PERSISTED centroids and written as a new append
+    epoch (``list=NNNN/epoch=<tag>/part=MMMM``) that can never collide
+    with the base parts or other epochs; the query path picks the new
+    parts up with no change (it walks each probed list recursively).
+
+    ``fingerprint`` must uniquely name this batch of additions — re-running
+    the same append is a resume (finished parts skip via their shard
+    manifests), not a duplication; a DIFFERENT batch needs a different
+    fingerprint. Row/byte counts in the index manifest are rescanned from
+    disk, so the recorded totals are exact even after crashes. The
+    centroids stay fixed — after appending many times the data drifts from
+    the trained quantization, so periodically rebuild (``build_ivf_index``
+    sweeps every epoch)."""
+    man = load_index_manifest(index_dir)
+    if man is None or man.get("kind") != "ivf_trained":
+        raise FileNotFoundError(f"no trained-IVF manifest under {index_dir}")
+    if not fingerprint:
+        raise ValueError("append requires a non-empty fingerprint")
+    C = np.asarray(man["centroids"], np.float64)
+    cref = ray.put(C)
+    emb_col, id_col = man["emb_col"], man["id_col"]
+
+    def assign(t: pa.Table) -> np.ndarray:
+        C_ = ray.get(cref)
+        m = _norm(embedding_matrix(t.column(emb_col)))
+        return np.argmax(m @ C_.T, axis=1).astype(np.int64)
+
+    _write_partitioned(
+        ds, index_dir, "list", assign, id_col, emb_col, fingerprint,
+        rows_per_part, epoch=_epoch_tag(fingerprint),
+    )
+    rows_by_list, bytes_by_list = _scan_partition_stats(index_dir, "list")
+    gens = man.get("generations", [man["fingerprint"]])
+    if fingerprint not in gens:
+        gens.append(fingerprint)
+    man.update(
+        {
+            "lists": {int(b): int(r) for b, r in rows_by_list.items()},
+            "bytes": {int(b): int(v) for b, v in bytes_by_list.items()},
+            "rows": int(sum(rows_by_list.values())),
+            "generations": gens,
+        }
+    )
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp-rw")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return man
+
+
+def append_to_vector_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    fingerprint: str,
+    rows_per_part: int = DEFAULT_ROWS_PER_PART,
+) -> dict:
+    """Incremental add for the sign-plane sidecar (same epoch mechanics as
+    ``append_to_ivf_index``; the planes are deterministic in (n_planes,
+    dim) so appended rows bucket identically to a fresh build)."""
+    man = load_index_manifest(index_dir)
+    if man is None or man.get("kind") != "sign_plane":
+        raise FileNotFoundError(f"no sign-plane manifest under {index_dir}")
+    if not fingerprint:
+        raise ValueError("append requires a non-empty fingerprint")
+    planes = _planes(man["n_planes"], man["dim"])
+    pref = ray.put(planes)
+    emb_col, id_col = man["emb_col"], man["id_col"]
+
+    def assign(t: pa.Table) -> np.ndarray:
+        pl = ray.get(pref)
+        m = _norm(embedding_matrix(t.column(emb_col)))
+        bits = (m @ pl.T > 0).astype(np.int64)
+        return bits @ (1 << np.arange(pl.shape[0]))
+
+    _write_partitioned(
+        ds, index_dir, "bucket", assign, id_col, emb_col, fingerprint,
+        rows_per_part, epoch=_epoch_tag(fingerprint),
+    )
+    rows_by_bucket, _ = _scan_partition_stats(index_dir, "bucket")
+    gens = man.get("generations", [man["fingerprint"]])
+    if fingerprint not in gens:
+        gens.append(fingerprint)
+    man.update(
+        {
+            "buckets": {int(b): int(r) for b, r in rows_by_bucket.items()},
+            "rows": int(sum(rows_by_bucket.values())),
+            "generations": gens,
+        }
+    )
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp-rw")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return man
 
 
 def load_index_manifest(index_dir: str) -> dict | None:

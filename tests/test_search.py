@@ -391,6 +391,93 @@ def test_ivf_index_sidecar(ray_session, sf_small, tmp_path_factory):
         assert json.load(f)["written_at"] == before
 
 
+def test_ivf_index_append(ray_session, sf_small, tmp_path_factory):
+    """Incremental add (FAISS index.add parity): base build on half the
+    vectors + an append epoch of the rest answers queries IDENTICALLY to a
+    one-shot build with the same centroids; re-running the same append is
+    a no-op resume; a full rebuild sweeps every epoch (no row doubling)."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.knn import train_ivf_centroids
+    from graphiti_hf_ray.search.index import (
+        append_to_ivf_index, build_ivf_index, load_index_manifest, query_ivf_index,
+    )
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]).materialize()
+    n = emb.count()
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def _half(parity):
+        def f(t: _pa.Table) -> _pa.Table:
+            ids = t.column("vec_id").cast(_pa.int64())
+            return t.filter(_pc.equal(_pc.bit_wise_and(ids, _pa.scalar(1, _pa.int64())), _pa.scalar(parity, _pa.int64())))
+        return f
+
+    first = emb.map_batches(_half(0), batch_format="pyarrow").materialize()
+    second = emb.map_batches(_half(1), batch_format="pyarrow").materialize()
+    C = train_ivf_centroids(emb, n_lists=16)
+    q = np.asarray(emb.take(1)[0]["embedding"], np.float64)
+
+    inc = str(tmp_path_factory.mktemp("ivf_inc"))
+    build_ivf_index(first, inc, centroids=C, fingerprint="base", rows_per_part=64)
+    man = append_to_ivf_index(second, inc, fingerprint="add1", rows_per_part=64)
+    assert man["rows"] == n
+    assert sum(man["lists"].values()) == n
+    assert man["generations"] == ["base", "add1"]
+
+    full = str(tmp_path_factory.mktemp("ivf_full"))
+    build_ivf_index(emb, full, centroids=C, fingerprint="one", rows_per_part=64)
+    for np_ in (4, 16):
+        a = query_ivf_index(inc, q, k=10, n_probe=np_)
+        b = query_ivf_index(full, q, k=10, n_probe=np_)
+        assert list(a["vec_id"]) == list(b["vec_id"])
+        assert list(a["cosine"]) == list(b["cosine"])
+
+    # same-fingerprint re-append resumes: row total unchanged
+    man2 = append_to_ivf_index(second, inc, fingerprint="add1", rows_per_part=64)
+    assert man2["rows"] == n and man2["generations"] == ["base", "add1"]
+
+    # full rebuild owns the dir: every epoch swept, counts back to base+add
+    man3 = build_ivf_index(emb, inc, centroids=C, fingerprint="v2", rows_per_part=64)
+    assert man3["rows"] == n
+    for d in os.listdir(inc):
+        if d.startswith("list="):
+            assert not any(s.startswith("epoch=") for s in os.listdir(os.path.join(inc, d)))
+    c = query_ivf_index(inc, q, k=10, n_probe=16)
+    assert list(c["vec_id"]) == list(query_ivf_index(full, q, k=10, n_probe=16)["vec_id"])
+
+
+def test_vector_index_append(ray_session, store, tmp_path_factory):
+    """Sign-plane append epoch == one-shot build for every probe width."""
+    import numpy as np
+
+    from graphiti_hf_ray.search.index import (
+        append_to_vector_index, build_vector_index, query_vector_index,
+    )
+
+    nodes = store.ds("nodes").select_columns(["uuid", "name_embedding"]).materialize()
+    half_a = nodes.filter(expr="uuid > '8'").materialize()
+    half_b = nodes.filter(expr="uuid <= '8'").materialize()
+    assert half_a.count() > 0 and half_b.count() > 0
+    q = np.asarray(nodes.take(1)[0]["name_embedding"], np.float64)
+
+    inc = str(tmp_path_factory.mktemp("sp_inc"))
+    build_vector_index(half_a, inc, "name_embedding", "uuid", n_planes=2, fingerprint="b")
+    man = append_to_vector_index(half_b, inc, fingerprint="a1")
+    assert man["rows"] == nodes.count()
+
+    full = str(tmp_path_factory.mktemp("sp_full"))
+    build_vector_index(nodes, full, "name_embedding", "uuid", n_planes=2, fingerprint="o")
+    for ph in (0, 2):
+        a = query_vector_index(inc, q, k=8, probe_hamming=ph, min_score=-1.0)
+        b = query_vector_index(full, q, k=8, probe_hamming=ph, min_score=-1.0)
+        assert list(a["uuid"]) == list(b["uuid"])
+
+
 def test_cross_encoder_distributed_matches_stub(ray_session, store):
     """The actor-pool cross-encoder path returns the stub's ranking; the
     real backend stays gated."""
