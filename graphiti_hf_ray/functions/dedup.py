@@ -519,8 +519,12 @@ def components_of_pairs(
     if n_pairs <= driver_max_pairs:
         from ..stages.canonicalize import components_driver
 
+        pdf = pairs.to_pandas()  # ≤ driver_max_pairs rows by the gate
         comp = components_driver(
-            (f"{r['doc_a']:020d}", f"{r['doc_b']:020d}") for r in pairs.iter_rows()
+            zip(
+                (f"{a:020d}" for a in pdf["doc_a"].astype("int64")),
+                (f"{b:020d}" for b in pdf["doc_b"].astype("int64")),
+            )
         )
         return rd.from_arrow(
             pa.table(
@@ -672,7 +676,7 @@ def dedup_rows_from_pairs(
         return docs
 
     if n_losers <= broadcast_max_losers:
-        ref = ray.put(frozenset(r["node"] for r in losers.iter_rows()))
+        ref = ray.put(frozenset(losers.to_pandas()["node"].astype("int64").tolist()))
         return docs.map_batches(
             _DropLosers,
             fn_constructor_kwargs={"losers_ref": ref, "id_col": id_col},

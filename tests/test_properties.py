@@ -288,3 +288,43 @@ def test_redact_tokens_fixpoint_property(doc, bench, n):
     assert all(any(t == u for u in it) for t in kept)  # subsequence
     if not collision_positions(list(doc), grams, n):
         assert kept == list(doc) and removed == 0      # clean → identity
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=40
+    )
+)
+def test_components_min_root_property(pairs):
+    """components_driver with zero-padded decimal keys yields, for every
+    node, exactly the NUMERIC min of its connected component (brute-force
+    BFS oracle) — the invariant components_of_pairs and the cluster-winner
+    dedups rely on."""
+    from graphiti_hf_ray.stages.canonicalize import components_driver
+
+    comp = components_driver(
+        (f"{a:020d}", f"{b:020d}") for a, b in pairs
+    )
+    # brute-force components over the same graph
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: set[int] = set()
+    expect: dict[int, int] = {}
+    for start in adj:
+        if start in seen:
+            continue
+        stack, members = [start], set()
+        while stack:
+            n = stack.pop()
+            if n in members:
+                continue
+            members.add(n)
+            stack.extend(adj[n])
+        seen |= members
+        lo = min(members)
+        for n in members:
+            expect[n] = lo
+    assert {int(k): int(v) for k, v in comp.items()} == expect
