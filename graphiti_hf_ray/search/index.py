@@ -200,7 +200,8 @@ def _write_partitioned(
         return pa.table({"p": pa.array(b, pa.int64()), "n": pa.array(c, pa.int64())})
 
     h = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
-    occ = h.groupby("p")["n"].sum().to_dict()  # ≤ n_partitions rows
+    # ≤ n_partitions rows; an empty input loses even the column names
+    occ = {} if h.empty else h.groupby("p")["n"].sum().to_dict()
     salts = {int(p): max(1, math.ceil(n / rows_per_part)) for p, n in occ.items()}
     max_salts = max(salts.values(), default=1)
 
@@ -247,6 +248,8 @@ def _write_partitioned(
         _sweep_stale_parts(index_dir, prefix, expected, fingerprint)
     else:
         _sweep_stale_epoch_parts(index_dir, prefix, epoch, expected, fingerprint)
+    if stats.empty:  # empty input: nothing written (an empty append is a no-op)
+        return {}
     return stats.groupby("p")["rows"].sum().to_dict()
 
 

@@ -441,6 +441,10 @@ def test_ivf_index_append(ray_session, sf_small, tmp_path_factory):
     man2 = append_to_ivf_index(second, inc, fingerprint="add1", rows_per_part=64)
     assert man2["rows"] == n and man2["generations"] == ["base", "add1"]
 
+    # empty append is a no-op (row total and query results unchanged)
+    man_e = append_to_ivf_index(second.limit(0), inc, fingerprint="add2", rows_per_part=64)
+    assert man_e["rows"] == n
+
     # full rebuild owns the dir: every epoch swept, counts back to base+add
     man3 = build_ivf_index(emb, inc, centroids=C, fingerprint="v2", rows_per_part=64)
     assert man3["rows"] == n
