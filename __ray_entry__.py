@@ -126,8 +126,42 @@ def oracle_sql() -> dict[str, str]:
         # engine's application order (email first, then ipv4 over the
         # already-scrubbed text). Patterns come from textclean.PII_PATTERNS
         # — one constant, both sides.
+        # q13: fused doc profile. Repetition probes (Gopher duplicate-text
+        # rules, token form) are INTEGER numerators over the n_chars
+        # denominator: top2gram_chars = count(most frequent 2-gram,
+        # lex-min tie-break) × length(gram); dup5gram_chars = Σ count ×
+        # length over distinct 5-grams occurring ≥ 2 times.
         "q13_doc_profile": f"""
-            SELECT doc_id,
+            WITH base AS (
+                SELECT doc_id, text, string_split(text, chr(32)) AS t,
+                       text || ' Contact doc' || doc_id || '@example.org or 192.168.'
+                            || (doc_id % 256) || '.' || (doc_id % 100) || ' now.' AS ptext
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || chr(32) || t[i+1])) AS g
+                FROM base WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            top2 AS (
+                SELECT doc_id, c * length(g) AS top2gram_chars
+                FROM (SELECT doc_id, g, c, row_number() OVER
+                        (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2)
+                WHERE rn = 1
+            ),
+            g5 AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                       i -> t[i] || chr(32) || t[i+1] || chr(32) || t[i+2] || chr(32)
+                            || t[i+3] || chr(32) || t[i+4])) AS g
+                FROM base WHERE len(t) >= 5
+            ),
+            c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+            d5 AS (
+                SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS dup5gram_chars
+                FROM c5 WHERE c >= 2 GROUP BY 1
+            )
+            SELECT b.doc_id,
                    length(text) AS n_chars,
                    len(t) AS n_tokens,
                    len(list_distinct(t)) AS n_uniq_tokens,
@@ -145,13 +179,12 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII_PATTERNS["ipv4"]}')) AS n_pii_ipv4,
                    md5(regexp_replace(
                        regexp_replace(ptext, '{_PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
-                       '{_PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS pii_fingerprint
-            FROM (
-                SELECT doc_id, text, string_split(text, chr(32)) AS t,
-                       text || ' Contact doc' || doc_id || '@example.org or 192.168.'
-                            || (doc_id % 256) || '.' || (doc_id % 100) || ' now.' AS ptext
-                FROM documents
-            )
+                       '{_PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS pii_fingerprint,
+                   COALESCE(top2.top2gram_chars, 0) AS top2gram_chars,
+                   COALESCE(d5.dup5gram_chars, 0) AS dup5gram_chars
+            FROM base b
+            LEFT JOIN top2 ON top2.doc_id = b.doc_id
+            LEFT JOIN d5 ON d5.doc_id = b.doc_id
         """,
         "q16_knn": """
             SELECT vec_id FROM embeddings
@@ -574,6 +607,12 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN lang = '{s}' THEN '{format(int(r * 16**8), '08x')}'"
         for s, r in [("en", 0.5), ("de", 0.25), ("es", 0.125), ("fr", 0.0625)]
     )
+    # budget branch mirrors pipelines/queries._TOKEN_BUDGETS: per-lang
+    # hash-ordered greedy prefix while the INCLUSIVE token cumsum stays
+    # within budget (token_budget_sample's window-cumsum contract)
+    from graphiti_hf_ray.pipelines.queries import _TOKEN_BUDGETS as _TB
+
+    budget_case = " ".join(f"WHEN lang = '{s}' THEN {b}" for s, b in sorted(_TB.items()))
     sql["q38_sample_synopsis"] = f"""
         SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS v FROM documents
         WHERE substr(md5('s:' || doc_id), 1, 8) < '{thresh}'
@@ -585,6 +624,16 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'strat', CAST(doc_id AS VARCHAR) FROM documents
         WHERE substr(md5('s:' || doc_id), 1, 8) < CASE {strat_case} ELSE '00000000' END
+        UNION ALL
+        SELECT 'budget', CAST(doc_id AS VARCHAR) FROM (
+            SELECT doc_id,
+                   SUM(len(string_split(text, chr(32)))) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('s:' || doc_id), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS run,
+                   CASE {budget_case} ELSE NULL END AS cap
+            FROM documents
+        ) WHERE run <= cap
     """
     # boilerplate removal: fragments (len >= 4) in >= 50% of docs removed;
     # threshold mirrors the engine's max(2, ceil(frac * n_docs))

@@ -59,6 +59,50 @@ def stratified_hash_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def token_budget_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    stratum_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    salt: str = "s",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-stratum TOKEN-budget mixture sampling — the "give me N tokens
+    of each language/domain" step of training-set construction (vs
+    ``stratified_hash_sample``'s per-ROW rates).
+
+    Within each stratum, rows are taken in deterministic hash order
+    (md5(salt:key), key tie-break) while the INCLUSIVE running sum of
+    ``token_col`` stays ≤ the stratum's budget; the first overflowing row
+    ends the stratum's prefix (greedy prefix, not skip-and-continue — the
+    kept set is a pure function of the input, SQL-expressible as a window
+    cumsum). Strata absent from ``budgets`` are dropped.
+
+    Shuffle shape: ONE bucketed exchange on the stratum key; each bucket
+    runs a vectorized sort + per-stratum cumsum. A single stratum's rows
+    co-locate (the same guarantee every groupby needs), so a hot stratum
+    costs O(rows log rows) vector work in one task — for strata too large
+    for that, pre-aggregate a (stratum, hash-prefix) token histogram and
+    derive a hash threshold instead (the rate-based ops above)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    bref = ray.put(dict(budgets))
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        df = df[df[stratum_col].isin(b)].copy()
+        if df.empty:
+            return df
+        df["_h"] = [_hexhash(salt, k) for k in df[key_col]]
+        df = df.sort_values(["_h", key_col], kind="mergesort")
+        run = df.groupby(stratum_col, sort=False)[token_col].cumsum()
+        cap = df[stratum_col].map(b)
+        return df.loc[run <= cap].drop(columns=["_h"])
+
+    return bucketed_group_apply(ds, [stratum_col], prefix, num_buckets=num_buckets)
+
+
 def kmv_synopsis(ds: "ray.data.Dataset", value_col: str, k: int = 32, salt: str = "k") -> tuple[list[str], float]:
     """Distributed KMV sketch: returns (k smallest hashes sorted, distinct
     estimate). Shuffle cost: k hashes per input block, nothing else."""

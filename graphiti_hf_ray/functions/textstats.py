@@ -74,10 +74,23 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
     reproduce the placeholder rewrite byte-exactly, in application order
     (email first, then ipv4 over the already-scrubbed text).
 
+    Repetition signals (the Gopher paper's duplicate-text rules, token
+    form, INTEGER-exact so the oracle can never drift on float rounding;
+    the denominator is the ``n_chars`` column):
+
+    - ``top2gram_chars`` = occurrences of the most frequent 2-gram ×
+      characters of that 2-gram (ties broken by the lexicographically
+      smallest gram; 0 when the doc has < 2 tokens);
+    - ``dup5gram_chars`` = Σ over distinct 5-grams occurring ≥ 2 times of
+      count × gram characters (overlaps counted per occurrence — a
+      deterministic upper bound of the paper's span measure; 0 when < 5
+      tokens).
+
     Columns: doc_id, n_chars, n_tokens, n_uniq_tokens, n_stopwords,
     sum_token_len, passes_gopher, fingerprint, n_pii_email, n_pii_ipv4,
-    pii_fingerprint.
+    pii_fingerprint, top2gram_chars, dup5gram_chars.
     """
+    from collections import Counter
     if not _PII_RX_MEMO:
         _PII_RX_MEMO.append(_pii_rx())  # compiled once per worker process
     rx = _PII_RX_MEMO[0]
@@ -86,6 +99,7 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id").to_pylist()
     n_tok, n_uniq, n_stop, sum_len, passes = [], [], [], [], []
     n_email, n_ipv4, pii_fp = [], [], []
+    top2, dup5 = [], []
     for d, x in zip(doc_ids, texts):
         toks = x.split(" ")
         n = len(toks)
@@ -95,6 +109,17 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
         n_uniq.append(len(set(toks)))
         n_stop.append(st)
         sum_len.append(sl)
+        if n >= 2:
+            c2 = Counter(" ".join(toks[i : i + 2]) for i in range(n - 1))
+            g, cnt = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+            top2.append(cnt * len(g))
+        else:
+            top2.append(0)
+        if n >= 5:
+            c5 = Counter(" ".join(toks[i : i + 5]) for i in range(n - 4))
+            dup5.append(sum(v * len(k) for k, v in c5.items() if v >= 2))
+        else:
+            dup5.append(0)
         passes.append(
             GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
             and 3 * n <= sl <= 10 * n
@@ -120,6 +145,8 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
             "n_pii_email": pa.array(n_email, pa.int64()),
             "n_pii_ipv4": pa.array(n_ipv4, pa.int64()),
             "pii_fingerprint": pa.array(pii_fp, pa.string()),
+            "top2gram_chars": pa.array(top2, pa.int64()),
+            "dup5gram_chars": pa.array(dup5, pa.int64()),
         }
     )
 

@@ -738,6 +738,9 @@ QUERIES["q37_large_join"] = q37_large_join
 # static domain reweighting — upsample the head language, downsample the
 # tail, drop 'zh' entirely). Mirrored literally in the q38 oracle's CASE.
 _STRAT_RATES = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.0625}
+# token budgets sized to BITE at every test scale (~55 tokens/doc, en has
+# ~200 docs ≈ 11k tokens at sf0.001/sf0.01); zh absent → dropped entirely
+_TOKEN_BUDGETS = {"en": 3000, "de": 1000, "es": 600, "fr": 600}
 
 
 def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
@@ -747,20 +750,43 @@ def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
     exact 32-hash K-minimum-values distinct synopsis UNION the stratified
     per-domain mixture sample (``stratified_hash_sample``, rates per
     ``lang`` — the static domain-reweighting step of a training-data
-    pipeline) — three operators, one driver row, aligned on (kind, v)."""
-    from ..functions.sample import hash_sample, kmv_synopsis, stratified_hash_sample
+    pipeline) UNION the per-lang TOKEN-budget mixture sample
+    (``token_budget_sample``: hash-ordered greedy prefix per stratum,
+    window-cumsum oracle) — four operators, one driver row, aligned on
+    (kind, v)."""
+    import pyarrow as _pa
+
+    from ..functions.sample import (
+        hash_sample, kmv_synopsis, stratified_hash_sample, token_budget_sample,
+    )
 
     samp = hash_sample(_read(sf_dir, "documents", ["doc_id"]), "doc_id", 0.2).to_pandas()
     synopsis, _est = kmv_synopsis(_read(sf_dir, "documents", ["text"]), "text", k=32)
     strat = stratified_hash_sample(
         _read(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", "lang", _STRAT_RATES
     ).to_pandas()
+
+    def with_tokens(t: "pa.Table") -> "pa.Table":
+        n = _pa.array([len(x.split(" ")) for x in t.column("text").to_pylist()], _pa.int64())
+        return t.drop_columns(["text"]).append_column("n_tokens", n)
+
+    budget = (
+        token_budget_sample(
+            _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+                with_tokens, batch_format="pyarrow"
+            ),
+            "doc_id", "lang", "n_tokens", _TOKEN_BUDGETS,
+        )
+        .to_pandas()
+    )
     return pd.DataFrame(
         {
-            "kind": ["sample"] * len(samp) + ["kmv"] * len(synopsis) + ["strat"] * len(strat),
+            "kind": ["sample"] * len(samp) + ["kmv"] * len(synopsis)
+            + ["strat"] * len(strat) + ["budget"] * len(budget),
             "v": [str(int(d)) for d in samp["doc_id"]]
             + list(synopsis)
-            + [str(int(d)) for d in strat["doc_id"]],
+            + [str(int(d)) for d in strat["doc_id"]]
+            + [str(int(d)) for d in budget["doc_id"]],
         }
     )
 

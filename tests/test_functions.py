@@ -1200,6 +1200,66 @@ def test_exact_dedup_rows_parity(ray_session):
     assert sorted(fused["doc_id"]) == sorted(expect["doc_id"])
 
 
+def test_token_budget_sample(ray_session):
+    """Per-stratum token-budget mixture sampling: hash-ordered greedy
+    prefix, inclusive cumsum ≤ budget, strata without a budget dropped —
+    matches a driver-side replay of the same ordering."""
+    from graphiti_hf_ray.functions.sample import _hexhash, token_budget_sample
+
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "lang": ["en", "de", "zh"] * 20,
+            "n_tokens": rng.integers(5, 40, 60).astype(np.int64),
+        }
+    )
+    budgets = {"en": 150, "de": 60}
+    got = (
+        token_budget_sample(rd.from_pandas(docs), "doc_id", "lang", "n_tokens", budgets, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # driver replay of the contract
+    expect_ids = []
+    for lang, cap in budgets.items():
+        g = docs[docs["lang"] == lang].copy()
+        g["_h"] = [_hexhash("s", k) for k in g["doc_id"]]
+        g = g.sort_values(["_h", "doc_id"])
+        run = g["n_tokens"].cumsum()
+        expect_ids += list(g.loc[run <= cap, "doc_id"])
+    expect = docs[docs["doc_id"].isin(expect_ids)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+    assert set(got["lang"]) == {"en", "de"}          # zh dropped entirely
+    for lang, cap in budgets.items():
+        assert got.loc[got["lang"] == lang, "n_tokens"].sum() <= cap
+    assert len(got) < (docs["lang"] != "zh").sum()   # the budget bites
+
+
+def test_doc_profile_repetition_signals():
+    """Gopher duplicate-text probes are integer-exact on hand-computed
+    cases: top2gram_chars = count(top 2-gram, lex-min tie-break) ×
+    len(gram); dup5gram_chars sums count × len over 5-grams with count ≥ 2;
+    sub-window docs yield 0."""
+    from graphiti_hf_ray.functions.textstats import doc_profile_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "a b a b a b",            # "a b"×3 → 3·3=9; no dup 5-gram
+                "x y x y x y x y x y",    # "x y"×5 → 15; 2 dup 5-grams ×3 → 54
+                "q",                      # < 2 tokens → 0 / 0
+                "c b c b c b",            # tie c b / b c at... "b c"×2,"c b"×3
+            ],
+        }
+    )
+    out = doc_profile_batch(t)
+    assert out.column("top2gram_chars").to_pylist() == [9, 15, 0, 9]
+    assert out.column("dup5gram_chars").to_pylist() == [0, 54, 0, 0]
+
+
 def test_fuzzy_dedup_rows(ray_session):
     """Corpus-wide fuzzy dedup: survivors = min doc_id per connected
     component of the verified near-dup pair graph (transitive chains
