@@ -186,11 +186,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN top2 ON top2.doc_id = b.doc_id
             LEFT JOIN d5 ON d5.doc_id = b.doc_id
         """,
+        # q16: brute-force top-10 + the persisted trained-IVF sidecar read
+        # back at FULL probe (exact — every list read), both against the
+        # same exact-scan SQL.
         "q16_knn": """
-            SELECT vec_id FROM embeddings
-            ORDER BY list_cosine_similarity(embedding,
-                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-            LIMIT 10
+            WITH topk AS (
+                SELECT vec_id FROM embeddings
+                ORDER BY list_cosine_similarity(embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+                LIMIT 10
+            )
+            SELECT 'brute' AS kind, vec_id FROM topk
+            UNION ALL
+            SELECT 'ivf', vec_id FROM topk
         """,
         # q17: exact cosine pairs + fused semantic-dedup probe — kind='root'
         # rows are the connected-component assignment over the pair graph

@@ -299,14 +299,36 @@ def q13_doc_profile(sf_dir: str) -> pd.DataFrame:
 
 def q16_knn(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (similarity
-    search baseline). Only ids returned — float scores stay engine-side."""
+    search baseline). Only ids returned — float scores stay engine-side.
+
+    Fused probe: kind='ivf' rows drive the PERSISTED trained-IVF sidecar
+    end to end (build → list-partitioned parquet + manifest → full-probe
+    read-back). At n_probe = n_lists the sidecar is exact (every list
+    read), so the same top-10 SQL is its oracle — this is the driver
+    check that the index files, manifest centroids, and pruned-read query
+    path reproduce the exact scan."""
+    from ..search.index import build_ivf_index, load_index_manifest, query_ivf_index
+
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # pushed-down fetch of the query vector: predicate runs in the read
     # tasks, only the single matching row reaches the driver
     row = emb.filter(expr="vec_id == 0").take(1)[0]
     q = np.asarray(row["embedding"], np.float64)
     out = knn_brute(emb, q, k=10)
-    return out[["vec_id"]]
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/graphiti_ray/ivf_{tag}"
+    man = load_index_manifest(idx)
+    if man is None or man.get("fingerprint") != tag:
+        os.makedirs(idx, exist_ok=True)
+        man = build_ivf_index(emb.materialize(), idx, n_lists=16, fingerprint=tag)
+    ivf = query_ivf_index(idx, q, k=10, n_probe=man["n_lists"])
+    return pd.DataFrame(
+        {
+            "kind": ["brute"] * len(out) + ["ivf"] * len(ivf),
+            "vec_id": list(out["vec_id"]) + list(ivf["vec_id"]),
+        }
+    )
 
 
 def q17_embedding_neardup(sf_dir: str) -> pd.DataFrame:

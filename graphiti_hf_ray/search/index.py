@@ -419,6 +419,11 @@ def append_to_ivf_index(
         raise FileNotFoundError(f"no trained-IVF manifest under {index_dir}")
     if not fingerprint:
         raise ValueError("append requires a non-empty fingerprint")
+    probe = ds.take(1)
+    if probe and _probe_dim(probe[0][man["emb_col"]]) != man["dim"]:
+        raise ValueError(
+            f"append dim {_probe_dim(probe[0][man['emb_col']])} != index dim {man['dim']}"
+        )
     C = np.asarray(man["centroids"], np.float64)
     cref = ray.put(C)
     emb_col, id_col = man["emb_col"], man["id_col"]
@@ -465,6 +470,11 @@ def append_to_vector_index(
         raise FileNotFoundError(f"no sign-plane manifest under {index_dir}")
     if not fingerprint:
         raise ValueError("append requires a non-empty fingerprint")
+    probe = ds.take(1)
+    if probe and _probe_dim(probe[0][man["emb_col"]]) != man["dim"]:
+        raise ValueError(
+            f"append dim {_probe_dim(probe[0][man['emb_col']])} != index dim {man['dim']}"
+        )
     planes = _planes(man["n_planes"], man["dim"])
     pref = ray.put(planes)
     emb_col, id_col = man["emb_col"], man["id_col"]
