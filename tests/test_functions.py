@@ -1413,6 +1413,58 @@ def test_ngram_decontaminate(ray_session):
     assert list(red["n_contaminated_ngrams"]) == [1, 0, 1]
 
 
+def test_ngram_decontaminate_bloom_join_parity(ray_session):
+    """The Bloom-prefilter + verification-join scale path returns
+    BIT-IDENTICAL marks and filter output to the broadcast path (false
+    positives die in the exact join; false negatives are impossible), at
+    both a realistic and an adversarially high Bloom FPR."""
+    from graphiti_hf_ray.functions.decontam import ngram_decontaminate
+
+    bench = ["a b c d e f", "w1 w2 w3 w4 w5"]
+    rng = np.random.default_rng(11)
+    vocab = ["a", "b", "c", "d", "w1", "w2", "x", "y", "z"]
+    texts = [" ".join(rng.choice(vocab, 20)) for _ in range(40)]
+    texts += ["q a b c d e f r", "w1 w2 w3 w4 w5", "clean doc entirely here now"]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    for mode in ("mark", "filter"):
+        base = (
+            ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode=mode)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        for fpr in (1e-3, 0.5):  # 0.5 → floods stage 2 with false positives
+            got = (
+                ngram_decontaminate(
+                    rd.from_pandas(docs), bench, n=4, mode=mode,
+                    method="bloom_join", bloom_fpr=fpr, num_buckets=8,
+                )
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, base[got.columns])
+
+    with pytest.raises(ValueError):
+        ngram_decontaminate(rd.from_pandas(docs), bench, n=4, mode="redact", method="bloom_join")
+
+
+def test_bloom_filter_properties():
+    """BloomFilter: zero false negatives always; FPR in the right ballpark
+    at the configured rate; deterministic across instances."""
+    from graphiti_hf_ray.functions.decontam import BloomFilter
+
+    items = [f"gram number {i} payload" for i in range(5000)]
+    other = [f"absent item {i} text" for i in range(5000)]
+    b = BloomFilter(len(items), fpr=1e-3)
+    b.add_many(items)
+    assert b.contains_many(items).all()                   # no false negatives
+    fp = b.contains_many(other).sum()
+    assert fp <= 25                                       # ~5 expected at 1e-3
+    b2 = BloomFilter(len(items), fpr=1e-3)
+    b2.add_many(list(reversed(items)))
+    assert (b2.bits == b.bits).all()                      # order-independent
+    assert not BloomFilter(1, fpr=1e-3).contains_many(["x"]).any()
+
+
 def test_pack_chunks_invariants(ray_session):
     """Sequence packing: every chunk lands in exactly one pack, pack totals
     respect the budget and equal the member sum, members are consecutive
