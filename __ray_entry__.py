@@ -928,10 +928,46 @@ def oracle_sql() -> dict[str, str]:
                  count(*) FILTER (rn > 1) AS n_dropped_paragraphs,
                  md5(coalesce(string_agg(p, chr(10) ORDER BY par_idx) FILTER (rn = 1), '')) AS pardedup_md5
           FROM ranked GROUP BY doc_id
+        ),
+        -- span-dedup probe (dedup_spans_global, K=5): every 5-token window
+        -- keeps only its globally first (doc, pos); tokens covered by any
+        -- losing window are spliced out. Untouched docs hash the ORIGINAL
+        -- text (byte-identity contract).
+        w AS (
+          SELECT doc_id, unnest(list_transform(range(1, n - 5 + 2),
+                 i -> struct_pack(pos := i - 1,
+                                  g := array_to_string(a[i : i + 4], ' ')))) AS s
+          FROM toks WHERE n >= 5
+        ),
+        wf AS (
+          SELECT doc_id, s.pos AS pos,
+                 row_number() OVER (PARTITION BY s.g ORDER BY doc_id, s.pos) AS rn,
+                 count(*) OVER (PARTITION BY s.g) AS c
+          FROM w
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tp
+          FROM wf WHERE c > 1 AND rn > 1
+        ),
+        covl AS (SELECT doc_id, list(tp) AS cl FROM cov GROUP BY doc_id),
+        sdd AS (
+          SELECT t.doc_id,
+                 CASE WHEN covl.cl IS NULL THEN md5(d.text)
+                      -- array_to_string of an empty list is NULL in DuckDB;
+                      -- a fully-removed doc must hash the empty string
+                      ELSE md5(coalesce(array_to_string(list_transform(
+                               list_filter(range(1, n + 1), j -> NOT list_contains(covl.cl, j - 1)),
+                               j -> a[j]), ' '), ''))
+                 END AS spandedup_md5,
+                 COALESCE(len(covl.cl), 0) AS n_removed_tokens
+          FROM toks t JOIN documents d USING (doc_id)
+          LEFT JOIN covl ON covl.doc_id = t.doc_id
         )
         SELECT t.doc_id, t.n_bpe_tokens, cagg.n_chunks, cagg.chunks_md5,
-               pdd.n_dropped_paragraphs, pdd.pardedup_md5
+               pdd.n_dropped_paragraphs, pdd.pardedup_md5,
+               sdd.n_removed_tokens, sdd.spandedup_md5
         FROM toks t JOIN cagg USING (doc_id) JOIN pdd USING (doc_id)
+             JOIN sdd ON sdd.doc_id = t.doc_id
     """
 
     sql["q47_knn_multi"] = " UNION ALL ".join(

@@ -15,7 +15,11 @@ reference twin — it is what produces such a corpus):
 3. **language / length gate** — keep allowlisted LangId predictions with
    at least ``min_tokens`` whitespace tokens (one stateful actor pass);
 4. **global paragraph dedup** — every distinct paragraph survives once
-   corpus-wide (``functions/textclean.dedup_paragraphs_global``);
+   corpus-wide (``functions/textclean.dedup_paragraphs_global``); with
+   ``span_dedup_k`` set, a duplicated-SPAN removal pass follows (exact
+   substring dedup in window form,
+   ``functions/textclean.dedup_spans_global``) to catch repeated regions
+   shorter than a paragraph split;
 5. **chunk** — overlapping token windows (``functions/textchunk``);
 6. **pack** — fixed-budget training sequences (``functions/textpack``);
 7. **sink** — partitioned Parquet with an atomic manifest
@@ -45,6 +49,7 @@ def prepare_training_set(
     text_col: str = "text",
     contam_n: int = 8,
     fuzzy_jaccard: float | None = None,
+    span_dedup_k: int | None = None,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -82,7 +87,7 @@ def prepare_training_set(
     from ..functions.decontam import ngram_decontaminate
     from ..functions.dedup import exact_dedup_rows, fuzzy_dedup_rows
     from ..functions.textchunk import chunk_documents
-    from ..functions.textclean import dedup_paragraphs_global
+    from ..functions.textclean import dedup_paragraphs_global, dedup_spans_global
     from ..functions.textpack import pack_chunks
     from ..functions.textstats import LangId
 
@@ -159,6 +164,22 @@ def prepare_training_set(
     docs = docs.filter(expr="text != ''")
     docs = checkpoint(docs, "n_after_paragraph_dedup")
 
+    # 4b. optional cross-doc duplicated-SPAN removal (exact substring
+    # dedup, window form): repeated regions shorter than a paragraph —
+    # boilerplate headers, license blurbs — survive stages 1 and 4; this
+    # splices them out everywhere but their globally first site. BRANCH
+    # POINT: the operator consumes its input twice (coords pass, then the
+    # marker/doc reassembly) — same materialize rule as stage 4.
+    if span_dedup_k is not None:
+        if not collect_counts:  # checkpoint() already materialized the boundary
+            docs = docs.materialize()
+        docs = dedup_spans_global(
+            docs.select_columns([id_col, "text"]), k=span_dedup_k,
+            id_col=id_col, num_buckets=shuffle_buckets,
+        )
+        docs = docs.filter(expr="text != ''")
+        docs = checkpoint(docs, "n_after_span_dedup")
+
     # 5-6. chunk then pack
     chunks = chunk_documents(docs, max_tokens=max_tokens, overlap=overlap, id_col=id_col, text_col=text_col)
     # pack_chunks keeps its own FIXED num_buckets: bucket count defines
@@ -167,7 +188,7 @@ def prepare_training_set(
 
     # 7. partitioned, resumable sink
     fp = hashlib.md5(
-        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
+        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
     return metrics

@@ -1048,7 +1048,7 @@ QUERIES["q47_knn_multi"] = q47_knn_multi
 # q48's fused token-family probes, mirrored literally in the oracle SQL:
 # chunk windows of 32 whitespace tokens with 8 overlapping, and 10-token
 # "paragraphs" (disjoint windows) for the cross-doc paragraph dedup.
-_CHUNK_MAX, _CHUNK_OVERLAP, _PAR_TOKENS = 32, 8, 10
+_CHUNK_MAX, _CHUNK_OVERLAP, _PAR_TOKENS, _SPAN_K = 32, 8, 10, 5
 
 
 def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
@@ -1065,10 +1065,14 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
       (built with the same chunk kernel, overlap 0): each distinct
       paragraph survives only at its globally first (doc_id, par_idx);
       the md5 is over the reassembled per-doc text.
-    The oracle reconstructs all four as window/array SQL."""
+    - ``n_removed_tokens`` / ``spandedup_md5`` drive the REAL
+      ``dedup_spans_global`` (cross-doc duplicated-SPAN removal, K=5
+      windows): the md5 is over the spliced per-doc text (original text
+      for untouched docs — the byte-identity contract).
+    The oracle reconstructs all probes as window/array SQL."""
     from ..functions.joins import hash_join
     from ..functions.textchunk import chunk_batch, chunk_documents
-    from ..functions.textclean import dedup_paragraphs_global
+    from ..functions.textclean import dedup_paragraphs_global, dedup_spans_global
     from ..functions.textstats import BpeTokenCount
     from ..stages.shuffle import bucketed_group_apply
 
@@ -1125,8 +1129,29 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
         joined, pdd.map_batches(pd_fp, batch_format="pyarrow"), "doc_id", "p_doc_id",
         right_types={"p_doc_id": pa.int64(), "n_dropped_paragraphs": pa.int64(), "pardedup_md5": pa.string()},
     )
+
+    # probe 3: cross-doc duplicated-span removal (K=5 windows)
+    sdd = dedup_spans_global(docs, k=_SPAN_K)
+
+    def sd_fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "s_doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_removed_tokens": t.column("n_removed_tokens").cast(pa.int64()),
+                "spandedup_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    joined = hash_join(
+        joined, sdd.map_batches(sd_fp, batch_format="pyarrow"), "doc_id", "s_doc_id",
+        right_types={"s_doc_id": pa.int64(), "n_removed_tokens": pa.int64(), "spandedup_md5": pa.string()},
+    )
     out = joined.to_pandas()
-    return out[["doc_id", "n_bpe_tokens", "n_chunks", "chunks_md5", "n_dropped_paragraphs", "pardedup_md5"]]
+    return out[[
+        "doc_id", "n_bpe_tokens", "n_chunks", "chunks_md5",
+        "n_dropped_paragraphs", "pardedup_md5", "n_removed_tokens", "spandedup_md5",
+    ]]
 
 
 QUERIES["q48_bpe_token_count"] = q48_bpe_token_count

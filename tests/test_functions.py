@@ -1413,6 +1413,66 @@ def test_ngram_decontaminate(ray_session):
     assert list(red["n_contaminated_ngrams"]) == [1, 0, 1]
 
 
+def test_dedup_spans_global(ray_session):
+    """Cross-doc duplicated-span removal: a duplicated region ≥ k vanishes
+    from all but its first (doc, pos) site; untouched docs are
+    byte-identical; the full output matches an independent brute-force
+    replay of the window spec."""
+    from graphiti_hf_ray.functions.textclean import dedup_spans_global
+
+    k = 4
+    dup = " ".join(f"d{i}" for i in range(8))       # 8-token duplicated region
+    texts = {
+        0: "h0 h1 " + dup + " t0 t1",               # first site: survives intact
+        1: "x0 x1 x2 " + dup + " x3",               # later site: region removed
+        2: "only unique words live here today",     # clean, odd  spacing next
+        3: "u0  u1\tu2 " + dup,                     # later site + weird ws (touched → respaced)
+        4: "a b c a b c a b",                       # within-doc overlap: k=4 windows unique
+    }
+    docs = pd.DataFrame(
+        {"doc_id": np.array(sorted(texts), np.int64), "text": [texts[i] for i in sorted(texts)]}
+    )
+
+    got = (
+        dedup_spans_global(rd.from_pandas(docs), k=k, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # independent replay of the spec
+    wins: dict[str, tuple] = {}
+    coords = []
+    for d in sorted(texts):
+        toks = texts[d].split()
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            coords.append((d, i, g))
+            if g not in wins:
+                wins[g] = (d, i)
+    seen_counts = pd.Series([g for _, _, g in coords]).value_counts()
+    expect_texts, expect_rm = [], []
+    for d in sorted(texts):
+        toks = texts[d].split()
+        bad = np.zeros(len(toks), bool)
+        touched = False
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            if seen_counts[g] > 1 and wins[g] != (d, i):
+                bad[i : i + k] = True
+                touched = True
+        if not touched:
+            expect_texts.append(texts[d])
+            expect_rm.append(0)
+        else:
+            expect_texts.append(" ".join(t for t, b in zip(toks, bad) if not b))
+            expect_rm.append(int(bad.sum()))
+    assert list(got["text"]) == expect_texts
+    assert list(got["n_removed_tokens"]) == expect_rm
+    assert got.loc[0, "text"] == texts[0]            # winner byte-identical
+    assert got.loc[2, "text"] == texts[2]            # clean byte-identical
+    assert got.loc[1, "n_removed_tokens"] == 8       # whole region gone
+    assert "d0" not in got.loc[1, "text"] and "d0" in got.loc[0, "text"]
+
+
 def test_ngram_decontaminate_bloom_join_parity(ray_session):
     """The Bloom-prefilter + verification-join scale path returns
     BIT-IDENTICAL marks and filter output to the broadcast path (false

@@ -641,3 +641,43 @@ def test_prepare_training_set_fuzzy_stage(ray_session, tmp_path):
             rd.from_pandas(docs.rename(columns={"doc_id": "id"})),
             [], str(tmp_path / "out2"), id_col="id", fuzzy_jaccard=0.8,
         )
+
+
+def test_prepare_training_set_span_stage(ray_session, tmp_path):
+    """With span_dedup_k set, stage 4b splices duplicated k-token regions
+    out of every doc but the globally first site — boilerplate shorter
+    than a paragraph, which exact and paragraph dedup both miss — and the
+    packed token total shrinks by exactly the removed region."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    boiler = " ".join(f"bp{i}" for i in range(6))   # 6-token repeated region
+    d0 = " ".join(f"a{i}" for i in range(10)) + " " + boiler
+    d1 = " ".join(f"b{i}" for i in range(10)) + " " + boiler
+    docs = pd.DataFrame(
+        {"doc_id": np.array([0, 1], np.int64), "text": [d0, d1]}
+    )
+    m = prepare_training_set(
+        rd.from_pandas(docs),
+        ["no overlap with the corpus at all"],
+        str(tmp_path / "out"),
+        span_dedup_k=4,
+        lang_allow=(),
+        min_tokens=5,
+        max_tokens=64,
+        overlap=0,
+        pack_budget=64,
+        collect_counts=True,
+    )
+    assert m["n_after_paragraph_dedup"] == 2
+    assert m["n_after_span_dedup"] == 2            # doc 1 shrinks, not dropped
+
+    packed = pq.read_table(str(tmp_path / "out" / "packs")).to_pandas()
+    all_toks = " ".join(packed["text"]).split()
+    # doc 0 keeps its 16 tokens; doc 1 loses the 6-token boilerplate
+    assert len(all_toks) == 16 + 10
+    assert sorted(t for t in all_toks if t.startswith("bp")) == sorted(boiler.split())
