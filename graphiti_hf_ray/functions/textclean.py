@@ -35,6 +35,25 @@ import pyarrow.compute as pc
 
 import ray
 
+# Per-worker token-hash cache for dedup_spans_global (Zipfian corpora: one
+# md5 per DISTINCT token, not per window). Both md5 halves are kept so the
+# two window-hash lanes draw on independent 64-bit token values — two
+# distinct tokens colliding in one lane almost surely differ in the other.
+_TOK_PAIR_CACHE: dict[str, tuple[int, int]] = {}
+_TOK_PAIR_CACHE_MAX = 1 << 20
+
+
+def _tok_hash_pair(tok: str) -> tuple[int, int]:
+    h = _TOK_PAIR_CACHE.get(tok)
+    if h is None:
+        d = hashlib.md5(tok.encode()).digest()
+        h = (int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little"))
+        if len(_TOK_PAIR_CACHE) >= _TOK_PAIR_CACHE_MAX:
+            _TOK_PAIR_CACHE.clear()
+        _TOK_PAIR_CACHE[tok] = h
+    return h
+
+
 PII_PATTERNS: dict[str, str] = {
     # application order matters (dict order is preserved): emails and IPs
     # first (they contain digit substrings), then bare long digit runs,
@@ -338,12 +357,17 @@ def dedup_spans_global(
     deterministic).
 
     Scale shape (mirrors ``dedup_paragraphs_global``):
-    - exchange 1 carries (window md5 as TWO int64 halves, doc, pos) coords
-      — 4 narrow integer columns per TOKEN, never the text and never a hex
-      string (ints sort ~2.5× cheaper and ship 4× smaller); losers are
-      everything but the per-hash first occurrence. One coord row per
-      token is the honest cost of exact substring dedup (the suffix-array
-      formulation pays comparably).
+    - exchange 1 carries (window hash as TWO independent int64 lanes, doc,
+      pos) coords — 4 narrow integer columns per TOKEN, never the text and
+      never a hex string (ints sort ~2.5× cheaper and ship 4× smaller);
+      losers are everything but the per-hash first occurrence. One coord
+      row per token is the honest cost of exact substring dedup (the
+      suffix-array formulation pays comparably). The lanes are vectorized
+      rolling mixes over per-distinct-token md5 halves (one numpy matvec
+      per doc instead of one md5 per WINDOW — the same kernel family as
+      ``dedup._token_hashes``); equal token windows always collide, and
+      two distinct windows collide only if both 64-bit lanes do
+      (~2^-128 pairwise, the md5-of-window discrimination this replaces).
     - exchange 2 carries the doc rows + the (doc, pos) markers keyed by
       doc; the splice happens in the doc's bucket. Docs with no losing
       window pass through BYTE-IDENTICAL; spliced docs rejoin with single
@@ -355,22 +379,50 @@ def dedup_spans_global(
     materialize-first rule as ``dedup_paragraphs_global``."""
     from ..stages.shuffle import bucketed_group_apply
 
+    from .dedup import _finalize, _mix_weights
+
+    w = _mix_weights(2 * k)
+    w1, w2 = np.ascontiguousarray(w[:k]), np.ascontiguousarray(w[k:])
+
     def explode_coords(t: pa.Table) -> pa.Table:
-        ids, poss, h1s, h2s = [], [], [], []
+        ids, counts = [], []
+        h1_parts, h2_parts, pos_parts = [], [], []
         for d, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
             toks = (txt or "").split()
-            for i in range(len(toks) - k + 1):
-                dig = hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()
-                ids.append(d)
-                poss.append(i)
-                h1s.append(int.from_bytes(dig[:8], "little", signed=True))
-                h2s.append(int.from_bytes(dig[8:], "little", signed=True))
+            n_w = len(toks) - k + 1
+            if n_w <= 0:
+                continue
+            th1 = np.empty(len(toks), np.uint64)
+            th2 = np.empty(len(toks), np.uint64)
+            for i, tok in enumerate(toks):
+                th1[i], th2[i] = _tok_hash_pair(tok)
+            acc1 = np.zeros(n_w, np.uint64)
+            acc2 = np.zeros(n_w, np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(k):
+                    acc1 += th1[j : j + n_w] * w1[j]
+                    acc2 += th2[j : j + n_w] * w2[j]
+            ids.append(d)
+            counts.append(n_w)
+            h1_parts.append(_finalize(acc1))
+            h2_parts.append(_finalize(acc2))
+            pos_parts.append(np.arange(n_w, dtype=np.int64))
+        if not counts:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.column(id_col).type),
+                    "pos": pa.array([], pa.int64()),
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                }
+            )
+        rep = [d for d, c in zip(ids, counts) for d in [d] * c]
         return pa.table(
             {
-                id_col: pa.array(ids, t.column(id_col).type),
-                "pos": pa.array(poss, pa.int64()),
-                "h1": pa.array(h1s, pa.int64()),
-                "h2": pa.array(h2s, pa.int64()),
+                id_col: pa.array(rep, t.column(id_col).type),
+                "pos": pa.array(np.concatenate(pos_parts), pa.int64()),
+                "h1": pa.array(np.concatenate(h1_parts).view(np.int64), pa.int64()),
+                "h2": pa.array(np.concatenate(h2_parts).view(np.int64), pa.int64()),
             }
         )
 
