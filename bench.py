@@ -179,6 +179,20 @@ def run_bench() -> dict:
         )
         timings["corpus_prep"] = round(time.time() - t0, 3)
 
+        # duplicated-span removal alone (exact substring dedup, window
+        # form) — timed outside corpus_prep so the recorded corpus_prep
+        # baseline stays comparable across rounds
+        from graphiti_hf_ray.functions.textclean import dedup_spans_global
+
+        docs_ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).materialize()
+        t0 = time.time()
+        sd = dedup_spans_global(docs_ds, k=5, num_buckets=2 * num_cpus)
+        n_sd = sd.count()
+        timings["span_dedup"] = round(time.time() - t0, 3)
+        del sd, n_sd
+
     return {
         "metric": "kg_build_sec",
         "value": timings["kg_build"],

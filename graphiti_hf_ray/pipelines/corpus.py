@@ -14,6 +14,9 @@ reference twin — it is what produces such a corpus):
    whole n-grams (``functions/decontam``, broadcast small side);
 3. **language / length gate** — keep allowlisted LangId predictions with
    at least ``min_tokens`` whitespace tokens (one stateful actor pass);
+   with ``quality_gate=True``, the Gopher quality rules follow (token
+   count, mean token length, stopword fraction —
+   ``functions/textstats.gopher_quality_batch``, integer-exact);
 4. **global paragraph dedup** — every distinct paragraph survives once
    corpus-wide (``functions/textclean.dedup_paragraphs_global``); with
    ``span_dedup_k`` set, a duplicated-SPAN removal pass follows (exact
@@ -50,6 +53,7 @@ def prepare_training_set(
     contam_n: int = 8,
     fuzzy_jaccard: float | None = None,
     span_dedup_k: int | None = None,
+    quality_gate: bool = False,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -147,6 +151,21 @@ def prepare_training_set(
     )
     docs = checkpoint(docs, "n_after_gate")
 
+    # 3b. optional Gopher quality gate (integer-exact thresholds: token
+    # count, mean token length, stopword fraction — the q13 probe rules,
+    # here as a filter). One more narrow map pass, no exchange.
+    if quality_gate:
+        from ..functions.textstats import gopher_quality_batch
+
+        def qgate(t: pa.Table) -> pa.Table:
+            g = gopher_quality_batch(
+                pa.table({"doc_id": t.column(id_col), "text": t.column(text_col)})
+            )
+            return t.filter(g.column("passes_gopher"))
+
+        docs = docs.map_batches(qgate, batch_format="pyarrow")
+        docs = checkpoint(docs, "n_after_quality_gate")
+
     # 4. global paragraph dedup (single-paragraph docs == sentence-level
     # exact dedup already ran, so this bites on multi-paragraph corpora).
     # BRANCH POINT: the operator consumes its input twice (a coords-only
@@ -188,7 +207,7 @@ def prepare_training_set(
 
     # 7. partitioned, resumable sink
     fp = hashlib.md5(
-        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
+        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
     return metrics

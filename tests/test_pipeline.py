@@ -681,3 +681,35 @@ def test_prepare_training_set_span_stage(ray_session, tmp_path):
     # doc 0 keeps its 16 tokens; doc 1 loses the 6-token boilerplate
     assert len(all_toks) == 16 + 10
     assert sorted(t for t in all_toks if t.startswith("bp")) == sorted(boiler.split())
+
+
+def test_prepare_training_set_quality_gate(ray_session, tmp_path):
+    """quality_gate=True drops docs failing the integer-exact Gopher rules
+    (here: zero stopwords and sub-3 mean token length) while a 50+-token
+    stopword-bearing doc sails through; off by default."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    good = ("the quick brown fox jumps over the lazy dog and " * 6).strip()   # 60 toks, stopwords
+    junk = "zz " * 60                                                          # no stopwords, mean len 2
+    docs = pd.DataFrame(
+        {"doc_id": np.array([0, 1], np.int64), "text": [good, junk.strip()]}
+    )
+    common = dict(
+        lang_allow=(), min_tokens=5, max_tokens=64, overlap=0,
+        pack_budget=64, collect_counts=True,
+    )
+    m = prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "on"),
+        quality_gate=True, **common,
+    )
+    assert m["n_after_gate"] == 2
+    assert m["n_after_quality_gate"] == 1         # junk doc dropped
+    m_off = prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "off"), **common,
+    )
+    assert "n_after_quality_gate" not in m_off
+    assert m_off["n_after_gate"] == 2 and m_off["n_packs"] > m["n_packs"]
