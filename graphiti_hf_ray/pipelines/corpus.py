@@ -25,6 +25,10 @@ reference twin — it is what produces such a corpus):
    shorter than a paragraph split;
 5. **chunk** — overlapping token windows (``functions/textchunk``);
 6. **pack** — fixed-budget training sequences (``functions/textpack``);
+   with ``shuffle_seed`` set, packs gain a deterministic ``shuffle_key``
+   and are globally sorted by it (one exchange over the PACKED output,
+   the smallest table in the chain), so a training reader streams the
+   files in a rerun-stable shuffled order;
 7. **sink** — partitioned Parquet with an atomic manifest
    (``io.write_table_distributed``), resumable by fingerprint.
 
@@ -59,6 +63,7 @@ def prepare_training_set(
     max_tokens: int = 512,
     overlap: int = 64,
     pack_budget: int = 1024,
+    shuffle_seed: int | None = None,
     fingerprint: str = "corpus-v1",
     collect_counts: bool = False,
     shuffle_buckets: int = 64,
@@ -205,9 +210,25 @@ def prepare_training_set(
     # pack COMPOSITION, which must not vary with the cluster-sizing knob
     packs = pack_chunks(chunks, budget=pack_budget, id_col=id_col)
 
+    # 6b. optional deterministic global shuffle: a rerun-stable
+    # shuffle_key (md5 of seed:pack_id) + one sort over the packed
+    # output — epoch reshuffles are a seed change, never a data rewrite.
+    # Composition is untouched; only the emission order moves.
+    if shuffle_seed is not None:
+        def add_key(t: pa.Table) -> pa.Table:
+            keys = [
+                int.from_bytes(
+                    hashlib.md5(f"{shuffle_seed}:{p}".encode()).digest()[:8], "little", signed=True
+                )
+                for p in t.column("pack_id").to_pylist()
+            ]
+            return t.append_column("shuffle_key", pa.array(keys, pa.int64()))
+
+        packs = packs.map_batches(add_key, batch_format="pyarrow").sort("shuffle_key")
+
     # 7. partitioned, resumable sink
     fp = hashlib.md5(
-        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}".encode()
+        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
     return metrics

@@ -713,3 +713,47 @@ def test_prepare_training_set_quality_gate(ray_session, tmp_path):
     )
     assert "n_after_quality_gate" not in m_off
     assert m_off["n_after_gate"] == 2 and m_off["n_packs"] > m["n_packs"]
+
+
+def test_prepare_training_set_shuffle(ray_session, tmp_path):
+    """shuffle_seed adds a rerun-stable shuffle_key and globally sorts the
+    packs by it: same seed → identical order across runs, different seed →
+    different order, composition (the pack set) identical either way."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": [" ".join(rng.choice(words, 30)) for _ in range(20)],
+        }
+    )
+
+    def run(sub: str, seed):
+        prepare_training_set(
+            rd.from_pandas(docs), ["no overlap here"], str(tmp_path / sub),
+            lang_allow=(), min_tokens=5, max_tokens=16, overlap=0,
+            pack_budget=24, shuffle_seed=seed,
+        )
+        return pq.read_table(str(tmp_path / sub / "packs")).to_pandas()
+
+    a, b, c = run("a", seed=1), run("b", seed=1), run("c", seed=2)
+    assert len(a) > 3
+    # the sort key is exactly md5(seed:pack_id), and the table is sorted by it
+    for df, seed in ((a, 1), (c, 2)):
+        expect = [
+            int.from_bytes(hashlib.md5(f"{seed}:{p}".encode()).digest()[:8], "little", signed=True)
+            for p in df["pack_id"]
+        ]
+        assert list(df["shuffle_key"]) == sorted(expect)
+    assert list(a["pack_id"]) == list(b["pack_id"])          # same seed: same order
+    assert list(a["pack_id"]) != list(c["pack_id"])          # new seed: reshuffled
+    assert sorted(a["pack_id"]) == sorted(c["pack_id"])      # same pack set
