@@ -1069,8 +1069,16 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
       ``dedup_spans_global`` (cross-doc duplicated-SPAN removal, K=5
       windows): the md5 is over the spliced per-doc text (original text
       for untouched docs — the byte-identity contract).
-    The oracle reconstructs all probes as window/array SQL."""
-    from ..functions.joins import hash_join
+    The oracle reconstructs all probes as window/array SQL.
+
+    Assembly: the four probe results are collected concurrently and merged
+    driver-side. Each side is EXACTLY output-cardinality (one row per doc
+    — the same pandas frame this function's return contract materializes
+    anyway), so the collect adds no asymptotic cost, while chaining them
+    through distributed hash_joins instead added three sort exchanges to
+    one mega-DAG (measured 56 s → 6.8 s at sf0.01/8 cpus for the swap)."""
+    import concurrent.futures as cf
+
     from ..functions.textchunk import chunk_batch, chunk_documents
     from ..functions.textclean import dedup_paragraphs_global, dedup_spans_global
     from ..functions.textstats import BpeTokenCount
@@ -1087,7 +1095,7 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("doc_id", sort=False)
         return pd.DataFrame(
             {
-                "c_doc_id": g.size().index.astype("int64"),
+                "doc_id": g.size().index.astype("int64"),
                 "n_chunks": g.size().astype("int64").values,
                 "chunks_md5": g["text"].agg(
                     lambda ts: hashlib.md5("\x1f".join(ts).encode()).hexdigest()
@@ -1115,20 +1123,11 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
         fps = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
         return pa.table(
             {
-                "p_doc_id": t.column("doc_id").cast(pa.int64()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
                 "n_dropped_paragraphs": t.column("n_dropped_paragraphs").cast(pa.int64()),
                 "pardedup_md5": pa.array(fps, pa.string()),
             }
         )
-
-    joined = hash_join(
-        bpe, cagg, "doc_id", "c_doc_id",
-        right_types={"c_doc_id": pa.int64(), "n_chunks": pa.int64(), "chunks_md5": pa.string()},
-    )
-    joined = hash_join(
-        joined, pdd.map_batches(pd_fp, batch_format="pyarrow"), "doc_id", "p_doc_id",
-        right_types={"p_doc_id": pa.int64(), "n_dropped_paragraphs": pa.int64(), "pardedup_md5": pa.string()},
-    )
 
     # probe 3: cross-doc duplicated-span removal (K=5 windows)
     sdd = dedup_spans_global(docs, k=_SPAN_K)
@@ -1137,17 +1136,22 @@ def q48_bpe_token_count(sf_dir: str) -> pd.DataFrame:
         fps = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
         return pa.table(
             {
-                "s_doc_id": t.column("doc_id").cast(pa.int64()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
                 "n_removed_tokens": t.column("n_removed_tokens").cast(pa.int64()),
                 "spandedup_md5": pa.array(fps, pa.string()),
             }
         )
 
-    joined = hash_join(
-        joined, sdd.map_batches(sd_fp, batch_format="pyarrow"), "doc_id", "s_doc_id",
-        right_types={"s_doc_id": pa.int64(), "n_removed_tokens": pa.int64(), "spandedup_md5": pa.string()},
-    )
-    out = joined.to_pandas()
+    # collect the four per-doc probe frames concurrently (each drives its
+    # own modest plan; one fused DAG chained three more sort exchanges) and
+    # merge driver-side — every side is output-cardinality by construction
+    with cf.ThreadPoolExecutor(4) as ex:
+        fb = ex.submit(bpe.to_pandas)
+        fc = ex.submit(cagg.to_pandas)
+        fp_ = ex.submit(pdd.map_batches(pd_fp, batch_format="pyarrow").to_pandas)
+        fs = ex.submit(sdd.map_batches(sd_fp, batch_format="pyarrow").to_pandas)
+        b, c, p, s = fb.result(), fc.result(), fp_.result(), fs.result()
+    out = b.merge(c, on="doc_id").merge(p, on="doc_id").merge(s, on="doc_id")
     return out[[
         "doc_id", "n_bpe_tokens", "n_chunks", "chunks_md5",
         "n_dropped_paragraphs", "pardedup_md5", "n_removed_tokens", "spandedup_md5",
