@@ -160,6 +160,18 @@ def oracle_sql() -> dict[str, str]:
             d5 AS (
                 SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS dup5gram_chars
                 FROM c5 WHERE c >= 2 GROUP BY 1
+            ),
+            -- unigram surprisal (quality.unigram_surprisal): bits(t) =
+            -- floor(log2(N // c(t))) = length(bin(N // c)) - 1, doc score
+            -- sums bits over tokens WITH multiplicity — integer-exact
+            tokq AS (SELECT doc_id, unnest(t) AS tk FROM base),
+            ucnt AS (SELECT tk, count(*) AS c FROM tokq GROUP BY tk),
+            utot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ucnt),
+            usc AS (
+                SELECT tokq.doc_id,
+                       CAST(sum(length(bin(CAST((SELECT n FROM utot) // c AS BIGINT))) - 1)
+                            AS BIGINT) AS unigram_surprisal_bits
+                FROM tokq JOIN ucnt USING (tk) GROUP BY 1
             )
             SELECT b.doc_id,
                    length(text) AS n_chars,
@@ -181,10 +193,12 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(ptext, '{_PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
                        '{_PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS pii_fingerprint,
                    COALESCE(top2.top2gram_chars, 0) AS top2gram_chars,
-                   COALESCE(d5.dup5gram_chars, 0) AS dup5gram_chars
+                   COALESCE(d5.dup5gram_chars, 0) AS dup5gram_chars,
+                   usc.unigram_surprisal_bits
             FROM base b
             LEFT JOIN top2 ON top2.doc_id = b.doc_id
             LEFT JOIN d5 ON d5.doc_id = b.doc_id
+            JOIN usc ON usc.doc_id = b.doc_id
         """,
         # q16: brute-force top-10 + the persisted trained-IVF sidecar read
         # back at FULL probe (exact — every list read), both against the
@@ -521,6 +535,14 @@ def oracle_sql() -> dict[str, str]:
     # count = collision POSITIONS (every window of the doc whose gram is in
     # the benchmark set), so the oracle explodes windows and joins against
     # the distinct benchmark grams.
+    # q36's fused quality probe mirrors functions/quality.HashedNgramQuality
+    # with the stub weights: feature = whitespace unigram|bigram, bucket =
+    # int(md5(f)[:8],16) % 65536, weight = int(md5('w:'+b)[:4],16) - 32768,
+    # logit = sum over features WITH multiplicity.
+    hexn = lambda col, k: " + ".join(  # noqa: E731 — local SQL fragment builder
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (k - 1 - i)}"
+        for i in range(k)
+    )
     sql["q36_langid"] = f"""
         WITH langid AS (
           SELECT doc_id,
@@ -550,10 +572,33 @@ def oracle_sql() -> dict[str, str]:
         hits AS (
           SELECT grams.doc_id, count(*) AS n_contaminated_ngrams
           FROM grams JOIN bench USING (g) GROUP BY grams.doc_id
+        ),
+        feats AS (
+          SELECT doc_id, unnest(a) AS f FROM toks
+          UNION ALL
+          SELECT doc_id, a[i+1] || ' ' || a[i+2] AS f
+          FROM (SELECT doc_id, a, unnest(generate_series(0, n - 2)) AS i
+                FROM toks WHERE n >= 2)
+        ),
+        fb AS (
+          SELECT doc_id, ({hexn("hh", 8)}) % 65536 AS b
+          FROM (SELECT doc_id, md5(f) AS hh FROM feats)
+        ),
+        wv AS (
+          SELECT b, ({hexn("wh", 4)}) - 32768 AS wt
+          FROM (SELECT b, md5('w:' || CAST(b AS VARCHAR)) AS wh
+                FROM (SELECT DISTINCT b FROM fb))
+        ),
+        qsc AS (
+          SELECT fb.doc_id, CAST(sum(wt) AS BIGINT) AS quality_logit,
+                 count(*) AS n_quality_feats
+          FROM fb JOIN wv USING (b) GROUP BY 1
         )
         SELECT l.doc_id, l.lang_pred,
-               coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams
+               coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+               q.quality_logit, q.n_quality_feats
         FROM langid l LEFT JOIN hits h ON l.doc_id = h.doc_id
+        JOIN qsc q ON l.doc_id = q.doc_id
     """
 
     sql["q34_event_overlaps"] = """

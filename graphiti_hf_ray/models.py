@@ -345,3 +345,57 @@ class OpenAICompatExtractor:
             {k: pa.array(cols[k], TRIPLES_SCHEMA.field(k).type) for k in TRIPLES_SCHEMA.names},
             schema=TRIPLES_SCHEMA,
         )
+
+
+class FastTextQualityScorer:
+    """Actor-pool quality-model stage backed by a fasttext classifier
+    (the DCLM/CCNet quality-filter shape) — the real-model form of
+    ``functions.quality.HashedNgramQuality``'s seam. Appends
+    ``quality_prob`` (float64, probability of the positive label) to each
+    row; same (text_col,) signature so it drops into ``score_quality``'s
+    ``map_batches`` slot unchanged.
+
+    Accepts a pre-built ``model`` (anything with fasttext's
+    ``.predict(texts, k)`` surface returning (labels, probs) lists) —
+    how the contract tests drive it offline; otherwise lazily loads
+    ``model_path`` via the fasttext library inside the actor's
+    ``__init__`` (once per actor; raises a clear error when the
+    library/weights are absent — this container ships neither)."""
+
+    def __init__(
+        self,
+        model=None,
+        model_path: str | None = None,
+        positive_label: str = "__label__hq",
+        text_col: str = "text",
+    ):
+        self.text_col = text_col
+        self.positive_label = positive_label
+        if model is not None:
+            self.model = model
+        else:
+            try:
+                import fasttext  # lazy: engine has no hard dependency
+            except ImportError as e:
+                raise ImportError(
+                    "FastTextQualityScorer needs the 'fasttext' library and "
+                    "trained weights (model_path=...); neither ships in this "
+                    "container. Pass model= to inject any object with the "
+                    ".predict(texts, k) surface."
+                ) from e
+            if not model_path:
+                raise ValueError("model_path is required when no model is injected")
+            self.model = fasttext.load_model(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # fasttext rejects newlines inside a single prediction input
+        texts = [t.replace("\n", " ") for t in batch.column(self.text_col).to_pylist()]
+        labels, probs = self.model.predict(texts, k=2)
+        out = np.empty(len(texts), np.float64)
+        for i, (ls, ps) in enumerate(zip(labels, probs)):
+            by = dict(zip(ls, ps))
+            if self.positive_label in by:
+                out[i] = float(by[self.positive_label])
+            else:  # binary model that only returned the negative label
+                out[i] = 1.0 - float(ps[0]) if len(ps) else 0.0
+        return batch.append_column("quality_prob", pa.array(out, pa.float64()))

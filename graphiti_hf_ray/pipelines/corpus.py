@@ -58,6 +58,9 @@ def prepare_training_set(
     fuzzy_jaccard: float | None = None,
     span_dedup_k: int | None = None,
     quality_gate: bool = False,
+    model_quality_min: float | None = None,
+    model_quality_weights=None,
+    surprisal_max_bits: float | None = None,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -170,6 +173,33 @@ def prepare_training_set(
 
         docs = docs.map_batches(qgate, batch_format="pyarrow")
         docs = checkpoint(docs, "n_after_quality_gate")
+
+    # 3c. optional MODEL quality gate (fasttext-style hashed n-gram linear
+    # scorer, functions/quality.py): keep docs whose mean feature weight
+    # clears the bar. Weight vector is actor state, loaded once per
+    # worker; another pure streaming map, no exchange. Pass trained
+    # weights via ``model_quality_weights`` (stub weights otherwise —
+    # useful for tests, meaningless as a real quality signal).
+    if model_quality_min is not None:
+        from ..functions.quality import quality_filter
+
+        docs = quality_filter(
+            docs, model_quality_min, weights=model_quality_weights, text_col=text_col
+        )
+        docs = checkpoint(docs, "n_after_model_quality")
+
+    # 3d. optional corpus-LM surprisal gate (functions/quality.py): drop
+    # docs whose mean token surprisal under the corpus's own unigram LM
+    # exceeds the bar — the CCNet perplexity filter in integer-bits form.
+    # BRANCH POINT: the operator consumes its input twice (global counts
+    # pass, then scoring), so the boundary materializes first.
+    if surprisal_max_bits is not None:
+        from ..functions.quality import surprisal_filter
+
+        if not collect_counts:
+            docs = docs.materialize()
+        docs = surprisal_filter(docs, surprisal_max_bits, text_col=text_col)
+        docs = checkpoint(docs, "n_after_surprisal")
 
     # 4. global paragraph dedup (single-paragraph docs == sentence-level
     # exact dedup already ran, so this bites on multi-paragraph corpora).

@@ -290,11 +290,25 @@ def q12_dedup_exact(sf_dir: str) -> pd.DataFrame:
 def q13_doc_profile(sf_dir: str) -> pd.DataFrame:
     """Per-doc profile: structural stats + quality counters + Gopher flags
     fused into ONE tokenization pass (previously q13/q14/q49; consolidated
-    so the driver's 50-entry correctness budget covers every operator)."""
+    so the driver's 50-entry correctness budget covers every operator).
+
+    Fused probe: ``unigram_surprisal_bits`` drives the REAL two-pass
+    ``quality.unigram_surprisal`` (corpus-wide token counts → broadcast
+    bits table → streaming score; the integer-bits stand-in for CCNet's
+    KenLM perplexity filter) — the one textstat that needs a global
+    aggregate. Its per-doc frame merges driver-side (output-cardinality
+    both sides, the q48 pattern)."""
+    from ..functions.quality import unigram_surprisal
     from ..functions.textstats import doc_profile_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(doc_profile_batch, batch_format="pyarrow").to_pandas()
+    prof = ds.map_batches(doc_profile_batch, batch_format="pyarrow").to_pandas()
+    sc = (
+        unigram_surprisal(ds)
+        .select_columns(["doc_id", "unigram_surprisal_bits"])
+        .to_pandas()
+    )
+    return prof.merge(sc, on="doc_id")
 
 
 def q16_knn(sf_dir: str) -> pd.DataFrame:
@@ -695,12 +709,18 @@ _BENCH_DOCS, _BENCH_N = 5, 8
 def q36_langid(sf_dir: str) -> pd.DataFrame:
     """Language-ID heuristic stage (stopword-profile overlap).
 
-    Fused probe (50-slot budget): ``n_contaminated_ngrams`` drives the REAL
-    ``ngram_decontaminate`` — the benchmark suite is docs 0..4's texts
-    (small side, built once and broadcast via ``ray.put``), and each doc
-    counts its 8-token windows colliding with the benchmark gram set. The
-    oracle reconstructs the count as a gram-explode join."""
+    Fused probes (50-slot budget):
+    - ``n_contaminated_ngrams`` drives the REAL ``ngram_decontaminate`` —
+      the benchmark suite is docs 0..4's texts (small side, built once and
+      broadcast via ``ray.put``), and each doc counts its 8-token windows
+      colliding with the benchmark gram set. The oracle reconstructs the
+      count as a gram-explode join.
+    - ``quality_logit`` / ``n_quality_feats`` drive the REAL
+      ``quality.HashedNgramQuality`` (fasttext-style hashed unigram+bigram
+      linear scorer) with its deterministic stub weights — the oracle
+      reconstructs bucket ids and weights from md5 hex arithmetic."""
     from ..functions.decontam import ngram_decontaminate
+    from ..functions.quality import score_quality
     from ..functions.textstats import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -712,8 +732,9 @@ def q36_langid(sf_dir: str) -> pd.DataFrame:
         )
     ]
     marked = ngram_decontaminate(ds, bench, n=_BENCH_N, mode="mark")
-    out = marked.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
-    return out[["doc_id", "lang_pred", "n_contaminated_ngrams"]]
+    scored = score_quality(marked, concurrency=(1, 4))
+    out = scored.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "lang_pred", "n_contaminated_ngrams", "quality_logit", "n_quality_feats"]]
 
 
 QUERIES.update(

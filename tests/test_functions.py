@@ -1596,3 +1596,131 @@ def test_pack_chunks_invariants(ray_session):
     )
     with pytest.raises(Exception):
         pack_chunks(big, budget=40).to_pandas()
+
+
+def test_hashed_ngram_quality_spec(ray_session):
+    """Brute-force replay of the scorer spec: bucket = md5(feat)[:8] %
+    n_buckets, stub weight = md5('w:'+b)[:4] - 32768, logit = sum over
+    unigram+bigram features WITH multiplicity."""
+    import hashlib
+
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.quality import score_quality
+
+    texts = ["red fox red fox", "one", "", "alpha beta gamma"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = score_quality(ds, n_buckets=256).to_pandas().sort_values("doc_id")
+
+    def brute(text):
+        toks = text.split(" ")
+        feats = list(toks) + (
+            [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)] if len(toks) >= 2 else []
+        )
+        s = 0
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 256
+            s += int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:4], 16) - 32768
+        return s, len(feats)
+
+    for _, row in out.iterrows():
+        logit, n = brute(texts[int(row["doc_id"])])
+        assert int(row["quality_logit"]) == logit
+        assert int(row["n_quality_feats"]) == n
+    # trained float weights flip the output dtype and the arithmetic
+    w = np.linspace(-1.0, 1.0, 64)
+    outf = score_quality(ds, weights=w).to_pandas().sort_values("doc_id")
+    assert outf["quality_logit"].dtype == np.float64
+    for _, row in outf.iterrows():
+        toks = texts[int(row["doc_id"])].split(" ")
+        feats = list(toks) + (
+            [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)] if len(toks) >= 2 else []
+        )
+        exp = sum(w[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 64] for f in feats)
+        assert abs(row["quality_logit"] - exp) < 1e-9
+
+
+def test_quality_filter_threshold(ray_session):
+    """quality_filter keeps exactly the docs whose mean feature weight
+    clears the bar, and drops its helper columns."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.quality import quality_filter, score_quality
+
+    texts = [f"tok{i} tok{i + 1} tok{i + 2}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(40)), "text": texts}))
+    scored = score_quality(ds).to_pandas()
+    want = set(
+        scored.loc[scored["quality_logit"] >= 0 * scored["n_quality_feats"], "doc_id"].astype(int)
+    )
+    got = quality_filter(ds, min_mean_weight=0).to_pandas()
+    assert set(got["doc_id"].astype(int)) == want
+    assert 0 < len(want) < 40  # threshold actually bites both ways
+    assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_fasttext_quality_scorer_contract(ray_session):
+    """models.FastTextQualityScorer through the real map_batches seam with
+    an injected offline model (fasttext .predict surface)."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.models import FastTextQualityScorer
+
+    class FakeFT:
+        def predict(self, texts, k=2):
+            labels, probs = [], []
+            for t in texts:
+                assert "\n" not in t  # scorer must have stripped newlines
+                p = min(1.0, len(t) / 10.0)
+                labels.append(["__label__hq", "__label__lq"])
+                probs.append([p, 1.0 - p])
+            return labels, probs
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": ["short", "a much\nlonger document"]}))
+    out = (
+        ds.map_batches(
+            FastTextQualityScorer,
+            fn_constructor_kwargs={"model": FakeFT()},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["quality_prob"]) == [0.5, 1.0]
+    import pytest
+
+    with pytest.raises((ImportError, ValueError)):
+        FastTextQualityScorer()  # no model, no library in this container
+
+
+def test_unigram_surprisal_spec(ray_session):
+    """Brute-force replay: bits(t) = floor(log2(N // c(t))) over corpus
+    counts; doc score = sum over tokens with multiplicity; min_count
+    prunes rare types to the count-1 default."""
+    import math
+
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.quality import unigram_surprisal
+
+    texts = ["a a b", "a b c", "d", ""]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = unigram_surprisal(ds).to_pandas().sort_values("doc_id")
+
+    toks = [t.split(" ") for t in texts]
+    flat = [x for tt in toks for x in tt]
+    n = len(flat)
+    cnt = {t: flat.count(t) for t in set(flat)}
+    bits = {t: int(math.floor(math.log2(n // c))) for t, c in cnt.items()}
+    for _, row in out.iterrows():
+        exp = sum(bits[t] for t in toks[int(row["doc_id"])])
+        assert int(row["unigram_surprisal_bits"]) == exp
+    # min_count=2 prunes singletons ('c', 'd', '') to the default bits
+    out2 = unigram_surprisal(ds, min_count=2).to_pandas().sort_values("doc_id")
+    dflt = int(math.floor(math.log2(n)))
+    for _, row in out2.iterrows():
+        exp = sum(
+            bits[t] if cnt[t] >= 2 else dflt for t in toks[int(row["doc_id"])]
+        )
+        assert int(row["unigram_surprisal_bits"]) == exp

@@ -757,3 +757,67 @@ def test_prepare_training_set_shuffle(ray_session, tmp_path):
     assert list(a["pack_id"]) == list(b["pack_id"])          # same seed: same order
     assert list(a["pack_id"]) != list(c["pack_id"])          # new seed: reshuffled
     assert sorted(a["pack_id"]) == sorted(c["pack_id"])      # same pack set
+
+
+def test_prepare_training_set_model_quality(ray_session, tmp_path):
+    """model_quality_min gates on the hashed-ngram scorer's mean feature
+    weight: with an injected weight vector that scores one doc's features
+    negative, exactly that doc drops; off by default."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    good = " ".join(f"g{i}" for i in range(20))
+    bad = " ".join(f"b{i}" for i in range(20))
+    # craft weights: buckets touched by bad-doc features get -1, all else +1
+    w = np.ones(1 << 16, np.float64)
+    toks = bad.split(" ")
+    for f in toks + [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]:
+        w[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % (1 << 16)] = -1.0
+    docs = pd.DataFrame({"doc_id": np.array([0, 1], np.int64), "text": [good, bad]})
+    common = dict(
+        lang_allow=(), min_tokens=5, max_tokens=64, overlap=0,
+        pack_budget=64, collect_counts=True,
+    )
+    m = prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "on"),
+        model_quality_min=0.0, model_quality_weights=w, **common,
+    )
+    assert m["n_after_gate"] == 2
+    assert m["n_after_model_quality"] == 1        # bad doc dropped
+    m_off = prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "off"), **common,
+    )
+    assert "n_after_model_quality" not in m_off and m_off["n_after_gate"] == 2
+
+
+def test_prepare_training_set_surprisal_gate(ray_session, tmp_path):
+    """surprisal_max_bits drops the doc built from corpus-unique tokens
+    (high mean surprisal) while the doc of corpus-common tokens passes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    common = " ".join(["tok"] * 20)                       # one type, huge count
+    rare = " ".join(f"r{i}" for i in range(20))           # all singleton types
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [common] * 5 + [rare],
+        }
+    )
+    # NOTE: exact dedup collapses the 5 identical common docs to one; the
+    # corpus for the LM is the post-dedup stream (1 common + 1 rare doc)
+    m = prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "on"),
+        lang_allow=(), min_tokens=5, max_tokens=64, overlap=0,
+        pack_budget=64, collect_counts=True, surprisal_max_bits=2.0,
+    )
+    assert m["n_after_gate"] == 2
+    assert m["n_after_surprisal"] == 1                    # rare-token doc dropped
