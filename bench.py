@@ -193,6 +193,16 @@ def run_bench() -> dict:
         timings["span_dedup"] = round(time.time() - t0, 3)
         del sd, n_sd
 
+        # unigram LM surprisal (two-pass: corpus counts exchange +
+        # broadcast + scoring map) on the same materialized input
+        from graphiti_hf_ray.functions.quality import unigram_surprisal
+
+        t0 = time.time()
+        su = unigram_surprisal(docs_ds, num_buckets=2 * num_cpus)
+        n_su = su.count()
+        timings["surprisal"] = round(time.time() - t0, 3)
+        del su, n_su
+
     return {
         "metric": "kg_build_sec",
         "value": timings["kg_build"],

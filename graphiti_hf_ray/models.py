@@ -399,3 +399,48 @@ class FastTextQualityScorer:
             else:  # binary model that only returned the negative label
                 out[i] = 1.0 - float(ps[0]) if len(ps) else 0.0
         return batch.append_column("quality_prob", pa.array(out, pa.float64()))
+
+
+class KenLMPerplexityScorer:
+    """Actor-pool LM-scoring stage backed by a KenLM n-gram model — the
+    real-model form of ``functions.quality.unigram_surprisal`` (CCNet
+    filters on document perplexity under a 5-gram KenLM; the engine's
+    two-pass unigram op is the deterministic stand-in). Appends
+    ``lm_perplexity`` (float64) to each row.
+
+    Accepts a pre-built ``model`` (anything with kenlm's
+    ``.perplexity(sentence) -> float`` surface) — how the contract tests
+    drive it offline; otherwise lazily imports the kenlm library inside
+    the actor's ``__init__`` (once per actor; raises a clear error when
+    the library/weights are absent — this container ships neither)."""
+
+    def __init__(self, model=None, model_path: str | None = None, text_col: str = "text"):
+        self.text_col = text_col
+        if model is not None:
+            self.model = model
+        else:
+            try:
+                import kenlm  # lazy: engine has no hard dependency
+            except ImportError as e:
+                raise ImportError(
+                    "KenLMPerplexityScorer needs the 'kenlm' library and a "
+                    "trained .arpa/.bin model (model_path=...); neither ships "
+                    "in this container. Pass model= to inject any object with "
+                    "the .perplexity(text) surface."
+                ) from e
+            if not model_path:
+                raise ValueError("model_path is required when no model is injected")
+            self.model = kenlm.Model(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # kenlm scores one sentence string at a time; newlines act as
+        # sentence breaks upstream in CCNet — collapse them here so one
+        # row = one score, matching the per-document filter semantics
+        out = np.array(
+            [
+                float(self.model.perplexity(t.replace("\n", " ")))
+                for t in batch.column(self.text_col).to_pylist()
+            ],
+            np.float64,
+        )
+        return batch.append_column("lm_perplexity", pa.array(out, pa.float64()))

@@ -258,7 +258,9 @@ def prepare_training_set(
 
     # 7. partitioned, resumable sink
     fp = hashlib.md5(
-        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
+        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:"
+        f"{model_quality_min}:{surprisal_max_bits}:"
+        f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
     return metrics

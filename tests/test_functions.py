@@ -1724,3 +1724,33 @@ def test_unigram_surprisal_spec(ray_session):
             bits[t] if cnt[t] >= 2 else dflt for t in toks[int(row["doc_id"])]
         )
         assert int(row["unigram_surprisal_bits"]) == exp
+
+
+def test_kenlm_perplexity_scorer_contract(ray_session):
+    """models.KenLMPerplexityScorer through the map_batches seam with an
+    injected offline model (kenlm .perplexity surface)."""
+    import ray.data as rd
+
+    from graphiti_hf_ray.models import KenLMPerplexityScorer
+
+    class FakeLM:
+        def perplexity(self, text):
+            assert "\n" not in text
+            return 10.0 + len(text.split(" "))
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": ["a b", "c\nd e"]}))
+    out = (
+        ds.map_batches(
+            KenLMPerplexityScorer,
+            fn_constructor_kwargs={"model": FakeLM()},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["lm_perplexity"]) == [12.0, 13.0]
+    import pytest
+
+    with pytest.raises((ImportError, ValueError)):
+        KenLMPerplexityScorer()
