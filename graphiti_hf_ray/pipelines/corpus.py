@@ -44,7 +44,48 @@ import hashlib
 
 import pyarrow as pa
 
-__all__ = ["prepare_training_set"]
+__all__ = ["prepare_training_set", "load_packs"]
+
+
+def _shuffle_key_batch(seed: int):
+    """Batch fn appending the rerun-stable shuffle key: signed-int64 from
+    md5(seed:pack_id). Shared by the pipeline's write-time shuffle and
+    ``load_packs``'s read-time epoch reshuffle so both orders agree."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = [
+            int.from_bytes(hashlib.md5(f"{seed}:{p}".encode()).digest()[:8], "little", signed=True)
+            for p in t.column("pack_id").to_pylist()
+        ]
+        return t.append_column("shuffle_key", pa.array(keys, pa.int64()))
+
+    return add_key
+
+
+def load_packs(out_dir: str, shuffle_seed: int | None = None, columns: list[str] | None = None):
+    """Read a finished training set back as a streaming Dataset.
+
+    With ``shuffle_seed``, the packs are re-keyed and globally sorted by
+    md5(seed:pack_id) ON READ — this is what makes an epoch reshuffle a
+    seed change rather than a data rewrite: train epoch k by
+    ``load_packs(out, shuffle_seed=k)``; the files on disk never move.
+    (The write-time ``shuffle_seed`` in ``prepare_training_set`` bakes
+    ONE order into the file layout for readers that just stream files in
+    order; this is the multi-epoch form.) The sort is one exchange over
+    the packed output — the smallest table in the chain. A stale
+    ``shuffle_key`` column from a write-time shuffle is replaced."""
+    from .. import io as gio
+
+    ds = gio.read_table_dir_ds(out_dir, "packs", columns=columns)
+    if shuffle_seed is None:
+        return ds
+    if columns is not None and "pack_id" not in columns:
+        raise ValueError("shuffle_seed needs the pack_id column")
+    if "shuffle_key" in ds.schema().names:
+        ds = ds.drop_columns(["shuffle_key"])
+    return ds.map_batches(_shuffle_key_batch(shuffle_seed), batch_format="pyarrow").sort(
+        "shuffle_key"
+    )
 
 
 def prepare_training_set(
@@ -245,16 +286,9 @@ def prepare_training_set(
     # output — epoch reshuffles are a seed change, never a data rewrite.
     # Composition is untouched; only the emission order moves.
     if shuffle_seed is not None:
-        def add_key(t: pa.Table) -> pa.Table:
-            keys = [
-                int.from_bytes(
-                    hashlib.md5(f"{shuffle_seed}:{p}".encode()).digest()[:8], "little", signed=True
-                )
-                for p in t.column("pack_id").to_pylist()
-            ]
-            return t.append_column("shuffle_key", pa.array(keys, pa.int64()))
-
-        packs = packs.map_batches(add_key, batch_format="pyarrow").sort("shuffle_key")
+        packs = packs.map_batches(
+            _shuffle_key_batch(shuffle_seed), batch_format="pyarrow"
+        ).sort("shuffle_key")
 
     # 7. partitioned, resumable sink
     fp = hashlib.md5(

@@ -821,3 +821,45 @@ def test_prepare_training_set_surprisal_gate(ray_session, tmp_path):
     )
     assert m["n_after_gate"] == 2
     assert m["n_after_surprisal"] == 1                    # rare-token doc dropped
+
+
+def test_load_packs_epoch_reshuffle(ray_session, tmp_path):
+    """load_packs re-keys on read: seed k reproduces exactly the order a
+    write-time shuffle_seed=k would bake in, different seeds permute, and
+    a stale write-time shuffle_key column is replaced."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import load_packs, prepare_training_set
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(200)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": [" ".join(rng.choice(words, 30)) for _ in range(20)],
+        }
+    )
+    common = dict(
+        lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24,
+    )
+    # written UNSHUFFLED; epochs come from read-time seeds
+    prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "plain"), **common
+    )
+    # reference: the same corpus written WITH shuffle_seed=1
+    prepare_training_set(
+        rd.from_pandas(docs), ["no overlap here"], str(tmp_path / "baked"),
+        shuffle_seed=1, **common,
+    )
+    e1 = load_packs(str(tmp_path / "plain"), shuffle_seed=1).to_pandas()
+    e2 = load_packs(str(tmp_path / "plain"), shuffle_seed=2).to_pandas()
+    baked = load_packs(str(tmp_path / "baked")).to_pandas()
+    assert len(e1) > 3
+    assert list(e1["pack_id"]) == list(baked["pack_id"])      # read-time == write-time order
+    assert list(e1["pack_id"]) != list(e2["pack_id"])         # new seed: new epoch order
+    assert sorted(e1["pack_id"]) == sorted(e2["pack_id"])     # same pack set
+    # re-seeding a baked table replaces the stale key, doesn't stack
+    re2 = load_packs(str(tmp_path / "baked"), shuffle_seed=2).to_pandas()
+    assert list(re2["pack_id"]) == list(e2["pack_id"])
