@@ -666,6 +666,20 @@ def oracle_sql() -> dict[str, str]:
     from graphiti_hf_ray.pipelines.queries import _TOKEN_BUDGETS as _TB
 
     budget_case = " ".join(f"WHEN lang = '{s}' THEN {b}" for s, b in sorted(_TB.items()))
+    # mix branch mirrors pipelines/queries._MIX_WEIGHTS via mixture_sample's
+    # encoding: floor(w) full epochs per row, plus epoch floor(w) iff
+    # md5('m:' || doc_id) clears the frac(w) threshold (same "08x" scheme;
+    # fractions are powers of two so the encoding is exact)
+    from graphiti_hf_ray.pipelines.queries import _MIX_WEIGHTS as _MW
+
+    mix_floor_case = " ".join(
+        f"WHEN lang = '{s}' THEN {int(w)}" for s, w in sorted(_MW.items())
+    )
+    mix_frac_case = " ".join(
+        f"WHEN lang = '{s}' THEN '{format(int((w - int(w)) * 16**8), '08x')}'"
+        for s, w in sorted(_MW.items())
+    )
+    mix_max_e = max(int(w) + (1 if w != int(w) else 0) for w in _MW.values())
     sql["q38_sample_synopsis"] = f"""
         SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS v FROM documents
         WHERE substr(md5('s:' || doc_id), 1, 8) < '{thresh}'
@@ -687,6 +701,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE {budget_case} ELSE NULL END AS cap
             FROM documents
         ) WHERE run <= cap
+        UNION ALL
+        SELECT 'mix', CAST(doc_id AS VARCHAR) || ':' || CAST(r.range AS VARCHAR)
+        FROM documents CROSS JOIN range(0, {mix_max_e}) r
+        WHERE r.range < CASE {mix_floor_case} ELSE 0 END
+           OR (r.range = CASE {mix_floor_case} ELSE 0 END
+               AND substr(md5('m:' || doc_id), 1, 8) < CASE {mix_frac_case} ELSE '00000000' END)
     """
     # boilerplate removal: fragments (len >= 4) in >= 50% of docs removed;
     # threshold mirrors the engine's max(2, ceil(frac * n_docs))

@@ -8,6 +8,9 @@ stable across reruns/partitionings and SQL-reproducible.
 - ``hash_sample``   — keep rows where md5(salt:key) < threshold (rate =
   threshold/16^32); a per-row Bernoulli sample that needs no coordination.
 - ``stratified_hash_sample`` — same, with a per-stratum rate map.
+- ``mixture_sample`` — per-stratum weights that may EXCEED 1: floor(w)
+  full repeats (tagged with an epoch column) + a hash-thresholded
+  fractional epoch. The upsampling half of static domain reweighting.
 - ``kmv_synopsis``  — K-minimum-values distinct-count sketch: per-batch
   partial k-smallest hashes merged to a global k-set (mergeable sketch
   pattern — ray_guide.md 'Aggregation at scale'); estimator
@@ -101,6 +104,56 @@ def token_budget_sample(
         return df.loc[run <= cap].drop(columns=["_h"])
 
     return bucketed_group_apply(ds, [stratum_col], prefix, num_buckets=num_buckets)
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    salt: str = "m",
+    epoch_col: str = "epoch",
+) -> "ray.data.Dataset":
+    """Weighted corpus mixture with UPsampling — the static domain
+    reweighting step (Pile/DoReMi-style) where a stratum's weight may
+    exceed 1. Each row of stratum ``s`` with weight ``w`` is emitted
+    ``floor(w)`` times (``epoch_col`` = 0..floor-1) plus once more in the
+    fractional epoch (``epoch_col`` = floor(w)) iff md5(salt:key) lands
+    under frac(w) — the same deterministic threshold encoding as
+    ``hash_sample``, so reruns and repartitionings emit the identical
+    multiset. Strata absent from ``weights`` are dropped (weight 0).
+
+    Pure streaming map, NO exchange: upsampling multiplies bytes at the
+    point of emission, never through a shuffle. Downstream stages that
+    dedup or shuffle must include ``epoch_col`` in their key (e.g. pack
+    on (doc_id, epoch)) or the repeats collapse right back out.
+    ``stratified_hash_sample`` is the pure-downsampling special case
+    (all weights < 1, no epoch column needed)."""
+    import numpy as np
+
+    floors = {s: int(w) for s, w in weights.items()}
+    fracs = {
+        s: format(int((w - int(w)) * 16**8), "08x") for s, w in weights.items()
+    }
+    ref = ray.put((floors, fracs))
+
+    def f(t: pa.Table) -> pa.Table:
+        fl, fr = ray.get(ref)
+        keys = t.column(key_col).to_pylist()
+        strata = t.column(stratum_col).to_pylist()
+        cnt = np.array(
+            [
+                fl[s] + (1 if _hexhash(salt, k)[:8] < fr[s] else 0) if s in fl else 0
+                for k, s in zip(keys, strata)
+            ],
+            dtype=np.int64,
+        )
+        idx = np.repeat(np.arange(len(cnt)), cnt)
+        epochs = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column(epoch_col, pa.array(epochs, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def kmv_synopsis(ds: "ray.data.Dataset", value_col: str, k: int = 32, salt: str = "k") -> tuple[list[str], float]:

@@ -784,6 +784,11 @@ _STRAT_RATES = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.0625}
 # token budgets sized to BITE at every test scale (~55 tokens/doc, en has
 # ~200 docs ≈ 11k tokens at sf0.001/sf0.01); zh absent → dropped entirely
 _TOKEN_BUDGETS = {"en": 3000, "de": 1000, "es": 600, "fr": 600}
+# mixture weights exercise every branch of mixture_sample: en upsampled
+# past 2× (2 full epochs + a fractional one), de exactly 1 (no fractional
+# epoch), es pure-fractional, fr 1.5, zh absent → dropped. Fractions are
+# powers of two so the hex threshold encoding is oracle-exact.
+_MIX_WEIGHTS = {"en": 2.25, "de": 1.0, "es": 0.5, "fr": 1.5}
 
 
 def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
@@ -795,12 +800,15 @@ def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
     ``lang`` — the static domain-reweighting step of a training-data
     pipeline) UNION the per-lang TOKEN-budget mixture sample
     (``token_budget_sample``: hash-ordered greedy prefix per stratum,
-    window-cumsum oracle) — four operators, one driver row, aligned on
-    (kind, v)."""
+    window-cumsum oracle) UNION the UPsampling mixture
+    (``mixture_sample``: per-lang weights above 1 emit epoch-tagged
+    repeats, v = doc_id:epoch; range-join oracle) — five operators, one
+    driver row, aligned on (kind, v)."""
     import pyarrow as _pa
 
     from ..functions.sample import (
-        hash_sample, kmv_synopsis, stratified_hash_sample, token_budget_sample,
+        hash_sample, kmv_synopsis, mixture_sample, stratified_hash_sample,
+        token_budget_sample,
     )
 
     samp = hash_sample(_read(sf_dir, "documents", ["doc_id"]), "doc_id", 0.2).to_pandas()
@@ -822,14 +830,19 @@ def q38_sample_synopsis(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    mix = mixture_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", "lang", _MIX_WEIGHTS
+    ).to_pandas()
     return pd.DataFrame(
         {
             "kind": ["sample"] * len(samp) + ["kmv"] * len(synopsis)
-            + ["strat"] * len(strat) + ["budget"] * len(budget),
+            + ["strat"] * len(strat) + ["budget"] * len(budget)
+            + ["mix"] * len(mix),
             "v": [str(int(d)) for d in samp["doc_id"]]
             + list(synopsis)
             + [str(int(d)) for d in strat["doc_id"]]
-            + [str(int(d)) for d in budget["doc_id"]],
+            + [str(int(d)) for d in budget["doc_id"]]
+            + [f"{int(d)}:{int(e)}" for d, e in zip(mix["doc_id"], mix["epoch"])],
         }
     )
 

@@ -1237,6 +1237,49 @@ def test_token_budget_sample(ray_session):
     assert len(got) < (docs["lang"] != "zh").sum()   # the budget bites
 
 
+def test_mixture_sample_upsampling(ray_session):
+    """Weighted mixture with upsampling: floor(w) full epochs per row,
+    hash-thresholded fractional epoch, absent strata dropped, epochs
+    contiguous from 0 — and deterministic across repartitionings."""
+    from graphiti_hf_ray.functions.sample import _hexhash, mixture_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "lang": ["en", "de", "es", "zh"] * 20,
+        }
+    )
+    weights = {"en": 2.25, "de": 1.0, "es": 0.5}
+    got = (
+        mixture_sample(rd.from_pandas(docs), "doc_id", "lang", weights)
+        .to_pandas()
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+    )
+    assert set(got["lang"]) == {"en", "de", "es"}                  # zh dropped
+    per_doc = got.groupby("doc_id")["epoch"].agg(["count", "min", "max"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()          # contiguous epochs
+    # every de row exactly once (integer weight, no fractional epoch)
+    de = got[got["lang"] == "de"]
+    assert len(de) == 20 and set(de["doc_id"]) == set(docs.loc[docs["lang"] == "de", "doc_id"])
+    # en rows: 2 or 3 copies, the third iff the hash clears the 0.25 threshold
+    for d in docs.loc[docs["lang"] == "en", "doc_id"]:
+        expect = 2 + (1 if _hexhash("m", d)[:8] < format(int(0.25 * 16**8), "08x") else 0)
+        assert (got["doc_id"] == d).sum() == expect
+    # es rows: 0 or 1 copy under the 0.5 threshold; roughly half survive
+    es = got[got["lang"] == "es"]
+    assert 4 <= len(es) <= 16 and (es["epoch"] == 0).all()
+    # partitioning-independence: same multiset from a different block layout
+    re = (
+        mixture_sample(rd.from_pandas(docs).repartition(7), "doc_id", "lang", weights)
+        .to_pandas()
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(re, got)
+
+
 def test_doc_profile_repetition_signals():
     """Gopher duplicate-text probes are integer-exact on hand-computed
     cases: top2gram_chars = count(top 2-gram, lex-min tie-break) ×
