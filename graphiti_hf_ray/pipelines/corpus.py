@@ -44,7 +44,7 @@ import hashlib
 
 import pyarrow as pa
 
-__all__ = ["prepare_training_set", "load_packs"]
+__all__ = ["prepare_training_set", "load_packs", "iter_training_batches"]
 
 
 def _shuffle_key_batch(seed: int):
@@ -86,6 +86,98 @@ def load_packs(out_dir: str, shuffle_seed: int | None = None, columns: list[str]
     return ds.map_batches(_shuffle_key_batch(shuffle_seed), batch_format="pyarrow").sort(
         "shuffle_key"
     )
+
+
+def iter_training_batches(
+    out_dir: str,
+    batch_size: int,
+    *,
+    seq_len: int | None = None,
+    shuffle_seed: int | None = None,
+    pad_id: int = 0,
+    tokenize=None,
+):
+    """Stream trainer-ready fixed-shape batches from a finished training
+    set — the last hop between the packed Parquet and a training step.
+
+    Yields dicts of numpy arrays: ``input_ids`` int32 of shape
+    (≤batch_size, seq_len) padded with ``pad_id``, ``lengths`` int32, and
+    ``pack_ids`` (object). ``seq_len`` should be the pack budget the set
+    was written with (no truncation then, packs never exceed it); left
+    None, each batch pads to its own max length (dynamic shapes).
+    ``shuffle_seed`` selects the epoch order via ``load_packs``.
+
+    ``tokenize`` (text → list[int]) is the injectable seam for a real BPE
+    tokenizer; the default hashes whitespace tokens to int31 by md5
+    (memoized per distinct token per worker) — deterministic and
+    vocab-free, so the plumbing (shape, padding, epoch order) is testable
+    without model assets, the same gated-seam pattern as the
+    embedder/cross-encoder adapters in ``models.py``.
+
+    Streaming shape: tokenization runs DISTRIBUTED (one zero-exchange
+    ``map_batches`` over the packs — the cluster tokenizes, not the
+    trainer process); the driver only pads list<int32> rows into the
+    dense array. ``iter_batches`` pulls blocks with backpressure, so
+    nothing materializes beyond one batch; the only up-front cost is
+    ``load_packs``'s single sort when a seed is set."""
+    import numpy as np
+
+    tok = tokenize
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        f = tok
+        if f is None:
+            memo: dict[str, int] = {}
+
+            def f(text: str) -> list:
+                ids = []
+                for w in text.split():
+                    i = memo.get(w)
+                    if i is None:
+                        i = memo[w] = int.from_bytes(
+                            hashlib.md5(w.encode()).digest()[:4], "little"
+                        ) & 0x7FFFFFFF
+                    ids.append(i)
+                return ids
+
+        toks = [f(x or "") for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "pack_id": t.column("pack_id"),
+                "token_ids": pa.array(toks, pa.list_(pa.int32())),
+            }
+        )
+
+    ds = load_packs(out_dir, shuffle_seed=shuffle_seed).map_batches(
+        to_ids, batch_format="pyarrow"
+    )
+    for t in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+        col = t.column("token_ids").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.values.to_numpy(zero_copy_only=False)  # full child buffer
+        raw_len = np.diff(offsets)
+        n = len(raw_len)
+        width = int(seq_len) if seq_len is not None else int(max(raw_len.max(initial=1), 1))
+        lengths = np.minimum(raw_len, width).astype(np.int32)
+        # scatter the list elements into the padded matrix in one
+        # vectorized assignment: `within` = position inside its row,
+        # `abs_idx` = index into the child buffer (offsets need not start
+        # at 0 after slicing), truncation handled by the keep mask
+        total = int(raw_len.sum())
+        starts = np.cumsum(raw_len) - raw_len
+        within = np.arange(total) - np.repeat(starts, raw_len)
+        abs_idx = np.repeat(offsets[:-1], raw_len) + within
+        keep = within < np.repeat(lengths, raw_len)
+        rows = np.repeat(np.arange(n), raw_len)[keep]
+        ids = np.full((n, width), pad_id, dtype=np.int32)
+        ids[rows, within[keep]] = flat[abs_idx[keep]]
+        yield {
+            "input_ids": ids,
+            "lengths": lengths,
+            "pack_ids": np.asarray(t.column("pack_id").to_pylist(), dtype=object),
+        }
 
 
 def prepare_training_set(

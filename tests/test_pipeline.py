@@ -823,6 +823,61 @@ def test_prepare_training_set_surprisal_gate(ray_session, tmp_path):
     assert m["n_after_surprisal"] == 1                    # rare-token doc dropped
 
 
+def test_iter_training_batches(ray_session, tmp_path):
+    """Trainer batch iterator: fixed-shape int32 padding, lossless token
+    round-trip vs a driver-side replay of the default tokenizer, epoch
+    order from load_packs, truncation, and the injectable tokenizer."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        iter_training_batches, load_packs, prepare_training_set,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(100)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": [" ".join(rng.choice(words, 20)) for _ in range(12)],
+        }
+    )
+    out = str(tmp_path / "ts")
+    prepare_training_set(
+        rd.from_pandas(docs), ["no overlap"], out,
+        lang_allow=(), min_tokens=4, max_tokens=12, overlap=0, pack_budget=24,
+    )
+    packs = load_packs(out, shuffle_seed=3).to_pandas()
+
+    def md5_id(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little") & 0x7FFFFFFF
+
+    batches = list(iter_training_batches(out, batch_size=4, seq_len=24, shuffle_seed=3))
+    assert sum(len(b["pack_ids"]) for b in batches) == len(packs)
+    got_order = [p for b in batches for p in b["pack_ids"]]
+    assert got_order == list(packs["pack_id"])                 # epoch order preserved
+    flat_rows = {p: (b["input_ids"][i], b["lengths"][i])
+                 for b in batches for i, p in enumerate(b["pack_ids"])}
+    for _, row in packs.iterrows():
+        ids, ln = flat_rows[row["pack_id"]]
+        expect = [md5_id(w) for w in row["text"].split()]
+        assert ids.shape == (24,) and ids.dtype == np.int32
+        assert ln == len(expect)
+        assert list(ids[:ln]) == expect                        # lossless
+        assert (ids[ln:] == 0).all()                           # padded
+    # truncation: seq_len smaller than the longest pack
+    short = next(iter(iter_training_batches(out, batch_size=64, seq_len=5)))
+    assert short["input_ids"].shape[1] == 5 and short["lengths"].max() == 5
+    # injectable tokenizer seam
+    const = next(iter(iter_training_batches(out, batch_size=64, seq_len=3,
+                                            tokenize=lambda s: [1, 2])))
+    assert (const["lengths"] == 2).all()
+    assert (const["input_ids"][:, :2] == [1, 2]).all() and (const["input_ids"][:, 2] == 0).all()
+
+
 def test_load_packs_epoch_reshuffle(ray_session, tmp_path):
     """load_packs re-keys on read: seed k reproduces exactly the order a
     write-time shuffle_seed=k would bake in, different seeds permute, and
