@@ -23,6 +23,10 @@ reference twin — it is what produces such a corpus):
    substring dedup in window form,
    ``functions/textclean.dedup_spans_global``) to catch repeated regions
    shorter than a paragraph split;
+4c. **static domain reweighting** (optional, ``mixture_weights=``) —
+   per-stratum weights that may exceed 1 emit epoch-tagged repeats
+   (``functions/sample.mixture_sample``), applied after every dedup
+   stage so the repeats survive; copies get composite ids;
 5. **chunk** — overlapping token windows (``functions/textchunk``);
 6. **pack** — fixed-budget training sequences (``functions/textpack``);
    with ``shuffle_seed`` set, packs gain a deterministic ``shuffle_key``
@@ -194,6 +198,8 @@ def prepare_training_set(
     model_quality_min: float | None = None,
     model_quality_weights=None,
     surprisal_max_bits: float | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    mixture_col: str = "lang",
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -246,6 +252,14 @@ def prepare_training_set(
 
     metrics: dict = {}
     docs = checkpoint(docs, "n_input")
+    # narrow (id, stratum) projection for the optional mixture stage (4c);
+    # taken from the INPUT so the stratum is ground-truth metadata (crawl
+    # source/domain/lang), not a post-dedup recomputation. Consuming it at
+    # join time re-executes the input lineage once — pass a read-backed
+    # (or pre-materialized) Dataset when the input prefix is expensive.
+    strata = (
+        docs.select_columns([id_col, mixture_col]) if mixture_weights is not None else None
+    )
 
     # 1. exact dedup, fused: the min-doc_id row per distinct text survives
     # in ONE exchange (the doc rows shuffle by text fingerprint directly —
@@ -367,6 +381,38 @@ def prepare_training_set(
         docs = docs.filter(expr="text != ''")
         docs = checkpoint(docs, "n_after_span_dedup")
 
+    # 4c. optional static domain reweighting (mixture_sample, weights may
+    # exceed 1): AFTER every dedup stage — repeats added earlier would
+    # collapse straight back out of the exact/paragraph/span passes — and
+    # BEFORE chunking so pack budgets see the reweighted stream. The
+    # stratum rejoins from the input projection through ONE partitioned
+    # hash join (narrow (id, stratum) right side); each emitted copy gets
+    # a composite id (doc_id * stride + epoch) so chunk/pack provenance
+    # stays unique per copy — decode with divmod(id, stride), stride
+    # recorded in metrics["mixture_id_stride"].
+    if mixture_weights is not None:
+        from ..functions.joins import hash_join
+        from ..functions.sample import mixture_sample
+
+        stride = max(int(w) + 1 for w in mixture_weights.values())
+        metrics["mixture_id_stride"] = stride
+        docs = hash_join(docs, strata, id_col, id_col, num_buckets=shuffle_buckets)
+        docs = mixture_sample(docs, id_col, mixture_col, mixture_weights)
+
+        def composite(t: pa.Table) -> pa.Table:
+            new_id = pc.add(
+                pc.multiply(
+                    t.column(id_col).cast(pa.int64()), pa.scalar(stride, pa.int64())
+                ),
+                t.column("epoch"),
+            )
+            return (
+                t.drop_columns([id_col, mixture_col, "epoch"]).append_column(id_col, new_id)
+            )
+
+        docs = docs.map_batches(composite, batch_format="pyarrow")
+        docs = checkpoint(docs, "n_after_mixture")
+
     # 5-6. chunk then pack
     chunks = chunk_documents(docs, max_tokens=max_tokens, overlap=overlap, id_col=id_col, text_col=text_col)
     # pack_chunks keeps its own FIXED num_buckets: bucket count defines
@@ -383,9 +429,10 @@ def prepare_training_set(
         ).sort("shuffle_key")
 
     # 7. partitioned, resumable sink
+    mix_fp = sorted(mixture_weights.items()) if mixture_weights is not None else None
     fp = hashlib.md5(
         f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:"
-        f"{model_quality_min}:{surprisal_max_bits}:"
+        f"{model_quality_min}:{surprisal_max_bits}:{mix_fp}:{mixture_col}:"
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)

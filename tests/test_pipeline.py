@@ -823,6 +823,61 @@ def test_prepare_training_set_surprisal_gate(ray_session, tmp_path):
     assert m["n_after_surprisal"] == 1                    # rare-token doc dropped
 
 
+def test_prepare_training_set_mixture(ray_session, tmp_path):
+    """Stage 4c: per-lang weights above 1 upsample AFTER every dedup
+    stage — copy counts per original doc match a mixture_sample replay,
+    composite ids decode with divmod(stride), and every copy's token
+    stream survives packing losslessly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.sample import _hexhash
+    from graphiti_hf_ray.pipelines.corpus import load_packs, prepare_training_set
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(400)]
+    n = 30
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": ["en", "de", "zh"] * (n // 3),
+            "text": [" ".join(rng.choice(words, 10, replace=False)) for _ in range(n)],
+        }
+    )
+    weights = {"en": 2.5, "de": 1.0}          # stride = 3; zh dropped
+    out = str(tmp_path / "mix")
+    m = prepare_training_set(
+        rd.from_pandas(docs), ["no overlap"], out,
+        lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=32,
+        mixture_weights=weights, collect_counts=True,
+    )
+    assert m["mixture_id_stride"] == 3
+    th = format(int(0.5 * 16**8), "08x")
+    expect_copies = {
+        int(d): (2 + (1 if _hexhash("m", int(d))[:8] < th else 0)) if l == "en"
+        else (1 if l == "de" else 0)
+        for d, l in zip(docs["doc_id"], docs["lang"])
+    }
+    assert m["n_after_mixture"] == sum(expect_copies.values())
+    packs = load_packs(out).to_pandas()
+    got_copies: dict[int, int] = {}
+    texts_by_member: dict[tuple[int, int], str] = {}
+    for _, row in packs.iterrows():
+        toks = row["text"].split()
+        pos = 0
+        for mem in row["members"].split(","):
+            comp = int(mem.split(":")[0])
+            orig, epoch = divmod(comp, 3)
+            got_copies[orig] = got_copies.get(orig, 0) + 1
+            texts_by_member[(orig, epoch)] = " ".join(toks[pos:pos + 10])
+            pos += 10
+    assert got_copies == {d: c for d, c in expect_copies.items() if c}
+    for (orig, epoch), text in texts_by_member.items():
+        assert text == docs.loc[orig, "text"]              # lossless per copy
+        assert 0 <= epoch < 3
+
+
 def test_iter_training_batches(ray_session, tmp_path):
     """Trainer batch iterator: fixed-shape int32 padding, lossless token
     round-trip vs a driver-side replay of the default tokenizer, epoch
