@@ -225,6 +225,12 @@ def prepare_training_set(
     applies); packs are deterministic for a fixed input and knob set, so
     ``fingerprint`` should encode the knobs when callers vary them.
 
+    ``mixture_weights`` requires integer ``id_col`` values (type-checked
+    up front — composite copy ids are ``id*stride+epoch``) that are
+    unique across the corpus: uniqueness is already what makes pack
+    provenance meaningful, and a duplicated id would silently fan out
+    through the stage-4c join.
+
     ``shuffle_buckets`` pins the sort width of EVERY exchange in the chain
     (dedup, join, paragraph-dedup pair; packing has its own fixed bucket
     count — see below). This pipeline chains ~6
@@ -257,9 +263,24 @@ def prepare_training_set(
     # source/domain/lang), not a post-dedup recomputation. Consuming it at
     # join time re-executes the input lineage once — pass a read-backed
     # (or pre-materialized) Dataset when the input prefix is expensive.
-    strata = (
-        docs.select_columns([id_col, mixture_col]) if mixture_weights is not None else None
-    )
+    # PRECONDITIONS validated up front (fail fast, before the expensive
+    # dedup stages): integer ids (the composite id = id*stride+epoch needs
+    # them; ids must already be unique for pack provenance to mean
+    # anything — duplicates would fan out through the stage-4c join).
+    strata = None
+    strata_types: dict = {}
+    if mixture_weights is not None:
+        from ..functions.joins import _arrow_types
+
+        strata = docs.select_columns([id_col, mixture_col])
+        # _arrow_types resolves pandas-block object dtypes by sampling —
+        # the input is read-backed here, so the probe is metadata-cheap
+        strata_types = _arrow_types(strata)
+        if not pa.types.is_integer(strata_types[id_col]):
+            raise ValueError(
+                f"mixture_weights requires an integer {id_col!r} column "
+                f"(composite copy ids are id*stride+epoch); got {strata_types[id_col]}"
+            )
 
     # 1. exact dedup, fused: the min-doc_id row per distinct text survives
     # in ONE exchange (the doc rows shuffle by text fingerprint directly —
@@ -394,9 +415,21 @@ def prepare_training_set(
         from ..functions.joins import hash_join
         from ..functions.sample import mixture_sample
 
-        stride = max(int(w) + 1 for w in mixture_weights.values())
+        # {} is coherent ("drop every stratum") — stride just needs a value
+        stride = max((int(w) + 1 for w in mixture_weights.values()), default=1)
         metrics["mixture_id_stride"] = stride
-        docs = hash_join(docs, strata, id_col, id_col, num_buckets=shuffle_buckets)
+        # BRANCH-POINT + schema-probe rule: docs here is the lazy output of
+        # the dedup suffix; hash_join would otherwise probe its schema
+        # (re-executing that suffix) and then execute it again for the join
+        # itself. Materialize the boundary and pass both sides' types
+        # explicitly so no probe runs at all.
+        if not collect_counts:  # checkpoint() already materialized otherwise
+            docs = docs.materialize()
+        docs = hash_join(
+            docs, strata, id_col, id_col, num_buckets=shuffle_buckets,
+            left_types={id_col: strata_types[id_col], text_col: pa.string()},
+            right_types=dict(strata_types),
+        )
         docs = mixture_sample(docs, id_col, mixture_col, mixture_weights)
 
         def composite(t: pa.Table) -> pa.Table:
@@ -429,10 +462,14 @@ def prepare_training_set(
         ).sort("shuffle_key")
 
     # 7. partitioned, resumable sink
-    mix_fp = sorted(mixture_weights.items()) if mixture_weights is not None else None
+    # mixture_col only reaches the fingerprint when the stage is ON — a
+    # stratum-column name with no weights has no effect on the output
+    mix_fp = (
+        (sorted(mixture_weights.items()), mixture_col) if mixture_weights is not None else None
+    )
     fp = hashlib.md5(
         f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:"
-        f"{model_quality_min}:{surprisal_max_bits}:{mix_fp}:{mixture_col}:"
+        f"{model_quality_min}:{surprisal_max_bits}:{mix_fp}:"
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)

@@ -861,7 +861,7 @@ def test_prepare_training_set_mixture(ray_session, tmp_path):
     }
     assert m["n_after_mixture"] == sum(expect_copies.values())
     packs = load_packs(out).to_pandas()
-    got_copies: dict[int, int] = {}
+    epochs_by_orig: dict[int, list[int]] = {}
     texts_by_member: dict[tuple[int, int], str] = {}
     for _, row in packs.iterrows():
         toks = row["text"].split()
@@ -869,13 +869,22 @@ def test_prepare_training_set_mixture(ray_session, tmp_path):
         for mem in row["members"].split(","):
             comp = int(mem.split(":")[0])
             orig, epoch = divmod(comp, 3)
-            got_copies[orig] = got_copies.get(orig, 0) + 1
+            epochs_by_orig.setdefault(orig, []).append(epoch)
             texts_by_member[(orig, epoch)] = " ".join(toks[pos:pos + 10])
             pos += 10
-    assert got_copies == {d: c for d, c in expect_copies.items() if c}
+    # exact epoch MULTISET per doc: contiguous 0..count-1, no repeats
+    assert {d: sorted(e) for d, e in epochs_by_orig.items()} == {
+        d: list(range(c)) for d, c in expect_copies.items() if c
+    }
     for (orig, epoch), text in texts_by_member.items():
         assert text == docs.loc[orig, "text"]              # lossless per copy
-        assert 0 <= epoch < 3
+    # fail fast on non-integer ids, before any stage runs
+    sdocs = docs.assign(doc_id=docs["doc_id"].astype(str))
+    with pytest.raises(ValueError, match="integer"):
+        prepare_training_set(
+            rd.from_pandas(sdocs), ["x"], str(tmp_path / "bad"),
+            lang_allow=(), mixture_weights=weights,
+        )
 
 
 def test_iter_training_batches(ray_session, tmp_path):
