@@ -709,12 +709,21 @@ def dedup_rows_from_pairs(
         bad = set(df.loc[is_loser, "_k"])
         keep = df.loc[~is_loser & ~df["_k"].isin(bad), doc_cols].copy()
         # the null-padded loser rows float-ified int/bool columns in the
-        # pandas union; no nulls survive the filter, so restore the dtypes
+        # pandas union; no PADDED nulls survive the filter, so restore the
+        # dtypes — but nulls from the ORIGINAL doc rows can, so those
+        # columns restore to the pandas NULLABLE dtype (Arrow round-trips
+        # it back to the same nullable int/bool type)
         for name, typ in zip(doc_schema.names, doc_schema.types):
             if pa.types.is_integer(typ):
-                keep[name] = keep[name].astype(str(typ))
+                t = str(typ)
+                nullable = "UInt" + t[4:] if t.startswith("uint") else t.capitalize()
+                keep[name] = keep[name].astype(
+                    nullable if keep[name].isna().any() else t
+                )
             elif pa.types.is_boolean(typ):
-                keep[name] = keep[name].astype(bool)
+                keep[name] = keep[name].astype(
+                    "boolean" if keep[name].isna().any() else bool
+                )
         return keep
 
     tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(

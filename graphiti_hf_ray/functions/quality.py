@@ -61,7 +61,7 @@ def _features(text: str) -> list[str]:
     """Whitespace unigrams + adjacent bigrams (joined by one space) —
     fasttext's default wordNgrams=2 shape. ''.split(' ') == [''] so every
     doc has >= 1 feature (keeps the segment-sum below branch-free)."""
-    toks = text.split(" ")
+    toks = (text or "").split(" ")
     if len(toks) >= 2:
         return toks + [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
     return toks
@@ -219,7 +219,7 @@ def unigram_count_bits(
     def partial_counts(t: pa.Table) -> pa.Table:
         toks: list[str] = []
         for x in t.column(text_col).to_pylist():
-            toks.extend(x.split(" "))
+            toks.extend((x or "").split(" "))
         u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         return pa.table({"t": pa.array(u, pa.string()), "c": pa.array(c, pa.int64())})
 
@@ -260,7 +260,7 @@ class UnigramSurprisal:
         toks: list[str] = []
         counts = np.empty(len(texts), np.int64)
         for i, x in enumerate(texts):
-            tt = x.split(" ")
+            tt = (x or "").split(" ")
             toks.extend(tt)
             counts[i] = len(tt)
         if not texts:
@@ -318,22 +318,12 @@ def surprisal_filter(
     Consumes ``ds`` TWICE (counts pass, then the scoring pass) — callers
     with a non-trivial upstream lineage must ``materialize()`` first (the
     corpus pipeline does)."""
-    bits_ref, default_bits, _ = unigram_count_bits(ds, text_col, min_count, num_buckets)
-    scored = ds.map_batches(
-        UnigramSurprisal,
-        fn_constructor_kwargs={
-            "bits_ref": bits_ref,
-            "default_bits": default_bits,
-            "text_col": text_col,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    scored = unigram_surprisal(ds, text_col, min_count, num_buckets, concurrency)
 
     def keep(t: pa.Table) -> pa.Table:
         bits = t.column("unigram_surprisal_bits").to_numpy(zero_copy_only=False)
         n = np.array(
-            [len(x.split(" ")) for x in t.column(text_col).to_pylist()], np.int64
+            [len((x or "").split(" ")) for x in t.column(text_col).to_pylist()], np.int64
         )
         kept = t.filter(pa.array(bits <= max_mean_bits * n))
         return kept.drop_columns(["unigram_surprisal_bits"])

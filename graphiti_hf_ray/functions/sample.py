@@ -32,9 +32,17 @@ def _hexhash(salt: str, v) -> str:
     return hashlib.md5(f"{salt}:{v}".encode()).hexdigest()
 
 
+def _rate_threshold(rate: float) -> str:
+    """rate ∈ [0, 1] → the 8-hex-char lexicographic threshold. Capped at
+    16^8 - 1: float rounding can push rate*16^8 to exactly 2^32, whose
+    9-char encoding would lexicographically keep ~1/16 of rows instead of
+    ~all (a rate within 2^-33 of 1.0 keeps all but hash 'ffffffff')."""
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
 def hash_sample(ds: "ray.data.Dataset", key_col: str, rate: float, salt: str = "s") -> "ray.data.Dataset":
     """Deterministic sample of ~rate fraction keyed on ``key_col``."""
-    threshold = format(int(rate * 16**8), "08x")  # compare on first 8 hex chars
+    threshold = _rate_threshold(rate)  # compare on first 8 hex chars
 
     def f(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_pylist()
@@ -47,7 +55,7 @@ def hash_sample(ds: "ray.data.Dataset", key_col: str, rate: float, salt: str = "
 def stratified_hash_sample(
     ds: "ray.data.Dataset", key_col: str, stratum_col: str, rates: dict[str, float], salt: str = "s"
 ) -> "ray.data.Dataset":
-    thresholds = {s: format(int(r * 16**8), "08x") for s, r in rates.items()}
+    thresholds = {s: _rate_threshold(r) for s, r in rates.items()}
     ref = ray.put(thresholds)
 
     def f(t: pa.Table) -> pa.Table:
@@ -133,7 +141,7 @@ def mixture_sample(
 
     floors = {s: int(w) for s, w in weights.items()}
     fracs = {
-        s: format(int((w - int(w)) * 16**8), "08x") for s, w in weights.items()
+        s: _rate_threshold(w - int(w)) for s, w in weights.items()
     }
     ref = ray.put((floors, fracs))
 

@@ -125,7 +125,14 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
             and 3 * n <= sl <= 10 * n
             and 100 * st >= 2 * n
         )
-        probe = x + PII_PROBE_SUFFIX.format(d=int(d), a=int(d) % 256, b=int(d) % 100)
+        # the synthetic probe needs integer ids (the oracle reconstructs it
+        # from doc_id arithmetic); non-integer-id corpora scan the raw text
+        di = int(d) if isinstance(d, (int, np.integer)) else None
+        probe = (
+            x + PII_PROBE_SUFFIX.format(d=di, a=di % 256, b=di % 100)
+            if di is not None
+            else x
+        )
         s, ne = rx["email"].subn("<EMAIL>", probe)
         s, ni = rx["ipv4"].subn("<IPV4>", s)
         n_email.append(ne)

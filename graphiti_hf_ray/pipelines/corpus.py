@@ -257,6 +257,25 @@ def prepare_training_set(
         return ds
 
     metrics: dict = {}
+    # normalize the text column name ONCE at entry: several stages
+    # (LangId, the paragraph/span dedup reassembly) produce/consume the
+    # literal "text", so a custom text_col is renamed up front (zero-copy
+    # Arrow metadata change) rather than threaded through every stage
+    if text_col != "text":
+        _orig_text_col = text_col
+
+        def _canon_text(t: pa.Table) -> pa.Table:
+            if "text" in t.schema.names:
+                raise ValueError(
+                    f"input already has a 'text' column alongside text_col="
+                    f"{_orig_text_col!r}; rename one"
+                )
+            return t.rename_columns(
+                ["text" if n == _orig_text_col else n for n in t.schema.names]
+            )
+
+        docs = docs.map_batches(_canon_text, batch_format="pyarrow")
+        text_col = "text"
     docs = checkpoint(docs, "n_input")
     # narrow (id, stratum) projection for the optional mixture stage (4c);
     # taken from the INPUT so the stratum is ground-truth metadata (crawl
@@ -467,9 +486,22 @@ def prepare_training_set(
     mix_fp = (
         (sorted(mixture_weights.items()), mixture_col) if mixture_weights is not None else None
     )
+    # EVERY output-shaping input belongs in the fingerprint — a retrained
+    # quality model or an updated benchmark suite with identical scalar
+    # knobs must NOT resume the stale pack set
+    bt_fp = hashlib.md5("\x1f".join(benchmark_texts).encode()).hexdigest()
+    w_fp = None
+    if model_quality_weights is not None:
+        import numpy as _np
+
+        w_fp = hashlib.md5(
+            _np.ascontiguousarray(
+                _np.asarray(model_quality_weights, dtype=_np.float64)
+            ).tobytes()
+        ).hexdigest()
     fp = hashlib.md5(
-        f"{fingerprint}:{contam_n}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:"
-        f"{model_quality_min}:{surprisal_max_bits}:{mix_fp}:"
+        f"{fingerprint}:{contam_n}:{bt_fp}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:"
+        f"{model_quality_min}:{w_fp}:{surprisal_max_bits}:{mix_fp}:"
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)

@@ -204,11 +204,16 @@ def _write_partitioned(
     occ = {} if h.empty else h.groupby("p")["n"].sum().to_dict()
     salts = {int(p): max(1, math.ceil(n / rows_per_part)) for p, n in occ.items()}
     max_salts = max(salts.values(), default=1)
+    # salt lookup as a dense numpy LUT (partition ids are small ints from
+    # the histogram) — no per-row Python in the write path's key tagging
+    lut = np.ones(max(salts, default=0) + 2, np.int64)
+    for p, n in salts.items():
+        lut[p] = n
 
     def add_keys(t: pa.Table) -> pa.Table:
         part = assign_fn(t)
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        ns = np.array([salts.get(int(p), 1) for p in part], np.int64)
+        ns = lut[np.minimum(part, len(lut) - 1)]
         salt = _salt_of(ids, ns)
         out = pa.table(
             {

@@ -1280,6 +1280,64 @@ def test_mixture_sample_upsampling(ray_session):
     pd.testing.assert_frame_equal(re, got)
 
 
+def test_rate_threshold_cap_and_null_guards(ray_session):
+    """Edge hardening: a fractional rate within float rounding of 1.0 must
+    not overflow the 8-hex threshold (9-char string would keep ~1/16 of
+    rows); null texts flow through the quality ops as empty docs; string
+    doc ids flow through doc_profile_batch (no synthetic PII probe)."""
+    from graphiti_hf_ray.functions.quality import (
+        score_quality, surprisal_filter, unigram_surprisal,
+    )
+    from graphiti_hf_ray.functions.sample import _rate_threshold, mixture_sample
+    from graphiti_hf_ray.functions.textstats import doc_profile_batch
+
+    assert _rate_threshold(0.25) == "40000000"
+    assert _rate_threshold(1.0 - 2**-40) == "ffffffff"     # capped, not "100000000"
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(64, dtype=np.int64), "lang": ["en"] * 64}
+    )
+    near_one = 1.0 + (1.0 - 2**-40)                        # frac ≈ 1.0
+    out = mixture_sample(
+        rd.from_pandas(docs), "doc_id", "lang", {"en": near_one}
+    ).to_pandas()
+    assert len(out) >= 2 * 64 - 1                          # ~all rows get epoch 1
+
+    nulls = rd.from_items([{"doc_id": 1, "text": "a b c"}, {"doc_id": 2, "text": None}])
+    scored = score_quality(nulls).to_pandas()
+    assert len(scored) == 2                                # null text = empty doc
+    assert len(unigram_surprisal(nulls.materialize()).to_pandas()) == 2
+    assert surprisal_filter(nulls.materialize(), 1000.0).to_pandas()["doc_id"].tolist()
+
+    prof = doc_profile_batch(
+        pa.table({"doc_id": ["u-1", "u-2"], "text": ["mail me at x@y.org", "plain"]})
+    ).to_pandas()
+    assert prof["n_pii_email"].tolist() == [1, 0]          # raw-text scan only
+
+
+def test_dedup_rows_from_pairs_nullable_int_antijoin(ray_session):
+    """The forced anti-join (huge-loser) path must round-trip integer
+    columns that legitimately contain nulls in the SOURCE rows."""
+    from graphiti_hf_ray.functions.dedup import dedup_rows_from_pairs
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "opt": pa.array([10, None, 30, None], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    pairs = rd.from_items([{"doc_a": 1, "doc_b": 2}])      # 2 loses to 1
+    out = (
+        dedup_rows_from_pairs(docs, pairs, broadcast_max_losers=0)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    assert out["opt"].tolist()[0] == 10 and pd.isna(out["opt"].tolist()[2])
+
+
 def test_doc_profile_repetition_signals():
     """Gopher duplicate-text probes are integer-exact on hand-computed
     cases: top2gram_chars = count(top 2-gram, lex-min tie-break) ×

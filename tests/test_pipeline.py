@@ -887,6 +887,34 @@ def test_prepare_training_set_mixture(ray_session, tmp_path):
         )
 
 
+def test_prepare_training_set_custom_text_col(ray_session, tmp_path):
+    """text_col != 'text' is normalized once at entry and produces the
+    byte-identical pack set a 'text'-named input produces."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import load_packs, prepare_training_set
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(120)]
+    texts = [" ".join(rng.choice(words, 12, replace=False)) for _ in range(10)]
+    ids = np.arange(10, dtype=np.int64)
+    common = dict(lang_allow=(), min_tokens=4, max_tokens=8, overlap=0, pack_budget=16)
+    prepare_training_set(
+        rd.from_pandas(pd.DataFrame({"doc_id": ids, "body": texts})),
+        ["no overlap"], str(tmp_path / "a"), text_col="body", **common,
+    )
+    prepare_training_set(
+        rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})),
+        ["no overlap"], str(tmp_path / "b"), **common,
+    )
+    a = load_packs(str(tmp_path / "a")).to_pandas().sort_values("pack_id").reset_index(drop=True)
+    b = load_packs(str(tmp_path / "b")).to_pandas().sort_values("pack_id").reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_iter_training_batches(ray_session, tmp_path):
     """Trainer batch iterator: fixed-shape int32 padding, lossless token
     round-trip vs a driver-side replay of the default tokenizer, epoch
