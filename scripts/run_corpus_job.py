@@ -1,0 +1,127 @@
+"""Corpus → training-set job driver — the ``ray job submit`` entry point
+for ``pipelines/corpus.prepare_training_set`` (the companion to
+``run_kg_job.py``'s graph build).
+
+On a real cluster::
+
+    ray job submit --working-dir /root/repo -- \
+        python scripts/run_corpus_job.py --docs s3://bucket/docs/*.parquet \
+        --out s3://bucket/trainset --benchmark s3://bucket/evals.parquet \
+        --fuzzy-jaccard 0.8 --quality-gate --mixture '{"en": 2.0, "de": 0.5}'
+
+In this sandbox (local mode)::
+
+    python scripts/run_corpus_job.py --docs /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/trainset --num-cpus 8
+
+The sink is manifest-resumable: re-submitting with identical inputs and
+knobs skips finished pack shards. Prints one JSON line of metrics
+(``n_packs`` always; per-stage counts with ``--counts``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Prepare an LLM training set from a document corpus")
+    ap.add_argument("--docs", nargs="+", required=True, help="input documents parquet path(s)")
+    ap.add_argument("--out", required=True, help="output training-set directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of held-out eval texts to decontaminate against")
+    ap.add_argument("--benchmark-col", default="text")
+    ap.add_argument("--contam-n", type=int, default=8, help="decontamination n-gram size")
+    ap.add_argument("--fuzzy-jaccard", type=float, default=None,
+                    help="enable corpus-wide MinHash fuzzy dedup at this Jaccard threshold")
+    ap.add_argument("--span-dedup-k", type=int, default=None,
+                    help="enable cross-doc duplicated-span removal at this window size")
+    ap.add_argument("--quality-gate", action="store_true", help="enable the Gopher quality gate")
+    ap.add_argument("--surprisal-max-bits", type=float, default=None,
+                    help="enable the unigram-LM surprisal gate (mean bits/token)")
+    ap.add_argument("--mixture", default=None,
+                    help='JSON per-stratum mixture weights, e.g. \'{"en": 2.0, "de": 0.5}\'')
+    ap.add_argument("--mixture-col", default="lang")
+    ap.add_argument("--lang-allow", default="en",
+                    help="comma-separated LangId allowlist; empty string disables the gate")
+    ap.add_argument("--min-tokens", type=int, default=8)
+    ap.add_argument("--max-tokens", type=int, default=512)
+    ap.add_argument("--overlap", type=int, default=64)
+    ap.add_argument("--pack-budget", type=int, default=1024)
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="bake a deterministic global shuffle into the file layout")
+    ap.add_argument("--shuffle-buckets", type=int, default=None,
+                    help="sort width of every exchange (default 2x CPUs, min 64)")
+    ap.add_argument("--counts", action="store_true",
+                    help="materialize each stage boundary and report per-stage row counts")
+    ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count (cluster mode: omit)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if args.num_cpus:
+            ray.init(address="local", num_cpus=args.num_cpus, **kwargs)
+        else:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    cols = [args.id_col, args.text_col]
+    if args.mixture is not None and args.mixture_col not in cols:
+        cols.append(args.mixture_col)
+    docs = rd.read_parquet(args.docs, columns=cols)
+
+    benchmark_texts: list[str] = []
+    if args.benchmark:
+        import pyarrow.parquet as pq
+
+        benchmark_texts = [
+            x for x in pq.read_table(args.benchmark, columns=[args.benchmark_col])
+            .column(args.benchmark_col).to_pylist() if x
+        ]
+
+    cpus = int(ray.cluster_resources().get("CPU", 16))
+    t0 = time.time()
+    metrics = prepare_training_set(
+        docs,
+        benchmark_texts,
+        args.out,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        contam_n=args.contam_n,
+        fuzzy_jaccard=args.fuzzy_jaccard,
+        span_dedup_k=args.span_dedup_k,
+        quality_gate=args.quality_gate,
+        surprisal_max_bits=args.surprisal_max_bits,
+        mixture_weights=json.loads(args.mixture) if args.mixture else None,
+        mixture_col=args.mixture_col,
+        lang_allow=tuple(x for x in args.lang_allow.split(",") if x),
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        overlap=args.overlap,
+        pack_budget=args.pack_budget,
+        shuffle_seed=args.shuffle_seed,
+        collect_counts=args.counts,
+        shuffle_buckets=args.shuffle_buckets or max(64, 2 * cpus),
+    )
+    metrics["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
