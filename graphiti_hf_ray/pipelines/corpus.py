@@ -98,6 +98,7 @@ def iter_training_batches(
     *,
     seq_len: int | None = None,
     shuffle_seed: int | None = None,
+    approx_shuffle_buffer: int | None = None,
     pad_id: int = 0,
     tokenize=None,
 ):
@@ -110,6 +111,18 @@ def iter_training_batches(
     was written with (no truncation then, packs never exceed it); left
     None, each batch pads to its own max length (dynamic shapes).
     ``shuffle_seed`` selects the epoch order via ``load_packs``.
+
+    Two shuffle regimes, picked by ``approx_shuffle_buffer``:
+
+    - ``None`` (default): EXACT epoch order — ``load_packs``'s global
+      md5(seed:pack_id) sort. One all-to-all over the packed output;
+      right up to the scale where a full sort of the training set is
+      affordable.
+    - ``N``: the two-level approximate shuffle a 100 TB trainer actually
+      runs — deterministic seeded block-order randomization (metadata
+      only, ZERO exchange) + an N-row seeded reservoir shuffle inside
+      ``iter_batches``. Epoch k is still just a seed change; the order
+      is reproducible for a fixed seed but is not the global-sort order.
 
     ``tokenize`` (text → list[int]) is the injectable seam for a real BPE
     tokenizer; the default hashes whitespace tokens to int31 by md5
@@ -152,10 +165,19 @@ def iter_training_batches(
             }
         )
 
-    ds = load_packs(out_dir, shuffle_seed=shuffle_seed).map_batches(
-        to_ids, batch_format="pyarrow"
-    )
-    for t in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+    if approx_shuffle_buffer is not None:
+        ds = load_packs(out_dir)  # no global sort
+        if shuffle_seed is not None:
+            ds = ds.randomize_block_order(seed=shuffle_seed)
+        iter_kwargs = dict(
+            local_shuffle_buffer_size=approx_shuffle_buffer,
+            local_shuffle_seed=shuffle_seed,
+        )
+    else:
+        ds = load_packs(out_dir, shuffle_seed=shuffle_seed)
+        iter_kwargs = {}
+    ds = ds.map_batches(to_ids, batch_format="pyarrow")
+    for t in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow", **iter_kwargs):
         col = t.column("token_ids").combine_chunks()
         if isinstance(col, pa.ChunkedArray):
             col = col.chunk(0)

@@ -968,6 +968,20 @@ def test_iter_training_batches(ray_session, tmp_path):
                                             tokenize=lambda s: [1, 2])))
     assert (const["lengths"] == 2).all()
     assert (const["input_ids"][:, :2] == [1, 2]).all() and (const["input_ids"][:, 2] == 0).all()
+    # approximate two-level shuffle: zero-exchange, same pack multiset,
+    # reproducible per seed, permuted across seeds
+    def approx_order(seed):
+        return [
+            p for b in iter_training_batches(
+                out, batch_size=4, seq_len=24, shuffle_seed=seed,
+                approx_shuffle_buffer=64,
+            ) for p in b["pack_ids"]
+        ]
+
+    a1, a1b, a2 = approx_order(1), approx_order(1), approx_order(2)
+    assert a1 == a1b                                       # seeded: reproducible
+    assert sorted(a1) == sorted(packs["pack_id"])          # same multiset
+    assert a1 != a2                                        # new seed, new order
 
 
 def test_load_packs_epoch_reshuffle(ray_session, tmp_path):
