@@ -92,6 +92,36 @@ def load_packs(out_dir: str, shuffle_seed: int | None = None, columns: list[str]
     )
 
 
+def pad_token_lists(col: pa.ListArray, width: int | None, pad_id: int):
+    """list<int32> Arrow column → (ids, lengths): a padded int32 matrix of
+    shape (n, width) and the unpadded lengths. One vectorized scatter —
+    ``within`` = position inside its row, ``abs_idx`` = index into the
+    child buffer (offsets need not start at 0 after slicing), truncation
+    via the keep mask. Pure kernel; property-tested against a naive pad
+    (including sliced/offset arrays)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # older pyarrow keeps the wrapper
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    flat = col.values.to_numpy(zero_copy_only=False)  # full child buffer
+    raw_len = np.diff(offsets)
+    n = len(raw_len)
+    width = int(width) if width is not None else int(max(raw_len.max(initial=1), 1))
+    lengths = np.minimum(raw_len, width).astype(np.int32)
+    total = int(raw_len.sum())
+    starts = np.cumsum(raw_len) - raw_len
+    within = np.arange(total) - np.repeat(starts, raw_len)
+    abs_idx = np.repeat(offsets[:-1], raw_len) + within
+    keep = within < np.repeat(lengths, raw_len)
+    rows = np.repeat(np.arange(n), raw_len)[keep]
+    ids = np.full((n, width), pad_id, dtype=np.int32)
+    ids[rows, within[keep]] = flat[abs_idx[keep]]
+    return ids, lengths
+
+
 def iter_training_batches(
     out_dir: str,
     batch_size: int,
@@ -178,27 +208,7 @@ def iter_training_batches(
         iter_kwargs = {}
     ds = ds.map_batches(to_ids, batch_format="pyarrow")
     for t in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow", **iter_kwargs):
-        col = t.column("token_ids").combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0)
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
-        flat = col.values.to_numpy(zero_copy_only=False)  # full child buffer
-        raw_len = np.diff(offsets)
-        n = len(raw_len)
-        width = int(seq_len) if seq_len is not None else int(max(raw_len.max(initial=1), 1))
-        lengths = np.minimum(raw_len, width).astype(np.int32)
-        # scatter the list elements into the padded matrix in one
-        # vectorized assignment: `within` = position inside its row,
-        # `abs_idx` = index into the child buffer (offsets need not start
-        # at 0 after slicing), truncation handled by the keep mask
-        total = int(raw_len.sum())
-        starts = np.cumsum(raw_len) - raw_len
-        within = np.arange(total) - np.repeat(starts, raw_len)
-        abs_idx = np.repeat(offsets[:-1], raw_len) + within
-        keep = within < np.repeat(lengths, raw_len)
-        rows = np.repeat(np.arange(n), raw_len)[keep]
-        ids = np.full((n, width), pad_id, dtype=np.int32)
-        ids[rows, within[keep]] = flat[abs_idx[keep]]
+        ids, lengths = pad_token_lists(t.column("token_ids"), seq_len, pad_id)
         yield {
             "input_ids": ids,
             "lengths": lengths,

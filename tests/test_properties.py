@@ -328,3 +328,34 @@ def test_components_min_root_property(pairs):
         for n in members:
             expect[n] = lo
     assert {int(k): int(v) for k, v in comp.items()} == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=12),
+        min_size=1, max_size=20,
+    ),
+    width=st.one_of(st.none(), st.integers(min_value=1, max_value=15)),
+    pad_id=st.integers(min_value=-3, max_value=3),
+    off=st.integers(min_value=0, max_value=3),
+)
+def test_pad_token_lists_matches_naive(rows, width, pad_id, off):
+    """The vectorized padded-scatter kernel equals a naive per-row pad —
+    including on SLICED arrays, whose list offsets don't start at 0 (the
+    case the abs_idx arithmetic exists for)."""
+    import pyarrow as pa
+
+    from graphiti_hf_ray.pipelines.corpus import pad_token_lists
+
+    off = min(off, len(rows) - 1)
+    arr = pa.array(rows, pa.list_(pa.int32())).slice(off)  # offset != 0
+    rows = rows[off:]
+    ids, lengths = pad_token_lists(arr, width, pad_id)
+    w = width if width is not None else max(max((len(r) for r in rows), default=1), 1)
+    assert ids.shape == (len(rows), w) and ids.dtype == np.int32
+    for i, r in enumerate(rows):
+        cut = r[:w]
+        assert lengths[i] == len(cut)
+        assert list(ids[i, : len(cut)]) == cut
+        assert all(v == pad_id for v in ids[i, len(cut):])
