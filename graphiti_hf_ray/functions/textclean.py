@@ -257,6 +257,8 @@ def dedup_paragraphs_global(
 
     Returns (id_col, text, n_dropped_paragraphs) — one row per input doc
     (docs whose every paragraph was dropped return the empty string).
+    EMPTY paragraphs (the blank-line structure of ``sep+sep``) are exempt
+    from the election and survive in place in every doc.
 
     BRANCH POINT: ``docs`` is consumed TWICE (once per exchange above).
     If its lineage is expensive (actor pools, upstream shuffles),
@@ -272,6 +274,11 @@ def dedup_paragraphs_global(
         ids, idxs, hs = [], [], []
         for d, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
             for i, p in enumerate((txt or "").split(sep)):
+                if p == "":
+                    # blank-line STRUCTURE, not content: exempt from the
+                    # winner election or every doc after the globally
+                    # first would lose its paragraph separators
+                    continue
                 ids.append(d)
                 idxs.append(i)
                 hs.append(_hl.md5(p.encode()).hexdigest())

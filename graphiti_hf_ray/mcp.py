@@ -268,10 +268,17 @@ class McpServer:
     def _call_tool(self, name: str, args: dict):
         if name not in TOOL_SPECS:
             return {"error": f"unknown tool {name!r}"}
+        fn = getattr(self, name)
+        # distinguish bad CALL arguments from TypeErrors raised inside the
+        # tool body — binding validates the signature without running it
+        import inspect
+
         try:
-            return getattr(self, name)(**args)
+            inspect.signature(fn).bind(**args)
         except TypeError as e:
             return {"error": f"bad arguments for {name}: {e}"}
+        try:
+            return fn(**args)
         except Exception as e:  # tool-level failure → ErrorResponse parity
             return {"error": f"Error in {name}: {e!r}"}
 

@@ -92,6 +92,25 @@ def load_packs(out_dir: str, shuffle_seed: int | None = None, columns: list[str]
     )
 
 
+# default-tokenizer memo, MODULE scope: one md5 per distinct token per
+# worker process, not per batch (same pattern as textclean's pair cache).
+# Unbounded by design — it holds the token VOCABULARY, not the corpus.
+_TOKEN_ID_CACHE: dict[str, int] = {}
+
+
+def _default_tokenize(text: str) -> list:
+    memo = _TOKEN_ID_CACHE
+    ids = []
+    for w in text.split():
+        i = memo.get(w)
+        if i is None:
+            i = memo[w] = (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little") & 0x7FFFFFFF
+            )
+        ids.append(i)
+    return ids
+
+
 def pad_token_lists(col: pa.ListArray, width: int | None, pad_id: int):
     """list<int32> Arrow column → (ids, lengths): a padded int32 matrix of
     shape (n, width) and the unpadded lengths. One vectorized scatter —
@@ -172,21 +191,7 @@ def iter_training_batches(
     tok = tokenize
 
     def to_ids(t: pa.Table) -> pa.Table:
-        f = tok
-        if f is None:
-            memo: dict[str, int] = {}
-
-            def f(text: str) -> list:
-                ids = []
-                for w in text.split():
-                    i = memo.get(w)
-                    if i is None:
-                        i = memo[w] = int.from_bytes(
-                            hashlib.md5(w.encode()).digest()[:4], "little"
-                        ) & 0x7FFFFFFF
-                    ids.append(i)
-                return ids
-
+        f = tok if tok is not None else _default_tokenize
         toks = [f(x or "") for x in t.column("text").to_pylist()]
         return pa.table(
             {
@@ -417,7 +422,9 @@ def prepare_training_set(
 
         if not collect_counts:
             docs = docs.materialize()
-        docs = surprisal_filter(docs, surprisal_max_bits, text_col=text_col)
+        docs = surprisal_filter(
+            docs, surprisal_max_bits, text_col=text_col, num_buckets=shuffle_buckets
+        )
         docs = checkpoint(docs, "n_after_surprisal")
 
     # 4. global paragraph dedup (single-paragraph docs == sentence-level
@@ -476,6 +483,10 @@ def prepare_training_set(
         # explicitly so no probe runs at all.
         if not collect_counts:  # checkpoint() already materialized otherwise
             docs = docs.materialize()
+        # explicit projection: the join keeps exactly left_types' columns,
+        # so drop the dedup stages' count columns HERE, visibly, rather
+        # than letting the join's column selection do it silently
+        docs = docs.select_columns([id_col, text_col])
         docs = hash_join(
             docs, strata, id_col, id_col, num_buckets=shuffle_buckets,
             left_types={id_col: strata_types[id_col], text_col: pa.string()},

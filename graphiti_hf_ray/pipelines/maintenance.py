@@ -215,6 +215,14 @@ def remove_episode(out_dir: str, episode_uuid_: str) -> dict[str, int]:
         os.path.join(out_dir, "episodes"),
         lambda t: pc.not_equal(t.column("uuid"), pa.scalar(episode_uuid_)),
     )
+    # the triples LOG too: the link phase re-derives MENTIONS/edges from
+    # every manifested triples shard on the next incremental build, so a
+    # victim left in the log RESURRECTS as dangling episodic_edges (and
+    # re-created entity edges) the moment anything else is ingested
+    removed["triples"] = _filter_table_dir(
+        os.path.join(out_dir, "triples"),
+        lambda t: pc.not_equal(t.column("episode_uuid"), pa.scalar(episode_uuid_)),
+    )
     removed["episodic_edges"] = _filter_table_dir(
         os.path.join(out_dir, "episodic_edges"),
         lambda t: pc.not_equal(t.column("source_node_uuid"), pa.scalar(episode_uuid_)),

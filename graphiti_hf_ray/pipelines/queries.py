@@ -330,7 +330,13 @@ def q16_knn(sf_dir: str) -> pd.DataFrame:
     q = np.asarray(row["embedding"], np.float64)
     out = knn_brute(emb, q, k=10)
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # CONTENT-keyed cache tag: digest the embeddings file's (path, size,
+    # mtime_ns) so regenerating the fixture in the same sf_dir invalidates
+    # the sidecar — a path-only tag silently served the PREVIOUS corpus's
+    # index after a fixture regen (the old rm -rf /tmp/graphiti_ray drill)
+    epath = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(epath)
+    tag = hashlib.md5(f"{epath}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:8]
     idx = f"/tmp/graphiti_ray/ivf_{tag}"
     man = load_index_manifest(idx)
     if man is None or man.get("fingerprint") != tag:

@@ -126,6 +126,18 @@ def _sweep_stale_parts(index_dir: str, prefix: str, expected: set[tuple[int, int
                 shutil.rmtree(os.path.join(pdir, sub), ignore_errors=True)
                 continue
             if not sub.startswith("part="):
+                # legacy flat-layout remains (part-N.parquet files and the
+                # bucket-level _manifest.json of the pre-sub-shard build):
+                # the recursive query glob would read them ALONGSIDE the
+                # new parts and double rows — a full build owns this dir
+                p = os.path.join(pdir, sub)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
                 continue
             sid = int(sub.split("=", 1)[1])
             keep = (pid, sid) in expected
@@ -193,6 +205,13 @@ def _write_partitioned(
     build's part ids can never collide with — and the stale-part sweep is
     scoped to that epoch, so existing data is never touched. The query
     path needs no change: it walks the partition dir recursively."""
+
+    # the build makes TWO passes over the input (occupancy histogram, then
+    # the keyed write) — materialize once so the second pass replays
+    # object-store blocks instead of re-reading storage / re-running the
+    # upstream lineage (the input is the narrow (id, embedding) projection,
+    # and the store spills if it exceeds memory)
+    ds = ds.materialize()
 
     def hist(t: pa.Table) -> pa.Table:
         part = assign_fn(t)

@@ -225,6 +225,18 @@ class GraphService:
 
             pq.write_table(t, spool + ".tmp-w")
             os.replace(spool + ".tmp-w", spool)
+        else:
+            import pyarrow.parquet as pq
+
+            old = pq.read_table(spool, columns=["text"]).column("text").to_pylist()
+            if old != [body]:
+                # single-writer update semantics, stated instead of silent:
+                # the old behavior rebuilt the SPOOLED body and discarded
+                # the new one without any signal
+                raise ValueError(
+                    f"episode {ep_key!r} already ingested with different "
+                    "content; delete the episode first, then re-add"
+                )
         with self._lock:
             build_graph([spool], self.out_dir, self.run_ts_us, num_shards=1)
         return {"uuid": md5_id("ep:" + f"memory://{group_id}/{ep_key}"), "name": name, "group_id": group_id}
@@ -298,6 +310,20 @@ class GraphService:
         from .pipelines.maintenance import remove_episode
 
         stats = remove_episode(self.out_dir, uuid)
+        # drop the matching spool file too, so delete → re-add with the
+        # same caller uuid and NEW content goes through (add_episode
+        # rejects a changed body while the old spool exists)
+        import pyarrow.parquet as pq
+
+        from .ids import md5_id
+
+        for fn in sorted(os.listdir(self.spool_dir)):
+            if not (fn.startswith("episode-") and fn.endswith(".parquet")):
+                continue
+            p = os.path.join(self.spool_dir, fn)
+            urls = pq.read_table(p, columns=["url"]).column("url").to_pylist()
+            if any(md5_id("ep:" + u) == uuid for u in urls):
+                os.remove(p)
         return {"message": "Episode deleted", "success": True, **stats}
 
     def clear(self) -> dict:

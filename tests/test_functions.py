@@ -1101,6 +1101,29 @@ def test_chunk_documents_invariants(ray_session):
         chunk_documents(rd.from_pandas(docs), max_tokens=8, overlap=8)
 
 
+def test_dedup_paragraphs_global_blank_lines(ray_session):
+    """Empty paragraphs are blank-line STRUCTURE, not content: exempt from
+    the winner election — every doc keeps its separators; only real
+    duplicated paragraphs drop (regression: doc 1's '' lost to doc 0's ''
+    and every multi-blank-line doc silently reflowed)."""
+    from graphiti_hf_ray.functions.textclean import dedup_paragraphs_global
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], np.int64),
+            "text": ["a\n\nb", "c\n\nd\n\na"],
+        }
+    )
+    out = (
+        dedup_paragraphs_global(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["a\n\nb", "c\n\nd\n"]     # blanks intact, dup 'a' dropped
+    assert list(out["n_dropped_paragraphs"]) == [0, 1]
+
+
 def test_dedup_paragraphs_global(ray_session):
     """Cross-doc paragraph dedup: a paragraph survives only at its globally
     first (doc_id, par_idx) occurrence — later copies in the SAME doc and

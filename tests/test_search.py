@@ -519,3 +519,50 @@ def test_all_recipes_run(ray_session, store):
             assert len(df) <= cfg.limit, f"{name}.{tbl} over limit"
         if cfg.edge_config is not None:
             assert len(res.edges) > 0, f"{name} returned no edges"
+
+
+def test_vector_index_rebuild_sweeps_legacy_layout(ray_session, store, tmp_path_factory):
+    """A rebuild over a pre-sub-shard sidecar (flat part-N.parquet files +
+    bucket-level _manifest.json) must remove the legacy remains — the
+    recursive query glob would otherwise read them alongside the new
+    parts and double every row (regression)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from graphiti_hf_ray.search.index import build_vector_index, query_vector_index
+    from graphiti_hf_ray.stages.embed import embed_text
+
+    nodes = store.ds("nodes").select_columns(["uuid", "name_embedding"])
+    q = embed_text("Ada Lovelace")
+    idx = str(tmp_path_factory.mktemp("vidx_legacy"))
+    build_vector_index(nodes, idx, "name_embedding", "uuid", n_planes=2, fingerprint="t1")
+    clean = query_vector_index(idx, q, k=5, probe_hamming=2, min_score=0.0)
+
+    # plant legacy flat-layout remains in every bucket dir: a duplicate
+    # part file (copied from the new layout so the schema matches) and a
+    # bucket-level manifest
+    planted = 0
+    for d in sorted(os.listdir(idx)):
+        bdir = os.path.join(idx, d)
+        if not (d.startswith("bucket=") and os.path.isdir(bdir)):
+            continue
+        src = os.path.join(bdir, "part=0000")
+        pf = [f for f in os.listdir(src) if f.endswith(".parquet")]
+        if not pf:
+            continue
+        pq.write_table(pq.read_table(os.path.join(src, pf[0])), os.path.join(bdir, "part-0.parquet"))
+        with open(os.path.join(bdir, "_manifest.json"), "w") as f:
+            f.write("{}")
+        planted += 1
+    assert planted
+    # a rebuild sweeps them and restores exact results
+    build_vector_index(nodes, idx, "name_embedding", "uuid", n_planes=2, fingerprint="t2")
+    for d in sorted(os.listdir(idx)):
+        bdir = os.path.join(idx, d)
+        if d.startswith("bucket=") and os.path.isdir(bdir):
+            assert "part-0.parquet" not in os.listdir(bdir)
+            assert "_manifest.json" not in os.listdir(bdir)
+    after = query_vector_index(idx, q, k=5, probe_hamming=2, min_score=0.0)
+    assert list(after["uuid"]) == list(clean["uuid"])
+    assert list(after["score"]) == list(clean["score"])

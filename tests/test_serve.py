@@ -154,3 +154,43 @@ def test_entity_node_delete_and_clear(service):
     assert code == 200 and c["success"]
     code, res = _call(port, "POST", "/search", {"query": "Acme"})
     assert code == 500 or res["facts"] == []  # graph gone
+
+
+def test_delete_episode_purges_triples_log_and_spool(ray_session, tmp_path_factory):
+    """remove_episode must filter the TRIPLES log too: the link phase
+    re-derives MENTIONS/edges from every manifested shard, so a victim
+    left in the log resurrected as dangling episodic_edges on the next
+    ingest (regression). Delete also removes the spool file, so
+    delete -> re-add with the same caller uuid and NEW content works;
+    a changed-body re-add WITHOUT a delete is rejected, not silently
+    discarded."""
+    import pytest
+
+    from graphiti_hf_ray import io as gio
+    from graphiti_hf_ray.serve import GraphService
+
+    out = str(tmp_path_factory.mktemp("svc_del"))
+    svc = GraphService(out)
+    ua = svc.add_episode("g", "epA", "Ada Lovelace works at Acme Corporation.")["uuid"]
+    svc.add_episode("g", "epB", "Grace Hopper moved to Oslo.")
+    svc.delete_episode(ua)
+    # changed body under a NEW name (new uuid) is fine; the deleted
+    # episode must NOT resurrect through the re-derive
+    svc.add_episode("g", "epC", "Alan Turing works at Bletchley Park.")
+    eps = gio.read_table_dir(out, "episodes").column("uuid").to_pylist()
+    men = gio.read_table_dir(out, "episodic_edges").column("source_node_uuid").to_pylist()
+    assert ua not in eps
+    assert ua not in men                                   # the regression
+    # changed-body re-add of a LIVE episode: explicit rejection
+    uc = svc.add_episode("g", "epD", "Marie Curie works at Sorbonne.", uuid="fixed-u")["uuid"]
+    with pytest.raises(ValueError, match="different"):
+        svc.add_episode("g", "epD", "Marie Curie moved to Paris.", uuid="fixed-u")
+    # identical re-add stays idempotent
+    assert svc.add_episode("g", "epD", "Marie Curie works at Sorbonne.", uuid="fixed-u")["uuid"] == uc
+    # delete -> re-add with the same uuid and new content goes through
+    svc.delete_episode(uc)
+    r = svc.add_episode("g", "epD", "Marie Curie moved to Paris.", uuid="fixed-u")
+    assert r["uuid"] == uc
+    facts = gio.read_table_dir(out, "edges").column("fact").to_pylist()
+    assert any("moved to Paris" in f for f in facts)
+    assert not any("works at Sorbonne" in f for f in facts)
