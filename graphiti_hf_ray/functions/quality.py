@@ -232,7 +232,9 @@ def unigram_count_bits(
         merge,
         num_buckets=num_buckets,
     ).to_pandas()  # vocabulary-sized (token TYPES)
-    n_total = int(counts["c"].sum())
+    # an ALL-empty dataset loses its schema entirely (no 'c' column, not
+    # just zero rows) — e.g. every doc was gated out upstream
+    n_total = 0 if counts.empty else int(counts["c"].sum())
     if n_total == 0:
         return ray.put({}), 0, 0
     kept = counts[counts["c"] >= min_count]

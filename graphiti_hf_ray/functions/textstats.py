@@ -22,7 +22,7 @@ _STOP = set(STOPWORDS)
 
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_chars, n_tokens, n_uniq_tokens, fingerprint (md5 of text)."""
-    texts = batch.column("text")
+    texts = pc.fill_null(batch.column("text"), "")
     n_chars = pc.utf8_length(texts)
     split = pc.split_pattern(texts, " ")
     n_tokens = pc.list_value_length(split)
@@ -94,7 +94,8 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
     if not _PII_RX_MEMO:
         _PII_RX_MEMO.append(_pii_rx())  # compiled once per worker process
     rx = _PII_RX_MEMO[0]
-    texts_col = batch.column("text")
+    # null text = empty doc, engine-wide convention (oracle: coalesce)
+    texts_col = pc.fill_null(batch.column("text"), "")
     texts = texts_col.to_pylist()
     doc_ids = batch.column("doc_id").to_pylist()
     n_tok, n_uniq, n_stop, sum_len, passes = [], [], [], [], []
@@ -126,8 +127,17 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
             and 100 * st >= 2 * n
         )
         # the synthetic probe needs integer ids (the oracle reconstructs it
-        # from doc_id arithmetic); non-integer-id corpora scan the raw text
-        di = int(d) if isinstance(d, (int, np.integer)) else None
+        # from doc_id arithmetic); non-integer-id corpora scan the raw
+        # text. Integral FLOATS keep the probe — an int64 column that
+        # picked up a null float-ifies through pandas, and skipping the
+        # probe there would silently diverge from the doc_id-arithmetic
+        # oracle for the whole corpus
+        if isinstance(d, (int, np.integer)):
+            di = int(d)
+        elif isinstance(d, (float, np.floating)) and float(d).is_integer():
+            di = int(d)
+        else:
+            di = None
         probe = (
             x + PII_PROBE_SUFFIX.format(d=di, a=di % 256, b=di % 100)
             if di is not None
@@ -163,7 +173,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
     quality_score = stop_ratio * 0.4 + uniq_ratio * 0.6 (deterministic toy
     scoring; rounded to 6 dp so the SQL oracle hashes identically)."""
-    texts = batch.column("text").to_pylist()
+    texts = [x or "" for x in batch.column("text").to_pylist()]
     ids = batch.column("doc_id")
     stop_ratio, mean_len, uniq_ratio = [], [], []
     for t in texts:
@@ -205,7 +215,7 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        texts = [x or "" for x in batch.column("text").to_pylist()]
         preds = []
         for t in texts:
             toks = set(t.lower().split(" "))
@@ -258,7 +268,7 @@ def winnow_fingerprints(
 
     def per_batch(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
+        texts = [x or "" for x in t.column("text").to_pylist()]
         out_id, out_fp = [], []
         for d, x in zip(ids, texts):
             toks = x.split(" ")
@@ -318,7 +328,7 @@ def gopher_quality_batch(t: pa.Table) -> pa.Table:
     INTEGER-exact (ratio thresholds compare as cross-multiplied ints, so
     the SQL oracle can never diverge on float rounding)."""
     ids = t.column("doc_id")
-    texts = t.column("text").to_pylist()
+    texts = [x or "" for x in t.column("text").to_pylist()]
     n_tok, sum_len, n_stop, passes = [], [], [], []
     for x in texts:
         toks = x.split(" ")

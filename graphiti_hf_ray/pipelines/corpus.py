@@ -93,9 +93,13 @@ def load_packs(out_dir: str, shuffle_seed: int | None = None, columns: list[str]
 
 
 # default-tokenizer memo, MODULE scope: one md5 per distinct token per
-# worker process, not per batch (same pattern as textclean's pair cache).
-# Unbounded by design — it holds the token VOCABULARY, not the corpus.
+# worker process, not per batch. CAPPED: webtext vocabulary grows
+# near-linearly with corpus size (the Zipf singleton tail), so an
+# unbounded memo is a slow per-worker leak across a long epoch — on
+# overflow the whole dict resets (ids are pure hashes, a re-derivation
+# costs one md5; no correctness dependence on cache state).
 _TOKEN_ID_CACHE: dict[str, int] = {}
+_TOKEN_ID_CACHE_MAX = 1_000_000
 
 
 def _default_tokenize(text: str) -> list:
@@ -104,6 +108,8 @@ def _default_tokenize(text: str) -> list:
     for w in text.split():
         i = memo.get(w)
         if i is None:
+            if len(memo) >= _TOKEN_ID_CACHE_MAX:
+                memo.clear()
             i = memo[w] = (
                 int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little") & 0x7FFFFFFF
             )

@@ -340,6 +340,17 @@ def q16_knn(sf_dir: str) -> pd.DataFrame:
     idx = f"/tmp/graphiti_ray/ivf_{tag}"
     man = load_index_manifest(idx)
     if man is None or man.get("fingerprint") != tag:
+        # bound the cache: each fixture regen mints a new content tag, and
+        # without eviction /tmp accumulates one full sidecar per regen.
+        # Keep a small LRU working set (the correctness sweep alternates
+        # sf scales — evicting everything would rebuild per scale switch)
+        import glob
+        import shutil
+
+        dirs = sorted(glob.glob("/tmp/graphiti_ray/ivf_*"), key=os.path.getmtime)
+        for old in dirs[:-7]:
+            if old != idx:
+                shutil.rmtree(old, ignore_errors=True)
         os.makedirs(idx, exist_ok=True)
         man = build_ivf_index(emb.materialize(), idx, n_lists=16, fingerprint=tag)
     ivf = query_ivf_index(idx, q, k=10, n_probe=man["n_lists"])

@@ -219,25 +219,29 @@ class GraphService:
                 "group_id": pa.array([group_id], pa.string()),
             }
         )
-        spool = os.path.join(self.spool_dir, f"episode-{ep_key[:16]}.parquet")
-        if not os.path.exists(spool):
+        # filename = md5 of the FULL key: a prefix-truncated key collided
+        # two structured caller uuids sharing 16 leading chars (false
+        # "different content" errors / silent second-episode drops), and a
+        # raw caller uuid could carry path-hostile characters
+        spool = os.path.join(
+            self.spool_dir, f"episode-{md5_id('spool:' + ep_key)}.parquet"
+        )
+        with self._lock:  # spool check/write races delete_episode's purge
             import pyarrow.parquet as pq
 
-            pq.write_table(t, spool + ".tmp-w")
-            os.replace(spool + ".tmp-w", spool)
-        else:
-            import pyarrow.parquet as pq
-
-            old = pq.read_table(spool, columns=["text"]).column("text").to_pylist()
-            if old != [body]:
-                # single-writer update semantics, stated instead of silent:
-                # the old behavior rebuilt the SPOOLED body and discarded
-                # the new one without any signal
-                raise ValueError(
-                    f"episode {ep_key!r} already ingested with different "
-                    "content; delete the episode first, then re-add"
-                )
-        with self._lock:
+            if not os.path.exists(spool):
+                pq.write_table(t, spool + ".tmp-w")
+                os.replace(spool + ".tmp-w", spool)
+            else:
+                old = pq.read_table(spool, columns=["text"]).column("text").to_pylist()
+                if old != [body]:
+                    # single-writer update semantics, stated instead of
+                    # silent: the old behavior rebuilt the SPOOLED body and
+                    # discarded the new one without any signal
+                    raise ValueError(
+                        f"episode {ep_key!r} already ingested with different "
+                        "content; delete the episode first, then re-add"
+                    )
             build_graph([spool], self.out_dir, self.run_ts_us, num_shards=1)
         return {"uuid": md5_id("ep:" + f"memory://{group_id}/{ep_key}"), "name": name, "group_id": group_id}
 
@@ -309,21 +313,26 @@ class GraphService:
     def delete_episode(self, uuid: str) -> dict:
         from .pipelines.maintenance import remove_episode
 
-        stats = remove_episode(self.out_dir, uuid)
-        # drop the matching spool file too, so delete → re-add with the
-        # same caller uuid and NEW content goes through (add_episode
-        # rejects a changed body while the old spool exists)
-        import pyarrow.parquet as pq
+        # under the single-writer lock: the table/log rewrites must not
+        # interleave with a concurrent add's build_graph (a half-filtered
+        # triples log re-derives the victim's MENTIONS), and the spool
+        # purge must not race add_episode's exists/read pair
+        with self._lock:
+            stats = remove_episode(self.out_dir, uuid)
+            # drop the matching spool file too, so delete → re-add with
+            # the same caller uuid and NEW content goes through
+            # (add_episode rejects a changed body while the spool exists)
+            import pyarrow.parquet as pq
 
-        from .ids import md5_id
+            from .ids import md5_id
 
-        for fn in sorted(os.listdir(self.spool_dir)):
-            if not (fn.startswith("episode-") and fn.endswith(".parquet")):
-                continue
-            p = os.path.join(self.spool_dir, fn)
-            urls = pq.read_table(p, columns=["url"]).column("url").to_pylist()
-            if any(md5_id("ep:" + u) == uuid for u in urls):
-                os.remove(p)
+            for fn in sorted(os.listdir(self.spool_dir)):
+                if not (fn.startswith("episode-") and fn.endswith(".parquet")):
+                    continue
+                p = os.path.join(self.spool_dir, fn)
+                urls = pq.read_table(p, columns=["url"]).column("url").to_pylist()
+                if any(md5_id("ep:" + u) == uuid for u in urls):
+                    os.remove(p)
         return {"message": "Episode deleted", "success": True, **stats}
 
     def clear(self) -> dict:

@@ -45,6 +45,12 @@ def main() -> int:
     ap.add_argument("--quality-gate", action="store_true", help="enable the Gopher quality gate")
     ap.add_argument("--surprisal-max-bits", type=float, default=None,
                     help="enable the unigram-LM surprisal gate (mean bits/token)")
+    ap.add_argument("--model-quality-min", type=float, default=None,
+                    help="enable the hashed-ngram model quality gate at this mean weight")
+    ap.add_argument("--model-quality-weights", default=None,
+                    help=".npy file of trained quality weights (stub weights when omitted)")
+    ap.add_argument("--fingerprint", default="corpus-v1",
+                    help="resume fingerprint prefix (encode your knob set)")
     ap.add_argument("--mixture", default=None,
                     help='JSON per-stratum mixture weights, e.g. \'{"en": 2.0, "de": 0.5}\'')
     ap.add_argument("--mixture-col", default="lang")
@@ -93,6 +99,11 @@ def main() -> int:
             .column(args.benchmark_col).to_pylist() if x
         ]
 
+    quality_weights = None
+    if args.model_quality_weights:
+        import numpy as np
+
+        quality_weights = np.load(args.model_quality_weights)
     cpus = int(ray.cluster_resources().get("CPU", 16))
     t0 = time.time()
     metrics = prepare_training_set(
@@ -105,10 +116,13 @@ def main() -> int:
         fuzzy_jaccard=args.fuzzy_jaccard,
         span_dedup_k=args.span_dedup_k,
         quality_gate=args.quality_gate,
+        model_quality_min=args.model_quality_min,
+        model_quality_weights=quality_weights,
         surprisal_max_bits=args.surprisal_max_bits,
         mixture_weights=json.loads(args.mixture) if args.mixture else None,
         mixture_col=args.mixture_col,
-        lang_allow=tuple(x for x in args.lang_allow.split(",") if x),
+        lang_allow=tuple(x.strip() for x in args.lang_allow.split(",") if x.strip()),
+        fingerprint=args.fingerprint,
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
         overlap=args.overlap,

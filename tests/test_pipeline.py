@@ -1024,3 +1024,38 @@ def test_load_packs_epoch_reshuffle(ray_session, tmp_path):
     # re-seeding a baked table replaces the stale key, doesn't stack
     re2 = load_packs(str(tmp_path / "baked"), shuffle_seed=2).to_pandas()
     assert list(re2["pack_id"]) == list(e2["pack_id"])
+
+
+def test_prepare_training_set_null_text(ray_session, tmp_path):
+    """A null text row flows through EVERY gate stage as an empty doc
+    (LangId, Gopher, model-quality, surprisal) instead of crashing a
+    remote task — the engine-wide (x or '') convention."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    rng = np.random.default_rng(9)
+    words = [f"word{i}" for i in range(80)]
+    # Gopher-passing shape: >= 50 tokens, mean token length in [3, 10],
+    # >= 2% stopwords (two 'the' per 60 tokens)
+    texts = [
+        " ".join(list(rng.choice(words, 58, replace=False)) + ["the", "the"])
+        for _ in range(6)
+    ] + [None]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(7, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    m = prepare_training_set(
+        rd.from_arrow(docs), ["no overlap"], str(tmp_path / "nulls"),
+        lang_allow=(), min_tokens=4, max_tokens=16, overlap=0, pack_budget=32,
+        quality_gate=True, model_quality_min=-1e9, surprisal_max_bits=1e9,
+        collect_counts=True,
+    )
+    assert m["n_after_gate"] == 6          # the null doc fails min_tokens, quietly
+    assert m["n_packs"] > 0

@@ -194,3 +194,21 @@ def test_delete_episode_purges_triples_log_and_spool(ray_session, tmp_path_facto
     facts = gio.read_table_dir(out, "edges").column("fact").to_pylist()
     assert any("moved to Paris" in f for f in facts)
     assert not any("works at Sorbonne" in f for f in facts)
+
+
+def test_add_episode_uuid_prefix_no_collision(ray_session, tmp_path_factory):
+    """Two caller uuids sharing a 16-char prefix are DIFFERENT episodes:
+    the spool filename digests the full key (regression: the truncated
+    key raised a false 'different content' error for the second add)."""
+    from graphiti_hf_ray import io as gio
+    from graphiti_hf_ray.serve import GraphService
+
+    out = str(tmp_path_factory.mktemp("svc_prefix"))
+    svc = GraphService(out)
+    ua = svc.add_episode("g", "e1", "Ada Lovelace works at Acme Corporation.",
+                         uuid="session-2024-06-01-a")["uuid"]
+    ub = svc.add_episode("g", "e2", "Grace Hopper moved to Oslo.",
+                         uuid="session-2024-06-01-b")["uuid"]
+    assert ua != ub
+    eps = gio.read_table_dir(out, "episodes").column("uuid").to_pylist()
+    assert ua in eps and ub in eps
