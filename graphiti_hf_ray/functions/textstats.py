@@ -20,6 +20,12 @@ STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
 _STOP = set(STOPWORDS)
 
 
+def _text_list(batch: pa.Table, col: str = "text") -> list[str]:
+    """Text column → Python list with the engine-wide null convention:
+    null text = empty doc (oracle mirror: coalesce(text, ''))."""
+    return [x or "" for x in batch.column(col).to_pylist()]
+
+
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_chars, n_tokens, n_uniq_tokens, fingerprint (md5 of text)."""
     texts = pc.fill_null(batch.column("text"), "")
@@ -134,7 +140,11 @@ def doc_profile_batch(batch: pa.Table) -> pa.Table:
         # oracle for the whole corpus
         if isinstance(d, (int, np.integer)):
             di = int(d)
-        elif isinstance(d, (float, np.floating)) and float(d).is_integer():
+        elif (
+            isinstance(d, (float, np.floating))
+            and float(d).is_integer()
+            and abs(d) < 2**53  # beyond this a float cannot name the int exactly
+        ):
             di = int(d)
         else:
             di = None
@@ -173,7 +183,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
     quality_score = stop_ratio * 0.4 + uniq_ratio * 0.6 (deterministic toy
     scoring; rounded to 6 dp so the SQL oracle hashes identically)."""
-    texts = [x or "" for x in batch.column("text").to_pylist()]
+    texts = _text_list(batch)
     ids = batch.column("doc_id")
     stop_ratio, mean_len, uniq_ratio = [], [], []
     for t in texts:
@@ -215,7 +225,7 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [x or "" for x in batch.column("text").to_pylist()]
+        texts = _text_list(batch)
         preds = []
         for t in texts:
             toks = set(t.lower().split(" "))
@@ -246,7 +256,7 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
 
 
 def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
-    fps = pa.array([rolling_fingerprint(t) for t in batch.column("text").to_pylist()], pa.int64())
+    fps = pa.array([rolling_fingerprint(t) for t in _text_list(batch)], pa.int64())
     return pa.table({"doc_id": batch.column("doc_id"), "rolling_fp": fps})
 
 
@@ -268,7 +278,7 @@ def winnow_fingerprints(
 
     def per_batch(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        texts = [x or "" for x in t.column("text").to_pylist()]
+        texts = _text_list(t)
         out_id, out_fp = [], []
         for d, x in zip(ids, texts):
             toks = x.split(" ")
@@ -308,7 +318,7 @@ class BpeTokenCount:
         self._rx = re.compile(pattern)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        counts = [len(self._rx.findall(x)) for x in t.column("text").to_pylist()]
+        counts = [len(self._rx.findall(x)) for x in _text_list(t)]
         return pa.table(
             {"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(counts, pa.int64())}
         )
@@ -328,7 +338,7 @@ def gopher_quality_batch(t: pa.Table) -> pa.Table:
     INTEGER-exact (ratio thresholds compare as cross-multiplied ints, so
     the SQL oracle can never diverge on float rounding)."""
     ids = t.column("doc_id")
-    texts = [x or "" for x in t.column("text").to_pylist()]
+    texts = _text_list(t)
     n_tok, sum_len, n_stop, passes = [], [], [], []
     for x in texts:
         toks = x.split(" ")

@@ -540,7 +540,9 @@ def prepare_training_set(
     # knobs must NOT resume the stale pack set
     bt_fp = hashlib.md5("\x1f".join(benchmark_texts).encode()).hexdigest()
     w_fp = None
-    if model_quality_weights is not None:
+    # weights only shape the output when the gate is ON — weights passed
+    # with no threshold must not bust resume for an identical output
+    if model_quality_weights is not None and model_quality_min is not None:
         import numpy as _np
 
         w_fp = hashlib.md5(

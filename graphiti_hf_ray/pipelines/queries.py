@@ -342,17 +342,32 @@ def q16_knn(sf_dir: str) -> pd.DataFrame:
     if man is None or man.get("fingerprint") != tag:
         # bound the cache: each fixture regen mints a new content tag, and
         # without eviction /tmp accumulates one full sidecar per regen.
-        # Keep a small LRU working set (the correctness sweep alternates
-        # sf scales — evicting everything would rebuild per scale switch)
+        # Keep a small LRU working set — real LRU, the hit path below
+        # utime-touches its dir — and never evict anything touched in the
+        # last 10 minutes (a concurrent process may be mid-query on it);
+        # stat races with another evictor fall back to "just evicted"
         import glob
         import shutil
+        import time as _time
 
-        dirs = sorted(glob.glob("/tmp/graphiti_ray/ivf_*"), key=os.path.getmtime)
+        def _mtime(p: str) -> float:
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return 0.0
+
+        dirs = sorted(glob.glob("/tmp/graphiti_ray/ivf_*"), key=_mtime)
+        cutoff = _time.time() - 600
         for old in dirs[:-7]:
-            if old != idx:
+            if old != idx and _mtime(old) < cutoff:
                 shutil.rmtree(old, ignore_errors=True)
         os.makedirs(idx, exist_ok=True)
         man = build_ivf_index(emb.materialize(), idx, n_lists=16, fingerprint=tag)
+    else:
+        try:
+            os.utime(idx)  # LRU touch: keep hot working-set dirs resident
+        except OSError:
+            pass
     ivf = query_ivf_index(idx, q, k=10, n_probe=man["n_lists"])
     return pd.DataFrame(
         {

@@ -107,8 +107,30 @@ class GraphService:
         # already-spooled episodes
         self._ep_seq = len([f for f in os.listdir(self.spool_dir) if f.startswith("episode-")])
         self._seq_lock = threading.Lock()
+        self._migrate_spool_names()
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
+
+    def _migrate_spool_names(self) -> None:
+        """Rename legacy ``episode-{ep_key[:16]}.parquet`` spools to the
+        md5-of-full-key scheme. Without this, a service restarted over a
+        persisted out_dir would not SEE the legacy spool for an episode —
+        so a changed-body re-add would silently ingest a second
+        conflicting body under the same episode uuid instead of raising
+        (the full key is recoverable from the spooled url)."""
+        import pyarrow.parquet as pq
+
+        from .ids import md5_id
+
+        for fn in sorted(os.listdir(self.spool_dir)):
+            if not (fn.startswith("episode-") and fn.endswith(".parquet")):
+                continue
+            p = os.path.join(self.spool_dir, fn)
+            url = pq.read_table(p, columns=["url"]).column("url").to_pylist()[0]
+            ep_key = url.rsplit("/", 1)[1]
+            want = f"episode-{md5_id('spool:' + ep_key)}.parquet"
+            if fn != want:
+                os.replace(p, os.path.join(self.spool_dir, want))
 
     # ------------------------------------------------------------- ingest
 

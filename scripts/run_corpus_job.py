@@ -101,6 +101,9 @@ def main() -> int:
 
     quality_weights = None
     if args.model_quality_weights:
+        if args.model_quality_min is None:
+            ap.error("--model-quality-weights requires --model-quality-min "
+                     "(the gate only runs when a threshold is set)")
         import numpy as np
 
         quality_weights = np.load(args.model_quality_weights)

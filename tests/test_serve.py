@@ -212,3 +212,30 @@ def test_add_episode_uuid_prefix_no_collision(ray_session, tmp_path_factory):
     assert ua != ub
     eps = gio.read_table_dir(out, "episodes").column("uuid").to_pylist()
     assert ua in eps and ub in eps
+
+
+def test_spool_migration_from_legacy_names(ray_session, tmp_path_factory):
+    """A service restarted over an out_dir with legacy 16-char-prefix
+    spool names must still SEE those episodes: migration renames to the
+    md5-of-full-key scheme, so a changed-body re-add raises instead of
+    silently double-ingesting (regression)."""
+    import os
+
+    import pytest
+
+    from graphiti_hf_ray.ids import md5_id
+    from graphiti_hf_ray.serve import GraphService
+
+    out = str(tmp_path_factory.mktemp("svc_migrate"))
+    svc = GraphService(out)
+    key = "session-2024-06-01-a"
+    svc.add_episode("g", "e1", "Ada Lovelace works at Acme Corporation.", uuid=key)
+    # simulate the pre-upgrade on-disk state: rename to the legacy scheme
+    new_name = f"episode-{md5_id('spool:' + key)}.parquet"
+    legacy = os.path.join(svc.spool_dir, f"episode-{key[:16]}.parquet")
+    os.replace(os.path.join(svc.spool_dir, new_name), legacy)
+    svc2 = GraphService(out)                      # restart migrates
+    assert new_name in os.listdir(svc2.spool_dir)
+    assert not os.path.exists(legacy)
+    with pytest.raises(ValueError, match="different"):
+        svc2.add_episode("g", "e1", "Ada Lovelace moved to London.", uuid=key)
