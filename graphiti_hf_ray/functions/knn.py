@@ -222,6 +222,38 @@ def _sample_key(ids_col: pa.ChunkedArray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(vals, object)).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
 
 
+def _sample_matrix(
+    emb: "ray.data.Dataset", sample_max: int, id_col: str, emb_col: str, need: int
+) -> np.ndarray:
+    """Deterministic bounded training sample: rows whose sample key
+    ``% step == 0`` (key = the int id itself, or a fixed-key hash for
+    string ids — step sized so ≤ ``sample_max`` rows reach the driver,
+    bounded at any corpus size), concatenated in id order and
+    L2-normalized. ``need`` is the minimum row count the caller can seed
+    its quantizer from."""
+    n = emb.count()
+    step = max(1, int(np.ceil(n / sample_max)))
+
+    def take_sample(t: pa.Table) -> pa.Table:
+        mask = pa.array(_sample_key(t.column(id_col)) % step == 0)
+        return t.filter(mask)
+
+    # bounded: ≤ sample_max rows total; flat-buffer reshape, no per-row loop
+    parts = [
+        p for p in ray.get(
+            emb.map_batches(take_sample, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        raise ValueError(f"empty sample cannot seed {need} codewords")
+    samp = pa.concat_tables(parts).sort_by(id_col)
+    X = _normalize(embedding_matrix(samp.column(emb_col)))
+    if len(X) < need:
+        raise ValueError(f"sample of {len(X)} rows cannot seed {need} codewords")
+    return X
+
+
 def train_ivf_centroids(
     emb: "ray.data.Dataset",
     n_lists: int = 32,
@@ -238,26 +270,7 @@ def train_ivf_centroids(
     vectors in id order, fixed Lloyd iteration count — no RNG, so the same
     corpus always trains the same centroids. Returns an (n_lists, dim)
     L2-normalized matrix."""
-    n = emb.count()
-    step = max(1, int(np.ceil(n / sample_max)))
-
-    def take_sample(t: pa.Table) -> pa.Table:
-        mask = pa.array(_sample_key(t.column(id_col)) % step == 0)
-        return t.filter(mask)
-
-    # bounded: ≤ sample_max rows total; flat-buffer reshape, no per-row loop
-    parts = [
-        p for p in ray.get(
-            emb.map_batches(take_sample, batch_format="pyarrow").to_arrow_refs()
-        )
-        if p.num_rows
-    ]
-    if not parts:
-        raise ValueError(f"empty sample cannot seed {n_lists} lists")
-    samp = pa.concat_tables(parts).sort_by(id_col)
-    X = _normalize(embedding_matrix(samp.column(emb_col)))
-    if len(X) < n_lists:
-        raise ValueError(f"sample of {len(X)} rows cannot seed {n_lists} lists")
+    X = _sample_matrix(emb, sample_max, id_col, emb_col, need=n_lists)
     C = X[:n_lists].copy()
     for _ in range(iters):
         a = np.argmax(X @ C.T, axis=1)
@@ -267,6 +280,75 @@ def train_ivf_centroids(
                 C[j] = pts.mean(0)
         C = _normalize(C)
     return C
+
+
+def train_pq_codebooks(
+    emb: "ray.data.Dataset",
+    m: int = 8,
+    nbits: int = 8,
+    iters: int = 25,
+    sample_max: int = 32768,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic product-quantizer training (Jégou et al., PQ): split
+    the L2-normalized vector into ``m`` contiguous subvectors and train an
+    independent ``2**nbits``-codeword Euclidean k-means per subspace on the
+    same partition-independent bounded sample as ``train_ivf_centroids``
+    (init = first codewords in id order, fixed Lloyd count — no RNG).
+    Returns an (m, 2**nbits, dim//m) float64 codebook tensor. Codes are
+    uint8 on disk, so ``nbits`` ≤ 8. A reconstructed vector is the
+    concatenation of its codewords; with normalized inputs the ADC inner
+    product approximates cosine directly."""
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8] (uint8 codes), got {nbits}")
+    ncode = 1 << nbits
+    X = _sample_matrix(emb, sample_max, id_col, emb_col, need=ncode)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.empty((m, ncode, dsub), np.float64)
+    for j in range(m):
+        Xj = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        C = Xj[:ncode].copy()
+        for _ in range(iters):
+            # ||x - c||² ranks like -2 x·c + ||c||² (||x||² constant per row)
+            a = np.argmin(-2.0 * (Xj @ C.T) + (C * C).sum(axis=1), axis=1)
+            for c in range(ncode):
+                pts = Xj[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode L2-normalized rows to (n, m) uint8 codes: per subspace, the
+    nearest (Euclidean) codeword. One (batch × ncode) matmul per subspace —
+    no per-row Python."""
+    m, ncode, dsub = codebooks.shape
+    codes = np.empty((len(X), m), np.uint8)
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        C = codebooks[j]
+        codes[:, j] = np.argmin(-2.0 * (Xj @ C.T) + (C * C).sum(axis=1), axis=1)
+    return codes
+
+
+def pq_adc_lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup table for one L2-normalized query:
+    LUT[j, c] = q_j · codebook[j][c], so a stored code scores as
+    ``LUT[arange(m), codes].sum(axis=1)`` ≈ cosine(q, x) — m table lookups
+    + one sum per row instead of a dim-wide dot product."""
+    m, ncode, dsub = codebooks.shape
+    return np.einsum("mcd,md->mc", codebooks, np.asarray(q, np.float64).reshape(m, dsub))
+
+
+def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Vectorized ADC scoring of (n, m) uint8 codes against a query LUT."""
+    m = lut.shape[0]
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
 
 
 def _score_ivf_trained_batch(t: pa.Table, ref=None, k: int = 10) -> pa.Table:

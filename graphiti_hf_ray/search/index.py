@@ -385,6 +385,94 @@ def build_ivf_index(
     return manifest
 
 
+def build_ivfpq_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 32,
+    m: int = 8,
+    nbits: int = 8,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    fingerprint: str = "",
+    rows_per_part: int = DEFAULT_ROWS_PER_PART,
+) -> dict:
+    """IVF-PQ sidecar (FAISS ``IndexIVFPQ`` shape): same list partitioning
+    as ``build_ivf_index``, but each row stores an m-byte product-quantizer
+    CODE instead of the full vector — for dim=64/float32 and m=8 that is a
+    32× smaller probed-list scan, the compression a 100-TB embedding table
+    needs before ANY per-query scan is affordable. Assignment and encoding
+    happen ONCE at build time in one streaming pass (list = nearest trained
+    centroid, code = per-subspace nearest codeword); centroids AND
+    codebooks persist in the manifest so queries never touch the corpus.
+    Queries (``query_ivfpq_index``) read only the probed lists' code files
+    and score by ADC table lookup; an optional refine step re-ranks the
+    ADC shortlist exactly against a full-vector ``build_ivf_index`` sidecar
+    sharing the same centroids. Training is deterministic
+    (``functions.knn.train_pq_codebooks``)."""
+    from ..functions.knn import pq_encode, train_ivf_centroids, train_pq_codebooks
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_lists=n_lists, id_col=id_col, emb_col=emb_col)
+    C = _norm(np.asarray(centroids, np.float64))
+    n_lists = C.shape[0]
+    if codebooks is None:
+        codebooks = train_pq_codebooks(ds, m=m, nbits=nbits, id_col=id_col, emb_col=emb_col)
+    B = np.asarray(codebooks, np.float64)
+    m, ncode, dsub = (int(x) for x in B.shape)
+    if C.shape[1] != m * dsub:
+        raise ValueError(f"codebooks cover dim {m * dsub} != centroid dim {C.shape[1]}")
+    cref, bref = ray.put(C), ray.put(B)
+
+    def encode(t: pa.Table) -> pa.Table:
+        C_, B_ = ray.get(cref), ray.get(bref)
+        X = _norm(embedding_matrix(t.column(emb_col)))
+        lists = np.argmax(X @ C_.T, axis=1).astype(np.int64)
+        codes = pq_encode(X, B_)
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "pq_code": code_col,
+                "_list": pa.array(lists, pa.int64()),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> np.ndarray:
+        return t.column("_list").combine_chunks().to_numpy(zero_copy_only=False)
+
+    rows_by_list = _write_partitioned(
+        enc, index_dir, "list", assign, id_col, "pq_code", fingerprint, rows_per_part
+    )
+    _, bytes_by_list = _scan_partition_stats(index_dir, "list")
+    manifest = {
+        "kind": "ivf_pq",
+        "n_lists": int(n_lists),
+        "dim": int(C.shape[1]),
+        "m": m,
+        "nbits": int(nbits),
+        "emb_col": emb_col,
+        "code_col": "pq_code",
+        "id_col": id_col,
+        "fingerprint": fingerprint,
+        "centroids": C.tolist(),  # float64 — json round-trips exactly
+        "codebooks": B.tolist(),
+        "lists": {int(b): int(r) for b, r in rows_by_list.items()},
+        "bytes": {int(b): int(v) for b, v in bytes_by_list.items()},
+        "rows": int(sum(rows_by_list.values())),
+    }
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp-rw")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return manifest
+
+
 def _scan_partition_stats(index_dir: str, prefix: str) -> tuple[dict[int, int], dict[int, int]]:
     """(rows, bytes) per partition, rescanned from the part-shard manifests
     and file sizes on disk — the idempotent ground truth after appends or
@@ -459,6 +547,80 @@ def append_to_ivf_index(
 
     _write_partitioned(
         ds, index_dir, "list", assign, id_col, emb_col, fingerprint,
+        rows_per_part, epoch=_epoch_tag(fingerprint),
+    )
+    rows_by_list, bytes_by_list = _scan_partition_stats(index_dir, "list")
+    gens = man.get("generations", [man["fingerprint"]])
+    if fingerprint not in gens:
+        gens.append(fingerprint)
+    man.update(
+        {
+            "lists": {int(b): int(r) for b, r in rows_by_list.items()},
+            "bytes": {int(b): int(v) for b, v in bytes_by_list.items()},
+            "rows": int(sum(rows_by_list.values())),
+            "generations": gens,
+        }
+    )
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp-rw")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return man
+
+
+def append_to_ivfpq_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    fingerprint: str,
+    rows_per_part: int = DEFAULT_ROWS_PER_PART,
+) -> dict:
+    """Incremental add for the IVF-PQ sidecar (same epoch mechanics as
+    ``append_to_ivf_index``): new rows are assigned with the PERSISTED
+    centroids and encoded with the PERSISTED codebooks, so appended codes
+    are bit-identical to a one-shot build's. The quantizers stay fixed —
+    after heavy appends the data drifts from both trainings, so
+    periodically rebuild (``build_ivfpq_index`` sweeps every epoch via
+    the shared part machinery)."""
+    from ..functions.knn import pq_encode
+
+    man = load_index_manifest(index_dir)
+    if man is None or man.get("kind") != "ivf_pq":
+        raise FileNotFoundError(f"no ivf_pq manifest under {index_dir}")
+    if not fingerprint:
+        raise ValueError("append requires a non-empty fingerprint")
+    emb_col, id_col, code_col = man["emb_col"], man["id_col"], man["code_col"]
+    probe = ds.take(1)
+    if probe and _probe_dim(probe[0][emb_col]) != man["dim"]:
+        raise ValueError(
+            f"append dim {_probe_dim(probe[0][emb_col])} != index dim {man['dim']}"
+        )
+    C = np.asarray(man["centroids"], np.float64)
+    B = np.asarray(man["codebooks"], np.float64)
+    m = int(man["m"])
+    cref, bref = ray.put(C), ray.put(B)
+
+    def encode(t: pa.Table) -> pa.Table:
+        C_, B_ = ray.get(cref), ray.get(bref)
+        X = _norm(embedding_matrix(t.column(emb_col)))
+        lists = np.argmax(X @ C_.T, axis=1).astype(np.int64)
+        codes = pq_encode(X, B_)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                code_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), m
+                ),
+                "_list": pa.array(lists, pa.int64()),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> np.ndarray:
+        return t.column("_list").combine_chunks().to_numpy(zero_copy_only=False)
+
+    _write_partitioned(
+        enc, index_dir, "list", assign, id_col, code_col, fingerprint,
         rows_per_part, epoch=_epoch_tag(fingerprint),
     )
     rows_by_list, bytes_by_list = _scan_partition_stats(index_dir, "list")
@@ -631,6 +793,129 @@ def query_ivf_index(
         return pd.DataFrame({id_col: [], "cosine": pd.Series([], dtype="float64")})
     return (
         df.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _code_matrix(col: pa.ChunkedArray, m: int) -> np.ndarray:
+    """(n, m) uint8 code matrix from a list/fixed-size-list<uint8> column —
+    flat-buffer reshape, slice-safe via flatten(), no per-row loop."""
+    vals = col.combine_chunks().flatten()
+    return vals.to_numpy(zero_copy_only=False).astype(np.uint8, copy=False).reshape(-1, m)
+
+
+def query_ivfpq_index(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    refine_index_dir: str | None = None,
+    refine_factor: int = 4,
+) -> pd.DataFrame:
+    """IVF-PQ query: read ONLY the ``n_probe`` nearest lists' CODE files
+    (m bytes/row instead of the full vector), score by ADC table lookup,
+    merge the ≤ shortlist-per-batch candidates on the driver. Returns
+    (id_col, adc_score) ranked by the approximate score.
+
+    ``refine_index_dir`` (FAISS refine stage): re-rank the top
+    ``k * refine_factor`` ADC candidates EXACTLY against a full-vector
+    ``build_ivf_index`` sidecar built with the SAME centroids — the
+    shortlist's rows live in the same probed lists by construction, so the
+    refine pass reads only those lists' files too (never the corpus) and
+    returns (id_col, cosine) with exact cosines."""
+    import functools
+
+    import ray.data as rd
+
+    from ..functions.knn import pq_adc_lut, pq_adc_scores
+
+    man = load_index_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no index manifest under {index_dir}")
+    if man.get("kind") != "ivf_pq":
+        raise ValueError(f"not an ivf_pq index: kind={man.get('kind')!r}")
+    q = _norm(np.asarray(query_vec, np.float64))
+    lut = pq_adc_lut(q, np.asarray(man["codebooks"], np.float64))
+    probe = _ivf_probe_lists(man, q, n_probe)
+    probe_dirs = [f"list={int(b):04d}" for b in sorted(int(x) for x in probe)]
+    id_col, code_col, m = man["id_col"], man["code_col"], int(man["m"])
+    shortlist_k = max(k, k * refine_factor) if refine_index_dir is not None else k
+    out_score = "cosine" if refine_index_dir is not None else "adc_score"
+    empty = pd.DataFrame({id_col: [], out_score: pd.Series([], dtype="float64")})
+    paths = _partition_parquet_files(index_dir, probe_dirs)
+    if not paths:
+        return empty
+    lref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        lut_ = ray.get(lref)
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        sims = pq_adc_scores(_code_matrix(t.column(code_col), m), lut_)
+        order = np.lexsort((ids, -sims))[:shortlist_k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order].tolist(), t.column(id_col).type),
+                "adc_score": pa.array(np.round(sims[order], 6), pa.float64()),
+            }
+        )
+
+    df = (
+        rd.read_parquet(paths, columns=[id_col, code_col])
+        .map_batches(functools.partial(score), batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    if df.empty:
+        return empty
+    short = (
+        df.sort_values(["adc_score", id_col], ascending=[False, True], kind="mergesort")
+        .head(shortlist_k)
+        .reset_index(drop=True)
+    )
+    if refine_index_dir is None:
+        return short.head(k).reset_index(drop=True)
+
+    rman = load_index_manifest(refine_index_dir)
+    if rman is None or rman.get("kind") != "ivf_trained":
+        raise ValueError(f"refine_index_dir must hold an ivf_trained sidecar: {refine_index_dir}")
+    if rman["id_col"] != id_col:
+        raise ValueError(f"refine id_col {rman['id_col']!r} != index id_col {id_col!r}")
+    if rman["centroids"] != man["centroids"]:
+        raise ValueError("refine sidecar was built with different centroids")
+    rpaths = _partition_parquet_files(refine_index_dir, probe_dirs)
+    if not rpaths:
+        return empty
+    remb = rman["emb_col"]
+    wref = ray.put(short[id_col].to_numpy())
+    qref = ray.put(q)
+
+    def exact(t: pa.Table) -> pa.Table:
+        w, q_ = ray.get(wref), ray.get(qref)
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, w)
+        id_type = t.column(id_col).type
+        if not mask.any():
+            return pa.table({id_col: pa.array([], id_type), "cosine": pa.array([], pa.float64())})
+        X = _norm(embedding_matrix(t.column(remb)))[mask]
+        ids = ids[mask]
+        sims = X @ q_
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order].tolist(), id_type),
+                "cosine": pa.array(np.round(sims[order], 6), pa.float64()),
+            }
+        )
+
+    rdf = (
+        rd.read_parquet(rpaths, columns=[id_col, remb])
+        .map_batches(functools.partial(exact), batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    if rdf.empty:
+        return empty
+    return (
+        rdf.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
         .head(k)
         .reset_index(drop=True)
     )
