@@ -7,6 +7,12 @@
 - ``knn_ivf``     — IVF-style scale path: deterministic coarse centroids
   (hash-seeded k-means-free binning), per-bucket scan of only the probed
   buckets.
+- ``train_ivf_centroids`` / ``train_pq_codebooks`` — deterministic
+  quantizer training (spherical k-means lists; per-subspace product-
+  quantizer codebooks) on a bounded partition-independent modulo sample;
+  ``pq_encode`` / ``pq_adc_lut`` / ``pq_adc_scores`` are the vectorized
+  code/score kernels the persisted IVF-PQ sidecar builds on
+  (``search.index.build_ivfpq_index``).
 
 Scoring runs as stateless TASKS (broadcast ref read per batch from local
 plasma), not actor pools: the per-query state is one small array, and

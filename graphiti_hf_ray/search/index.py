@@ -2,7 +2,7 @@
 reference FAISS shard persistence, graphiti_hf/search/vector_search.py:
 326-389 save/load of per-table indices).
 
-Ray-Data-native index = partitioned Parquet, not a FAISS binary. Two
+Ray-Data-native index = partitioned Parquet, not a FAISS binary. Three
 layouts share the same build/query machinery:
 
 - **sign-plane** (data-oblivious): vectors hash to deterministic LSH sign
@@ -15,6 +15,12 @@ layouts share the same build/query machinery:
   (BASELINE.md ANN section), and unlike the streaming ``knn_ivf_trained``
   re-scorer a query reads ONLY the probed lists' files — the scan
   fraction is bytes actually read, not a post-hoc mask.
+- **IVF-PQ** (compressed — FAISS IndexIVFPQ shape): the trained-IVF list
+  layout, but rows store m-byte product-quantizer CODES instead of full
+  vectors (32× smaller probed scans at dim=64/m=8); queries score by ADC
+  table lookup, and an optional refine stage re-ranks the ADC shortlist
+  exactly against a same-centroid full-vector sidecar (reads the SAME
+  probed lists, never the corpus). Measured trade in BASELINE.md.
 
 A query reads only the probed partitions' files (partition pruning — the
 Parquet analog of probing IVF lists), scoring them with the same
