@@ -267,6 +267,7 @@ def train_ivf_centroids(
     sample_max: int = 32768,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: spherical k-means on a
     partition-independent modulo sample of the corpus (rows whose sample
@@ -275,8 +276,12 @@ def train_ivf_centroids(
     bounded at any corpus size). Init = the first ``n_lists`` sample
     vectors in id order, fixed Lloyd iteration count — no RNG, so the same
     corpus always trains the same centroids. Returns an (n_lists, dim)
-    L2-normalized matrix."""
-    X = _sample_matrix(emb, sample_max, id_col, emb_col, need=n_lists)
+    L2-normalized matrix. ``sample`` short-circuits the extraction with a
+    precomputed (already normalized) sample matrix so a caller training
+    several quantizers pays for ONE corpus pass (build_ivfpq_index)."""
+    X = sample if sample is not None else _sample_matrix(emb, sample_max, id_col, emb_col, need=n_lists)
+    if len(X) < n_lists:
+        raise ValueError(f"sample of {len(X)} rows cannot seed {n_lists} codewords")
     C = X[:n_lists].copy()
     for _ in range(iters):
         a = np.argmax(X @ C.T, axis=1)
@@ -296,6 +301,7 @@ def train_pq_codebooks(
     sample_max: int = 32768,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic product-quantizer training (Jégou et al., PQ): split
     the L2-normalized vector into ``m`` contiguous subvectors and train an
@@ -309,7 +315,9 @@ def train_pq_codebooks(
     if not 1 <= nbits <= 8:
         raise ValueError(f"nbits must be in [1, 8] (uint8 codes), got {nbits}")
     ncode = 1 << nbits
-    X = _sample_matrix(emb, sample_max, id_col, emb_col, need=ncode)
+    X = sample if sample is not None else _sample_matrix(emb, sample_max, id_col, emb_col, need=ncode)
+    if len(X) < ncode:
+        raise ValueError(f"sample of {len(X)} rows cannot seed {ncode} codewords")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

@@ -416,19 +416,37 @@ def build_ivfpq_index(
     and score by ADC table lookup; an optional refine step re-ranks the
     ADC shortlist exactly against a full-vector ``build_ivf_index`` sidecar
     sharing the same centroids. Training is deterministic
-    (``functions.knn.train_pq_codebooks``)."""
-    from ..functions.knn import pq_encode, train_ivf_centroids, train_pq_codebooks
+    (``functions.knn.train_pq_codebooks``). Reference contract: the FAISS
+    index save/query surface (graphiti_hf/search/vector_search.py:229-285,
+    326-389) — same persistence semantics, quantized storage instead of a
+    flat binary index."""
+    from ..functions.knn import (
+        _sample_matrix, pq_encode, train_ivf_centroids, train_pq_codebooks,
+    )
 
+    # both quantizers train on the same deterministic bounded sample —
+    # extract it ONCE (one corpus pass, not one per trainer)
+    sample = None
+    if centroids is None or codebooks is None:
+        sample = _sample_matrix(ds, 32768, id_col, emb_col, need=1)
     if centroids is None:
-        centroids = train_ivf_centroids(ds, n_lists=n_lists, id_col=id_col, emb_col=emb_col)
+        centroids = train_ivf_centroids(
+            ds, n_lists=n_lists, id_col=id_col, emb_col=emb_col, sample=sample
+        )
     C = _norm(np.asarray(centroids, np.float64))
     n_lists = C.shape[0]
     if codebooks is None:
-        codebooks = train_pq_codebooks(ds, m=m, nbits=nbits, id_col=id_col, emb_col=emb_col)
+        codebooks = train_pq_codebooks(
+            ds, m=m, nbits=nbits, id_col=id_col, emb_col=emb_col, sample=sample
+        )
     B = np.asarray(codebooks, np.float64)
     m, ncode, dsub = (int(x) for x in B.shape)
     if C.shape[1] != m * dsub:
         raise ValueError(f"codebooks cover dim {m * dsub} != centroid dim {C.shape[1]}")
+    if ncode != 1 << nbits:
+        # caller-supplied codebooks must agree with nbits: ncode > 256 would
+        # silently wrap in the uint8 code column, a mismatch records a lie
+        raise ValueError(f"codebooks have {ncode} codewords != 2**nbits ({1 << nbits})")
     cref, bref = ray.put(C), ray.put(B)
 
     def encode(t: pa.Table) -> pa.Table:
@@ -804,13 +822,6 @@ def query_ivf_index(
     )
 
 
-def _code_matrix(col: pa.ChunkedArray, m: int) -> np.ndarray:
-    """(n, m) uint8 code matrix from a list/fixed-size-list<uint8> column —
-    flat-buffer reshape, slice-safe via flatten(), no per-row loop."""
-    vals = col.combine_chunks().flatten()
-    return vals.to_numpy(zero_copy_only=False).astype(np.uint8, copy=False).reshape(-1, m)
-
-
 def query_ivfpq_index(
     index_dir: str,
     query_vec: np.ndarray,
@@ -830,8 +841,6 @@ def query_ivfpq_index(
     shortlist's rows live in the same probed lists by construction, so the
     refine pass reads only those lists' files too (never the corpus) and
     returns (id_col, cosine) with exact cosines."""
-    import functools
-
     import ray.data as rd
 
     from ..functions.knn import pq_adc_lut, pq_adc_scores
@@ -845,7 +854,7 @@ def query_ivfpq_index(
     lut = pq_adc_lut(q, np.asarray(man["codebooks"], np.float64))
     probe = _ivf_probe_lists(man, q, n_probe)
     probe_dirs = [f"list={int(b):04d}" for b in sorted(int(x) for x in probe)]
-    id_col, code_col, m = man["id_col"], man["code_col"], int(man["m"])
+    id_col, code_col = man["id_col"], man["code_col"]
     shortlist_k = max(k, k * refine_factor) if refine_index_dir is not None else k
     out_score = "cosine" if refine_index_dir is not None else "adc_score"
     empty = pd.DataFrame({id_col: [], out_score: pd.Series([], dtype="float64")})
@@ -857,18 +866,20 @@ def query_ivfpq_index(
     def score(t: pa.Table) -> pa.Table:
         lut_ = ray.get(lref)
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
-        sims = pq_adc_scores(_code_matrix(t.column(code_col), m), lut_)
+        # round BEFORE the per-batch cut so shortlist membership at rounding
+        # ties is independent of file/batch layout (append epochs re-batch)
+        sims = np.round(pq_adc_scores(embedding_matrix(t.column(code_col), np.uint8), lut_), 6)
         order = np.lexsort((ids, -sims))[:shortlist_k]
         return pa.table(
             {
                 id_col: pa.array(ids[order].tolist(), t.column(id_col).type),
-                "adc_score": pa.array(np.round(sims[order], 6), pa.float64()),
+                "adc_score": pa.array(sims[order], pa.float64()),
             }
         )
 
     df = (
         rd.read_parquet(paths, columns=[id_col, code_col])
-        .map_batches(functools.partial(score), batch_format="pyarrow", batch_size=4096)
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
     if df.empty:
@@ -888,6 +899,11 @@ def query_ivfpq_index(
         raise ValueError(f"refine id_col {rman['id_col']!r} != index id_col {id_col!r}")
     if rman["centroids"] != man["centroids"]:
         raise ValueError("refine sidecar was built with different centroids")
+    if rman["lists"] != man["lists"]:
+        raise ValueError(
+            "refine sidecar rows don't match the pq index (stale after an "
+            "append? append to BOTH sidecars, or rebuild)"
+        )
     rpaths = _partition_parquet_files(refine_index_dir, probe_dirs)
     if not rpaths:
         return empty
@@ -904,18 +920,18 @@ def query_ivfpq_index(
             return pa.table({id_col: pa.array([], id_type), "cosine": pa.array([], pa.float64())})
         X = _norm(embedding_matrix(t.column(remb)))[mask]
         ids = ids[mask]
-        sims = X @ q_
+        sims = np.round(X @ q_, 6)
         order = np.lexsort((ids, -sims))[:k]
         return pa.table(
             {
                 id_col: pa.array(ids[order].tolist(), id_type),
-                "cosine": pa.array(np.round(sims[order], 6), pa.float64()),
+                "cosine": pa.array(sims[order], pa.float64()),
             }
         )
 
     rdf = (
         rd.read_parquet(rpaths, columns=[id_col, remb])
-        .map_batches(functools.partial(exact), batch_format="pyarrow", batch_size=4096)
+        .map_batches(exact, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
     if rdf.empty:

@@ -464,6 +464,8 @@ def test_ivfpq_index_sidecar(ray_session, sf_small, tmp_path_factory):
     minimal codebook structure): ADC-only recall@10 0.54, refined 0.875 at
     (n_lists=16, n_probe=4, m=8, nbits=6); locked with slack below."""
     import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
     import pyarrow.parquet as pq
     import pytest
     import ray.data as rd
@@ -544,6 +546,26 @@ def test_ivfpq_index_sidecar(ray_session, sf_small, tmp_path_factory):
         query_ivfpq_index(pq_dir, Q[0], k=10, n_probe=4, refine_index_dir=other)
     with pytest.raises(ValueError):
         query_ivfpq_index(full_dir, Q[0], k=10)  # not an ivf_pq index
+    # caller-supplied codebooks must agree with nbits (ncode > 256 would
+    # silently wrap in the uint8 code column)
+    with pytest.raises(ValueError):
+        build_ivfpq_index(emb, str(tmp_path_factory.mktemp("ivfpq_bad")),
+                          centroids=C, codebooks=B, nbits=8, fingerprint="f1")
+    # a refine sidecar stale relative to the pq index (rows appended to one
+    # but not the other) is rejected, not silently row-dropped
+    from graphiti_hf_ray.search.index import append_to_ivfpq_index
+
+    extra = emb.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("vec_id"),
+            "vec_id",
+            _pc.add(t.column("vec_id").cast(_pa.int64()), _pa.scalar(10_000, _pa.int64())),
+        ),
+        batch_format="pyarrow",
+    ).limit(16).materialize()
+    append_to_ivfpq_index(extra, pq_dir, fingerprint="drift")
+    with pytest.raises(ValueError):
+        query_ivfpq_index(pq_dir, Q[0], k=10, n_probe=4, refine_index_dir=full_dir)
 
 
 def test_ivfpq_index_append(ray_session, sf_small, tmp_path_factory):
