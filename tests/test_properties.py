@@ -359,3 +359,48 @@ def test_pad_token_lists_matches_naive(rows, width, pad_id, off):
         assert lengths[i] == len(cut)
         assert list(ids[i, : len(cut)]) == cut
         assert all(v == pad_id for v in ids[i, len(cut):])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=24),
+    m=st.sampled_from([1, 2, 4]),
+    dsub=st.integers(min_value=1, max_value=4),
+    ncode=st.sampled_from([2, 4, 8]),
+)
+def test_pq_encode_adc_identities(data, n, m, dsub, ncode):
+    """PQ kernel invariants: (1) pq_encode picks the L2-argmin codeword per
+    subspace (verified against brute-force enumeration), (2) an ADC score
+    is EXACTLY the dot product of the query with the code's reconstruction
+    (concatenated codewords) — ADC's whole premise, (3) scores are
+    permutation-equivariant in the rows."""
+    from graphiti_hf_ray.functions.knn import pq_adc_lut, pq_adc_scores, pq_encode
+
+    dim = m * dsub
+    felt = st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32)
+    X = np.asarray(data.draw(st.lists(st.lists(felt, min_size=dim, max_size=dim),
+                                      min_size=n, max_size=n)), np.float64)
+    B = np.asarray(data.draw(st.lists(st.lists(st.lists(felt, min_size=dsub, max_size=dsub),
+                                               min_size=ncode, max_size=ncode),
+                                      min_size=m, max_size=m)), np.float64)
+    q = np.asarray(data.draw(st.lists(felt, min_size=dim, max_size=dim)), np.float64)
+
+    codes = pq_encode(X, B)
+    assert codes.shape == (n, m) and codes.dtype == np.uint8
+    for i in range(n):
+        for j in range(m):
+            xj = X[i, j * dsub:(j + 1) * dsub]
+            d = ((B[j] - xj) ** 2).sum(axis=1)
+            # ties may break differently between the kernel's -2x·c+||c||²
+            # form and the naive form only at float-rounding boundaries:
+            # assert optimality of the chosen codeword, not index equality
+            assert d[codes[i, j]] <= d.min() + 1e-9
+
+    lut = pq_adc_lut(q, B)
+    scores = pq_adc_scores(codes, lut)
+    recon = np.concatenate([B[j][codes[:, j]] for j in range(m)], axis=1)
+    np.testing.assert_allclose(scores, recon @ q, rtol=0, atol=1e-9)
+
+    perm = np.arange(n)[::-1].copy()
+    np.testing.assert_array_equal(pq_adc_scores(codes[perm], lut), scores[perm])
