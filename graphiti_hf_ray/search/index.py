@@ -424,6 +424,10 @@ def build_ivfpq_index(
         _sample_matrix, pq_encode, train_ivf_centroids, train_pq_codebooks,
     )
 
+    # uint8 codes cap nbits at 8 regardless of where the codebooks come
+    # from (caller-supplied books skip train_pq_codebooks' own guard)
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8] (uint8 codes), got {nbits}")
     # both quantizers train on the same deterministic bounded sample —
     # extract it ONCE (one corpus pass, not one per trainer)
     sample = None
@@ -858,12 +862,32 @@ def query_ivfpq_index(
     shortlist_k = max(k, k * refine_factor) if refine_index_dir is not None else k
     out_score = "cosine" if refine_index_dir is not None else "adc_score"
     empty = pd.DataFrame({id_col: [], out_score: pd.Series([], dtype="float64")})
+    rman = None
+    if refine_index_dir is not None:
+        # validate the refine sidecar BEFORE the distributed ADC scan — a
+        # stale/mismatched sidecar must fail fast, not after the IO
+        rman = load_index_manifest(refine_index_dir)
+        if rman is None or rman.get("kind") != "ivf_trained":
+            raise ValueError(f"refine_index_dir must hold an ivf_trained sidecar: {refine_index_dir}")
+        if rman["id_col"] != id_col:
+            raise ValueError(f"refine id_col {rman['id_col']!r} != index id_col {id_col!r}")
+        if rman["centroids"] != man["centroids"]:
+            raise ValueError("refine sidecar was built with different centroids")
+        if rman["lists"] != man["lists"]:
+            raise ValueError(
+                "refine sidecar rows don't match the pq index (stale after an "
+                "append? append to BOTH sidecars, or rebuild)"
+            )
     paths = _partition_parquet_files(index_dir, probe_dirs)
     if not paths:
         return empty
     lref = ray.put(lut)
 
     def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # embedding_matrix gives (0, 0) — skip the LUT kernel
+            return pa.table(
+                {id_col: pa.array([], t.column(id_col).type), "adc_score": pa.array([], pa.float64())}
+            )
         lut_ = ray.get(lref)
         ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
         # round BEFORE the per-batch cut so shortlist membership at rounding
@@ -892,18 +916,6 @@ def query_ivfpq_index(
     if refine_index_dir is None:
         return short.head(k).reset_index(drop=True)
 
-    rman = load_index_manifest(refine_index_dir)
-    if rman is None or rman.get("kind") != "ivf_trained":
-        raise ValueError(f"refine_index_dir must hold an ivf_trained sidecar: {refine_index_dir}")
-    if rman["id_col"] != id_col:
-        raise ValueError(f"refine id_col {rman['id_col']!r} != index id_col {id_col!r}")
-    if rman["centroids"] != man["centroids"]:
-        raise ValueError("refine sidecar was built with different centroids")
-    if rman["lists"] != man["lists"]:
-        raise ValueError(
-            "refine sidecar rows don't match the pq index (stale after an "
-            "append? append to BOTH sidecars, or rebuild)"
-        )
     rpaths = _partition_parquet_files(refine_index_dir, probe_dirs)
     if not rpaths:
         return empty

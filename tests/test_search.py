@@ -551,6 +551,12 @@ def test_ivfpq_index_sidecar(ray_session, sf_small, tmp_path_factory):
     with pytest.raises(ValueError):
         build_ivfpq_index(emb, str(tmp_path_factory.mktemp("ivfpq_bad")),
                           centroids=C, codebooks=B, nbits=8, fingerprint="f1")
+    # nbits > 8 rejected even with MATCHING caller-supplied codebooks —
+    # 512-codeword argmins would wrap mod 256 in the uint8 code column
+    with pytest.raises(ValueError):
+        build_ivfpq_index(emb, str(tmp_path_factory.mktemp("ivfpq_bad9")),
+                          centroids=C, codebooks=np.concatenate([B] * 8, axis=1),
+                          nbits=9, fingerprint="f1")
     # a refine sidecar stale relative to the pq index (rows appended to one
     # but not the other) is rejected, not silently row-dropped
     from graphiti_hf_ray.search.index import append_to_ivfpq_index
