@@ -153,6 +153,153 @@ def write_table_distributed(ds, d: str, fingerprint: str, metrics: dict | None =
         raise
 
 
+def _synth_html(text: str) -> bytes:
+    """Minimal HTML wrapping for text-only crawl records: one escaped
+    ``<p>`` per line, so the pinned extractor (extract/html.py, frozen v1)
+    round-trips the text EXACTLY (it joins title + <p> groups with \\n and
+    unescapes entities). Python-level string assembly is fine here — this
+    is input synthesis for records that carried no html, the same standing
+    as fixtures/pages.page_html."""
+    import html as _htmlmod
+
+    body = "".join(f"<p>{_htmlmod.escape(ln, quote=False)}</p>" for ln in text.split("\n"))
+    return f"<html><body>{body}</body></html>".encode("utf-8")
+
+
+def pages_from_jsonl(
+    jsonl_paths: list[str] | str,
+    out_dir: str,
+    on_bad: str = "error",
+    default_lang: str = "en",
+    fingerprint: str = "",
+) -> list[str]:
+    """Normalize newline-delimited-JSON crawl records into PAGES-schema
+    Parquet under ``out_dir`` — the second bulk source format beside
+    Parquet (reference parity: the JSON episode bodies the ingest routes
+    accept, server/graph_service/routers/ingest.py:51-105 and
+    EpisodeType.json, graphiti_core/nodes.py; here as a distributed bulk
+    path that feeds ``pipelines.kg.kg_build`` unchanged).
+
+    Accepted keys per record: ``url`` (required), ``warc_ts`` (ISO-8601
+    string, an Arrow-inferred timestamp, or epoch SECONDS as int/float —
+    required), ``html`` (string), ``text`` (string — at least one of
+    html/text required), ``lang`` (defaults to ``default_lang``), and
+    optional ``group_id`` (passed through; episode build hash-derives one
+    when absent, stages/episodes.py). Records
+    missing html get a minimal synthesized wrapper the pinned extractor
+    round-trips exactly, so text-only corpora flow through the same
+    html→text stage. ``on_bad``: ``"error"`` (default) raises on the first
+    invalid record, ``"drop"`` filters them (the written manifest's row
+    count is the surviving total).
+
+    Returns the ``pages_paths`` list to hand to ``kg_build`` /
+    ``extract_phase``. One streaming pass: read_json → vectorized
+    normalize (only html synthesis touches Python strings, and only for
+    rows that carried no html) → distributed Parquet sink with the usual
+    atomic manifest (same-fingerprint re-runs skip the write)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .schemas import PAGES
+
+    if on_bad not in ("error", "drop"):
+        raise ValueError(f"on_bad must be 'error' or 'drop', got {on_bad!r}")
+    paths = [jsonl_paths] if isinstance(jsonl_paths, str) else sorted(jsonl_paths)
+    if not fingerprint:
+        h = hashlib.md5()
+        for p in paths:
+            h.update(f"{os.path.basename(p)}:{os.path.getsize(p)}\n".encode())
+        fingerprint = "jsonl:" + h.hexdigest()
+
+    ds = rd.read_json(paths)
+    # group_id presence is decided ONCE from the unified input schema (one
+    # sampled block): per-batch detection would let files with and without
+    # the key produce different output schemas in one run, and an all-null
+    # pass-through would silently defeat the episode stage's hash-derived
+    # default — with the key present, null group_ids are invalid records
+    has_group = "group_id" in (ds.schema().names or [])
+
+    def norm(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        names = set(t.column_names)
+
+        def col(name: str, typ) -> pa.ChunkedArray:
+            if name in names:
+                c = t.column(name)
+                return c if c.type == typ else c.cast(typ)
+            return pa.chunked_array([pa.nulls(n, typ)])
+
+        url = col("url", pa.string())
+        if "warc_ts" in names:
+            ts = t.column("warc_ts")
+            if pa.types.is_timestamp(ts.type):
+                ts_us = ts.cast(pa.timestamp("us"))
+            elif pa.types.is_integer(ts.type) or pa.types.is_floating(ts.type):
+                # epoch SECONDS by contract (sub-second floats keep µs)
+                ts_us = pc.round(pc.multiply(ts.cast(pa.float64()), 1_000_000.0)).cast(
+                    pa.int64()
+                ).cast(pa.timestamp("us"))
+            else:
+                ts_us = ts.cast(pa.string()).cast(pa.timestamp("us"))  # ISO-8601
+        else:
+            ts_us = pa.chunked_array([pa.nulls(n, pa.timestamp("us"))])
+        html_s = col("html", pa.string())
+        text = col("text", pa.string())
+        lang = pc.fill_null(col("lang", pa.string()), default_lang)
+
+        group = col("group_id", pa.string()) if has_group else None
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(url), pc.is_valid(ts_us)),
+            pc.or_kleene(pc.is_valid(html_s), pc.is_valid(text)),
+        )
+        if group is not None:
+            ok = pc.and_kleene(ok, pc.is_valid(group))
+        n_bad = n - pc.sum(ok.cast(pa.int64())).as_py()
+        if n_bad:
+            if on_bad == "error":
+                raise ValueError(
+                    f"{n_bad} invalid jsonl record(s): url and warc_ts are "
+                    "required, plus at least one of html/text, plus "
+                    "group_id when any input file carries that key "
+                    "(on_bad='drop' filters them instead)"
+                )
+            url, ts_us, html_s, text, lang = (
+                c.filter(ok) for c in (url, ts_us, html_s, text, lang)
+            )
+            group = group.filter(ok) if group is not None else None
+        # html: pass through as utf-8 bytes; synthesize ONLY where absent
+        html_b = html_s.cast(pa.binary()).combine_chunks()
+        need = pc.is_null(html_b)
+        if pc.any(need).as_py():
+            idx = pc.indices_nonzero(need).to_numpy(zero_copy_only=False)
+            texts = text.combine_chunks()
+            vals = html_b.to_pylist()
+            for i in idx:
+                # text is guaranteed valid here: a row with neither
+                # html nor text was dropped/raised above
+                vals[int(i)] = _synth_html(texts[int(i)].as_py())
+            html_b = pa.array(vals, pa.binary())
+        out = pa.table(
+            {
+                "url": url,
+                "warc_ts": ts_us,
+                "html": html_b,
+                "text": pc.fill_null(text, ""),
+                "lang": lang,
+            },
+            schema=PAGES,
+        )
+        if group is not None:
+            out = out.append_column("group_id", group.cast(pa.string()))
+        return out
+
+    write_table_distributed(ds.map_batches(norm, batch_format="pyarrow"), out_dir, fingerprint)
+    return [out_dir]
+
+
 def _prune_tmp(dirnames: list[str]) -> None:
     """In-place os.walk pruning: never descend into .tmp-* dirs — a
     SIGKILLed writer leaves its tmp dir behind (cleanup only runs on

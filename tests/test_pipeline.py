@@ -1059,3 +1059,77 @@ def test_prepare_training_set_null_text(ray_session, tmp_path):
     )
     assert m["n_after_gate"] == 6          # the null doc fails min_tokens, quietly
     assert m["n_packs"] > 0
+
+
+def test_pages_from_jsonl_source(ray_session, pages_parquet, tmp_path_factory):
+    """JSONL bulk source (S1 second format): records normalize into
+    PAGES-schema parquet that feeds the UNCHANGED kg pipeline — a build
+    over the converted JSONL equals a build over the same rows as parquet;
+    text-only records synthesize html the pinned extractor round-trips
+    exactly; timestamps parse from ISO strings and epoch seconds; bad
+    records error or drop by knob."""
+    import pytest
+
+    from graphiti_hf_ray.extract.html import extract_text
+    from graphiti_hf_ray.io import pages_from_jsonl
+
+    rows = pq.read_table(pages_parquet).slice(0, 40).to_pylist()
+    jd = str(tmp_path_factory.mktemp("jsonl_src"))
+    jl = os.path.join(jd, "pages.jsonl")
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": r["warc_ts"].isoformat(),
+                "html": r["html"].decode("utf-8"),
+                "lang": r["lang"],
+                "group_id": r["group_id"],
+            }) + "\n")
+
+    pages_dir = str(tmp_path_factory.mktemp("jsonl_pages"))
+    paths = pages_from_jsonl(jl, os.path.join(pages_dir, "pages"))
+    out_j = str(tmp_path_factory.mktemp("jsonl_graph"))
+    build_graph(paths, out_j, num_shards=2)
+
+    # reference build over the SAME 40 rows as native parquet
+    import pyarrow as pa
+
+    ppath = os.path.join(jd, "pages40.parquet")
+    pq.write_table(pq.read_table(pages_parquet).slice(0, 40), ppath)
+    out_p = str(tmp_path_factory.mktemp("pq_graph"))
+    build_graph([ppath], out_p, num_shards=2)
+    for table in ("episodes", "nodes", "edges", "episodic_edges"):
+        a = gio.read_table_dir(out_j, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        b = gio.read_table_dir(out_p, table).to_pandas().sort_values("uuid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    # text-only + epoch-seconds records: synthesized html round-trips the
+    # text through the frozen extractor; lang defaults; µs exact
+    jl2 = os.path.join(jd, "textonly.jsonl")
+    with open(jl2, "w") as f:
+        f.write(json.dumps({"url": "https://x.test/a", "warc_ts": 1_700_000_000,
+                            "text": "hello & <world>\nsecond line"}) + "\n")
+        f.write(json.dumps({"url": "https://x.test/b", "warc_ts": 1_700_000_000.25,
+                            "text": ""}) + "\n")
+    d2 = os.path.join(pages_dir, "textonly")
+    pages_from_jsonl(jl2, d2)
+    t2 = pq.read_table(d2).to_pandas().sort_values("url").reset_index(drop=True)
+    assert extract_text(t2["html"][0]) == "hello & <world>\nsecond line"
+    assert extract_text(t2["html"][1]) == ""
+    assert list(t2["lang"]) == ["en", "en"]
+    assert int(t2["warc_ts"][0].timestamp()) == 1_700_000_000
+    assert t2["warc_ts"][1].microsecond == 250_000
+
+    # bad records: error by default, drop by knob (manifest rows = survivors)
+    jl3 = os.path.join(jd, "bad.jsonl")
+    with open(jl3, "w") as f:
+        f.write(json.dumps({"url": "https://x.test/ok", "warc_ts": 1, "text": "t"}) + "\n")
+        f.write(json.dumps({"warc_ts": 2, "text": "no url"}) + "\n")
+        f.write(json.dumps({"url": "https://x.test/nopayload", "warc_ts": 3}) + "\n")
+    with pytest.raises(Exception, match="invalid jsonl"):
+        pages_from_jsonl(jl3, os.path.join(pages_dir, "bad_err"))
+    d3 = os.path.join(pages_dir, "bad_drop")
+    pages_from_jsonl(jl3, d3, on_bad="drop")
+    assert pq.read_table(d3).num_rows == 1
+    with open(os.path.join(d3, gio.MANIFEST)) as f:
+        assert json.load(f)["rows"] == 1
