@@ -27,8 +27,14 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser(description="Build a temporal knowledge graph from web pages")
-    ap.add_argument("--pages", nargs="+", required=True, help="input pages parquet path(s)")
+    ap.add_argument("--pages", nargs="+", required=True, help="input pages parquet path(s), or JSONL with --from-jsonl")
     ap.add_argument("--out", required=True, help="output graph directory")
+    ap.add_argument("--from-jsonl", action="store_true",
+                    help="inputs are newline-delimited-JSON crawl records: normalize "
+                         "them into <out>/_pages_jsonl first (io.pages_from_jsonl; "
+                         "resumable — a same-input re-run skips the conversion)")
+    ap.add_argument("--on-bad", choices=("error", "drop"), default="error",
+                    help="with --from-jsonl: invalid records raise (default) or drop")
     ap.add_argument("--shards", type=int, default=None, help="extraction shard count")
     ap.add_argument("--run-ts-us", type=int, default=None, help="injected run timestamp (µs)")
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count (cluster mode: omit)")
@@ -52,8 +58,15 @@ def main() -> int:
     from graphiti_hf_ray.pipelines.kg import DEFAULT_RUN_TS_US, build_graph
 
     t0 = time.time()
+    pages = args.pages
+    if args.from_jsonl:
+        from graphiti_hf_ray.io import pages_from_jsonl
+
+        pages = pages_from_jsonl(
+            args.pages, os.path.join(args.out, "_pages_jsonl"), on_bad=args.on_bad
+        )
     metrics = build_graph(
-        args.pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards
+        pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards
     )
     metrics["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))
