@@ -181,29 +181,42 @@ def pages_from_jsonl(
     path that feeds ``pipelines.kg.kg_build`` unchanged).
 
     Accepted keys per record: ``url`` (required), ``warc_ts`` (ISO-8601
-    string, an Arrow-inferred timestamp, or epoch SECONDS as int/float —
-    required), ``html`` (string), ``text`` (string — at least one of
-    html/text required), ``lang`` (defaults to ``default_lang``), and
-    optional ``group_id`` (passed through; episode build hash-derives one
-    when absent, stages/episodes.py). Records
+    string — UTC or offset forms, offsets normalize to UTC — an
+    Arrow-inferred timestamp, or epoch SECONDS as int/float — required;
+    unparseable values are invalid records, never a crash), ``html``
+    (string), ``text`` (string — at least one of html/text required),
+    ``lang`` (defaults to ``default_lang``), and optional ``group_id``
+    (validated against the reference's group rule; records without one get
+    the SAME url-hash default the episode stage derives, so mixed inputs
+    stay consistent per row — stages/episodes.py:70). Records
     missing html get a minimal synthesized wrapper the pinned extractor
     round-trips exactly, so text-only corpora flow through the same
     html→text stage. ``on_bad``: ``"error"`` (default) raises on the first
     invalid record, ``"drop"`` filters them (the written manifest's row
     count is the surviving total).
 
-    Returns the ``pages_paths`` list to hand to ``kg_build`` /
-    ``extract_phase``. One streaming pass: read_json → vectorized
-    normalize (only html synthesis touches Python strings, and only for
-    rows that carried no html) → distributed Parquet sink with the usual
-    atomic manifest (same-fingerprint re-runs skip the write)."""
-    import hashlib
+    ``fingerprint`` defaults to an md5 of the input FILE CONTENTS (the
+    same contract as pipelines.kg._fingerprint: name/size/mtime mis-fire
+    on same-size edits) — pass your own (e.g. object-store etags) to skip
+    the driver-side read at scale.
 
-    import pyarrow.compute as pc
+    Returns the ``pages_paths`` list to hand to ``kg_build`` /
+    ``extract_phase``. One streaming pass: read_text → per-record decode +
+    normalize → distributed Parquet sink with the usual atomic manifest
+    (same-fingerprint re-runs skip the write). Decoding IS per record —
+    that is the nature of heterogeneous NDJSON (Arrow's JSON reader
+    type-infers whole columns and hard-fails on realistic crawl variance
+    like mixed-offset timestamps in one file) and matches the reference's
+    per-request JSON body parsing; every pipeline stage after this written
+    table is the usual vectorized Arrow path."""
+    import hashlib
+    from datetime import datetime, timedelta, timezone
 
     import ray.data as rd
 
+    from .ids import md5_id_array
     from .schemas import PAGES
+    from .stages.episodes import GROUP_ID_RE
 
     if on_bad not in ("error", "drop"):
         raise ValueError(f"on_bad must be 'error' or 'drop', got {on_bad!r}")
@@ -211,92 +224,82 @@ def pages_from_jsonl(
     if not fingerprint:
         h = hashlib.md5()
         for p in paths:
-            h.update(f"{os.path.basename(p)}:{os.path.getsize(p)}\n".encode())
+            h.update(os.path.basename(p).encode())
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
         fingerprint = "jsonl:" + h.hexdigest()
 
-    ds = rd.read_json(paths)
-    # group_id presence is decided ONCE from the unified input schema (one
-    # sampled block): per-batch detection would let files with and without
-    # the key produce different output schemas in one run, and an all-null
-    # pass-through would silently defeat the episode stage's hash-derived
-    # default — with the key present, null group_ids are invalid records
-    has_group = "group_id" in (ds.schema().names or [])
+    out_schema = pa.schema(list(PAGES) + [pa.field("group_id", pa.string())])
+    _EPOCH = datetime(1970, 1, 1)
+
+    def _ts_us(v) -> int | None:
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):  # epoch SECONDS (sub-second floats keep µs)
+            return int(round(v * 1_000_000))
+        if isinstance(v, str):
+            try:
+                dt = datetime.fromisoformat(v)  # 3.11+: handles 'Z' + offsets
+            except ValueError:
+                return None
+            if dt.tzinfo is not None:  # offsets normalize to UTC
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            return (dt - _EPOCH) // timedelta(microseconds=1)
+        return None
 
     def norm(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        names = set(t.column_names)
-
-        def col(name: str, typ) -> pa.ChunkedArray:
-            if name in names:
-                c = t.column(name)
-                return c if c.type == typ else c.cast(typ)
-            return pa.chunked_array([pa.nulls(n, typ)])
-
-        url = col("url", pa.string())
-        if "warc_ts" in names:
-            ts = t.column("warc_ts")
-            if pa.types.is_timestamp(ts.type):
-                ts_us = ts.cast(pa.timestamp("us"))
-            elif pa.types.is_integer(ts.type) or pa.types.is_floating(ts.type):
-                # epoch SECONDS by contract (sub-second floats keep µs)
-                ts_us = pc.round(pc.multiply(ts.cast(pa.float64()), 1_000_000.0)).cast(
-                    pa.int64()
-                ).cast(pa.timestamp("us"))
-            else:
-                ts_us = ts.cast(pa.string()).cast(pa.timestamp("us"))  # ISO-8601
-        else:
-            ts_us = pa.chunked_array([pa.nulls(n, pa.timestamp("us"))])
-        html_s = col("html", pa.string())
-        text = col("text", pa.string())
-        lang = pc.fill_null(col("lang", pa.string()), default_lang)
-
-        group = col("group_id", pa.string()) if has_group else None
-        ok = pc.and_kleene(
-            pc.and_kleene(pc.is_valid(url), pc.is_valid(ts_us)),
-            pc.or_kleene(pc.is_valid(html_s), pc.is_valid(text)),
-        )
-        if group is not None:
-            ok = pc.and_kleene(ok, pc.is_valid(group))
-        n_bad = n - pc.sum(ok.cast(pa.int64())).as_py()
-        if n_bad:
-            if on_bad == "error":
-                raise ValueError(
-                    f"{n_bad} invalid jsonl record(s): url and warc_ts are "
-                    "required, plus at least one of html/text, plus "
-                    "group_id when any input file carries that key "
-                    "(on_bad='drop' filters them instead)"
-                )
-            url, ts_us, html_s, text, lang = (
-                c.filter(ok) for c in (url, ts_us, html_s, text, lang)
+        cols: dict[str, list] = {k: [] for k in out_schema.names}
+        n_bad = 0
+        for ln in t.column("text").to_pylist():
+            if not ln or not ln.strip():
+                continue
+            try:
+                r = json.loads(ln)
+            except ValueError:
+                r = None
+            url = r.get("url") if isinstance(r, dict) else None
+            ts = _ts_us(r.get("warc_ts")) if isinstance(r, dict) else None
+            html = r.get("html") if isinstance(r, dict) else None
+            text = r.get("text") if isinstance(r, dict) else None
+            group = r.get("group_id") if isinstance(r, dict) else None
+            if (
+                not isinstance(url, str)
+                or ts is None
+                or not (isinstance(html, str) or isinstance(text, str))
+                or not (group is None or (isinstance(group, str) and GROUP_ID_RE.match(group)))
+            ):
+                n_bad += 1
+                continue
+            cols["url"].append(url)
+            cols["warc_ts"].append(ts)
+            cols["html"].append(
+                html.encode("utf-8") if isinstance(html, str) else _synth_html(text)
             )
-            group = group.filter(ok) if group is not None else None
-        # html: pass through as utf-8 bytes; synthesize ONLY where absent
-        html_b = html_s.cast(pa.binary()).combine_chunks()
-        need = pc.is_null(html_b)
-        if pc.any(need).as_py():
-            idx = pc.indices_nonzero(need).to_numpy(zero_copy_only=False)
-            texts = text.combine_chunks()
-            vals = html_b.to_pylist()
-            for i in idx:
-                # text is guaranteed valid here: a row with neither
-                # html nor text was dropped/raised above
-                vals[int(i)] = _synth_html(texts[int(i)].as_py())
-            html_b = pa.array(vals, pa.binary())
-        out = pa.table(
-            {
-                "url": url,
-                "warc_ts": ts_us,
-                "html": html_b,
-                "text": pc.fill_null(text, ""),
-                "lang": lang,
-            },
-            schema=PAGES,
-        )
-        if group is not None:
-            out = out.append_column("group_id", group.cast(pa.string()))
-        return out
+            cols["text"].append(text if isinstance(text, str) else "")
+            cols["lang"].append(r.get("lang") if isinstance(r.get("lang"), str) else default_lang)
+            # absent group_ids get the episode stage's own default, derived
+            # the identical way (first 2 hex chars of the episode uuid), so
+            # mixed with/without-key inputs stay consistent per ROW
+            cols["group_id"].append(
+                group if group is not None else md5_id_array(["ep:" + url])[0][:2]
+            )
+        if n_bad and on_bad == "error":
+            raise ValueError(
+                f"{n_bad} invalid jsonl record(s): url and warc_ts (epoch "
+                "seconds or parseable ISO-8601) are required, plus at least "
+                "one of html/text; a group_id, if present, must match "
+                "^[a-zA-Z0-9_-]+$ (on_bad='drop' filters bad records)"
+            )
+        arrays = [
+            pa.array(cols[f.name], f.type) if f.name != "warc_ts"
+            else pa.array(cols["warc_ts"], pa.int64()).cast(pa.timestamp("us"))
+            for f in out_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    write_table_distributed(ds.map_batches(norm, batch_format="pyarrow"), out_dir, fingerprint)
+    ds = rd.read_text(paths).map_batches(norm, batch_format="pyarrow")
+    write_table_distributed(ds, out_dir, fingerprint)
     return [out_dir]
 
 

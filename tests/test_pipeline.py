@@ -1133,3 +1133,68 @@ def test_pages_from_jsonl_source(ray_session, pages_parquet, tmp_path_factory):
     assert pq.read_table(d3).num_rows == 1
     with open(os.path.join(d3, gio.MANIFEST)) as f:
         assert json.load(f)["rows"] == 1
+
+
+def test_pages_from_jsonl_edge_contracts(ray_session, tmp_path_factory):
+    """The tolerant edges of the JSONL source: offset/garbage timestamps,
+    mixed with/without-group_id files, group-format validation, and the
+    content (not name+size) default fingerprint."""
+    import pytest
+
+    from graphiti_hf_ray.io import MANIFEST, pages_from_jsonl
+
+    jd = str(tmp_path_factory.mktemp("jsonl_edge"))
+    # file 1: no group_id key at all; sub-second Z + explicit-offset stamps
+    f1 = os.path.join(jd, "a.jsonl")
+    with open(f1, "w") as f:
+        f.write(json.dumps({"url": "https://e.test/1", "text": "t1",
+                            "warc_ts": "2023-01-01T00:00:00.123456Z"}) + "\n")
+        f.write(json.dumps({"url": "https://e.test/2", "text": "t2",
+                            "warc_ts": "2023-01-01T05:30:00+05:30"}) + "\n")
+    # file 2: group_id present
+    f2 = os.path.join(jd, "b.jsonl")
+    with open(f2, "w") as f:
+        f.write(json.dumps({"url": "https://e.test/3", "text": "t3",
+                            "warc_ts": 1_672_531_200, "group_id": "mygroup"}) + "\n")
+    out = os.path.join(jd, "pages")
+    pages_from_jsonl([f1, f2], out)
+    t = pq.read_table(out).to_pandas().sort_values("url").reset_index(drop=True)
+    # offsets normalize to UTC; sub-second survives to µs
+    assert t["warc_ts"][0].microsecond == 123456
+    assert str(t["warc_ts"][1]) == "2023-01-01 00:00:00"
+    assert str(t["warc_ts"][2]) == "2023-01-01 00:00:00"
+    # file-2's explicit group survives; file-1 rows get the episode stage's
+    # own url-hash default (2 hex chars), not nulls and not an error
+    assert t["group_id"][2] == "mygroup"
+    assert all(len(g) == 2 for g in t["group_id"][:2])
+
+    # garbage timestamp and bad group format are invalid RECORDS (droppable),
+    # not job crashes
+    f3 = os.path.join(jd, "c.jsonl")
+    with open(f3, "w") as f:
+        f.write(json.dumps({"url": "https://e.test/ok", "warc_ts": 1, "text": "t"}) + "\n")
+        f.write(json.dumps({"url": "https://e.test/badts", "warc_ts": "not a time",
+                            "text": "t"}) + "\n")
+        f.write(json.dumps({"url": "https://e.test/badgroup", "warc_ts": 2, "text": "t",
+                            "group_id": "no spaces!"}) + "\n")
+    with pytest.raises(Exception, match="invalid jsonl"):
+        pages_from_jsonl(f3, os.path.join(jd, "err"))
+    d3 = os.path.join(jd, "dropped")
+    pages_from_jsonl(f3, d3, on_bad="drop")
+    assert pq.read_table(d3).to_pandas()["url"].tolist() == ["https://e.test/ok"]
+
+    # the default fingerprint digests CONTENT: a same-size edit re-converts
+    f4 = os.path.join(jd, "d.jsonl")
+    with open(f4, "w") as f:
+        f.write(json.dumps({"url": "https://e.test/x", "warc_ts": 1, "text": "AAA"}) + "\n")
+    d4 = os.path.join(jd, "refp")
+    pages_from_jsonl(f4, d4)
+    with open(os.path.join(d4, MANIFEST)) as f:
+        fp_before = json.load(f)["fingerprint"]
+    with open(f4, "w") as f:  # same byte size, different content
+        f.write(json.dumps({"url": "https://e.test/x", "warc_ts": 1, "text": "BBB"}) + "\n")
+    pages_from_jsonl(f4, d4)
+    with open(os.path.join(d4, MANIFEST)) as f:
+        fp_after = json.load(f)["fingerprint"]
+    assert fp_after != fp_before
+    assert pq.read_table(d4).to_pandas()["text"].tolist() == ["BBB"]
