@@ -303,6 +303,141 @@ def pages_from_jsonl(
     return [out_dir]
 
 
+def _iter_warc_records(f) -> "tuple":
+    """Yield (headers: dict, payload: bytes) per WARC/1.0 record from a
+    binary stream. Standard framing: header block ends at CRLFCRLF,
+    payload length = Content-Length, records separated by CRLFCRLF."""
+    while True:
+        line = f.readline()
+        if not line:
+            return
+        if line.strip() == b"":
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record boundary: {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            h = f.readline()
+            if h in (b"\r\n", b"\n", b""):
+                break
+            k, _, v = h.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers.get("content-length", "0"))
+        payload = f.read(n)
+        yield headers, payload
+
+
+def pages_from_warc(
+    warc_paths: list[str] | str,
+    out_dir: str,
+    default_lang: str = "en",
+    fingerprint: str = "",
+) -> list[str]:
+    """Normalize WARC files — the actual Common-Crawl container — into
+    PAGES-schema Parquet under ``out_dir``, completing the crawl-ingest
+    source family (parquet / JSONL / WARC all feed ``kg_build``
+    unchanged). Stdlib-only reader: per-record-gzip or plain streams
+    (gzip.GzipFile reads multi-member transparently), keeps
+    ``WARC-Type: response`` records whose HTTP payload is ``text/html``,
+    and maps WARC-Target-URI → url, WARC-Date → warc_ts, HTTP body →
+    html (the pinned extractor derives text downstream, same as every
+    other source). Non-response records (warcinfo, request, metadata) and
+    non-HTML responses are skipped by design, not errors.
+
+    Distribution: one Ray task per WARC file (files are the natural
+    parallel unit of a crawl dump; paths must be worker-visible).
+    Each file STREAMS record-by-record into chunked output batches —
+    task heap is O(chunk), never O(file). Same atomic manifested sink +
+    content-digest default fingerprint as ``pages_from_jsonl``."""
+    import gzip
+    import hashlib
+
+    import ray.data as rd
+
+    from .ids import md5_id_array
+    from .schemas import PAGES
+
+    paths = [warc_paths] if isinstance(warc_paths, str) else sorted(warc_paths)
+    if not fingerprint:
+        h = hashlib.md5()
+        for p in paths:
+            h.update(os.path.basename(p).encode())
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+        fingerprint = "warc:" + h.hexdigest()
+
+    out_schema = pa.schema(list(PAGES) + [pa.field("group_id", pa.string())])
+    chunk_rows = 4096
+
+    def parse_files(t: pa.Table):
+        """Generator UDF: yields chunk-sized pages tables as records parse,
+        so the streaming executor sees blocks long before a file ends and
+        task heap stays O(chunk)."""
+        from datetime import datetime, timedelta, timezone
+
+        _EPOCH = datetime(1970, 1, 1)
+        cols: dict[str, list] = {k: [] for k in out_schema.names}
+
+        def as_table() -> pa.Table:
+            tab = pa.Table.from_arrays(
+                [
+                    pa.array(cols[f.name], f.type) if f.name != "warc_ts"
+                    else pa.array(cols["warc_ts"], pa.int64()).cast(pa.timestamp("us"))
+                    for f in out_schema
+                ],
+                schema=out_schema,
+            )
+            for v in cols.values():
+                v.clear()
+            return tab
+
+        emitted = False
+        for path in t.column("path").to_pylist():
+            with open(path, "rb") as raw:
+                head = raw.read(2)
+                raw.seek(0)
+                f = gzip.GzipFile(fileobj=raw) if head == b"\x1f\x8b" else raw
+                for headers, payload in _iter_warc_records(f):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    url = headers.get("warc-target-uri")
+                    date = headers.get("warc-date")
+                    if not url or not date:
+                        continue
+                    try:
+                        dt = datetime.fromisoformat(date)
+                    except ValueError:
+                        continue
+                    if dt.tzinfo is not None:
+                        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+                    # payload = HTTP response message: headers CRLFCRLF body
+                    sep = payload.find(b"\r\n\r\n")
+                    if sep < 0:
+                        continue
+                    http_head = payload[:sep].decode("utf-8", "replace").lower()
+                    if "content-type:" in http_head and "text/html" not in http_head:
+                        continue
+                    cols["url"].append(url)
+                    cols["warc_ts"].append((dt - _EPOCH) // timedelta(microseconds=1))
+                    cols["html"].append(payload[sep + 4 :])
+                    cols["text"].append("")
+                    cols["lang"].append(default_lang)
+                    cols["group_id"].append(md5_id_array(["ep:" + url])[0][:2])
+                    if len(cols["url"]) >= chunk_rows:
+                        emitted = True
+                        yield as_table()
+        if cols["url"] or not emitted:
+            yield as_table()
+
+    items = [{"path": p} for p in paths]
+    ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        parse_files, batch_format="pyarrow", batch_size=1
+    )
+    write_table_distributed(ds, out_dir, fingerprint)
+    return [out_dir]
+
+
 def _prune_tmp(dirnames: list[str]) -> None:
     """In-place os.walk pruning: never descend into .tmp-* dirs — a
     SIGKILLed writer leaves its tmp dir behind (cleanup only runs on

@@ -369,6 +369,16 @@ def canonicalize(
     second mention shuffle.
     """
     mentions_df = (mentions if mentions is not None else distinct_mentions(triples)).to_pandas()
+    if mentions_df.empty:
+        # a corpus whose extraction found NO entity mentions is a valid
+        # (if useless) input — an empty pandas frame loses its column
+        # names, so return the typed empty map instead of crashing the
+        # blocking kernel on a missing 'group_id'
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in
+             ("group_id", "label", "surface", "canon_name", "canon_uuid")}
+            | {"n": pd.Series([], dtype="int64")}
+        )
     if len(mentions_df) <= DRIVER_PAIRS_MAX_MENTIONS:
         # vocabulary-sized distinct-mention set: run blocking + pairwise
         # scoring driver-side with the SAME kernels (no extra Ray job)

@@ -35,6 +35,10 @@ def main() -> int:
                          "resumable — a same-input re-run skips the conversion)")
     ap.add_argument("--on-bad", choices=("error", "drop"), default="error",
                     help="with --from-jsonl: invalid records raise (default) or drop")
+    ap.add_argument("--from-warc", action="store_true",
+                    help="inputs are WARC files (plain or per-record gzip): keep "
+                         "text/html response records and normalize them into "
+                         "<out>/_pages_warc first (io.pages_from_warc; resumable)")
     ap.add_argument("--shards", type=int, default=None, help="extraction shard count")
     ap.add_argument("--run-ts-us", type=int, default=None, help="injected run timestamp (µs)")
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count (cluster mode: omit)")
@@ -59,12 +63,18 @@ def main() -> int:
 
     t0 = time.time()
     pages = args.pages
+    if args.from_jsonl and args.from_warc:
+        ap.error("--from-jsonl and --from-warc are mutually exclusive")
     if args.from_jsonl:
         from graphiti_hf_ray.io import pages_from_jsonl
 
         pages = pages_from_jsonl(
             args.pages, os.path.join(args.out, "_pages_jsonl"), on_bad=args.on_bad
         )
+    elif args.from_warc:
+        from graphiti_hf_ray.io import pages_from_warc
+
+        pages = pages_from_warc(args.pages, os.path.join(args.out, "_pages_warc"))
     metrics = build_graph(
         pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards
     )

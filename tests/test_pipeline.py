@@ -1198,3 +1198,97 @@ def test_pages_from_jsonl_edge_contracts(ray_session, tmp_path_factory):
         fp_after = json.load(f)["fingerprint"]
     assert fp_after != fp_before
     assert pq.read_table(d4).to_pandas()["text"].tolist() == ["BBB"]
+
+
+def _warc_record(wtype: str, url: str | None, date: str | None, http: bytes | None, extra: str = "") -> bytes:
+    heads = [f"WARC-Type: {wtype}"]
+    if url:
+        heads.append(f"WARC-Target-URI: {url}")
+    if date:
+        heads.append(f"WARC-Date: {date}")
+    if extra:
+        heads.append(extra)
+    body = http or b""
+    heads.append(f"Content-Length: {len(body)}")
+    return ("WARC/1.0\r\n" + "\r\n".join(heads) + "\r\n\r\n").encode() + body + b"\r\n\r\n"
+
+
+def test_pages_from_warc_source(ray_session, tmp_path_factory):
+    """WARC source: response records with text/html payloads become pages
+    (url, UTC µs warc_ts, html body the pinned extractor consumes);
+    warcinfo/request/non-html records skip; per-record-gzip multi-member
+    streams read transparently; the converted table drives the unchanged
+    KG build."""
+    import gzip
+
+    from graphiti_hf_ray.extract.html import extract_text
+    from graphiti_hf_ray.io import pages_from_warc
+
+    html1 = b"<html><body><p>Alice Smith works at Acme Corp.</p></body></html>"
+    html2 = b"<html><body><p>Bob Jones lives in Berlin.</p></body></html>"
+    http1 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html1
+    http2 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html2
+    http_png = b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG"
+    recs = [
+        _warc_record("warcinfo", None, None, b"software: test\r\n"),
+        _warc_record("request", "https://w.test/1", "2024-03-01T00:00:00Z", b"GET / HTTP/1.1\r\n\r\n"),
+        _warc_record("response", "https://w.test/1", "2024-03-01T00:00:00Z", http1),
+        _warc_record("response", "https://w.test/2", "2024-03-01T05:30:00+05:30", http2),
+        _warc_record("response", "https://w.test/3", "2024-03-01T00:00:00Z", http_png),
+        _warc_record("response", None, "2024-03-01T00:00:00Z", http1),  # no URI → skip
+    ]
+    jd = str(tmp_path_factory.mktemp("warc_src"))
+    plain = os.path.join(jd, "a.warc")
+    with open(plain, "wb") as f:
+        f.write(b"".join(recs))
+    gz = os.path.join(jd, "b.warc.gz")
+    with open(gz, "wb") as f:  # per-record gzip members, like Common Crawl
+        for r in recs:
+            f.write(gzip.compress(r))
+
+    for src in (plain, gz):
+        out = os.path.join(jd, os.path.basename(src) + ".pages")
+        pages_from_warc(src, out)
+        t = pq.read_table(out).to_pandas().sort_values("url").reset_index(drop=True)
+        assert t["url"].tolist() == ["https://w.test/1", "https://w.test/2"]
+        assert extract_text(t["html"][0]) == "Alice Smith works at Acme Corp."
+        assert extract_text(t["html"][1]) == "Bob Jones lives in Berlin."
+        # offset form normalized to the same UTC instant
+        assert str(t["warc_ts"][0]) == str(t["warc_ts"][1]) == "2024-03-01 00:00:00"
+        assert all(len(g) == 2 for g in t["group_id"])
+
+    # the converted table drives the unchanged pipeline end to end
+    g = str(tmp_path_factory.mktemp("warc_graph"))
+    build_graph([os.path.join(jd, "a.warc.pages")], g, num_shards=2)
+    eps = gio.read_table_dir(g, "episodes").to_pandas()
+    assert sorted(eps["content"]) == [
+        "Alice Smith works at Acme Corp.", "Bob Jones lives in Berlin.",
+    ]
+    assert gio.read_table_dir(g, "nodes").to_pandas()["name"].str.len().min() > 0
+
+
+def test_build_graph_no_entities(ray_session, tmp_path_factory):
+    """A corpus whose extraction finds NO entity mentions is a valid input:
+    the build completes with episodes written and empty global tables
+    (regression: the empty mentions frame used to lose its column names
+    and crash the blocking kernel with KeyError 'group_id')."""
+    import pyarrow as pa
+
+    from graphiti_hf_ray.schemas import PAGES
+
+    d = str(tmp_path_factory.mktemp("noent"))
+    rows = {
+        "url": [f"https://n.test/{i}" for i in range(3)],
+        "warc_ts": [1_700_000_000_000_000 + i for i in range(3)],
+        "html": [f"<html><body><p>nothing recognizable here {i}</p></body></html>".encode()
+                 for i in range(3)],
+        "text": ["", "", ""],
+        "lang": ["en"] * 3,
+    }
+    p = os.path.join(d, "pages.parquet")
+    pq.write_table(pa.table(rows, schema=PAGES), p)
+    m = build_graph([p], os.path.join(d, "g"), num_shards=2)
+    counts = {k: v["rows"] for k, v in m["tables"].items()}
+    assert counts["episodes"] == 3
+    assert counts["nodes"] == 0 and counts["edges"] == 0 and counts["episodic_edges"] == 0
+    assert gio.read_table_dir(os.path.join(d, "g"), "episodes").num_rows == 3
