@@ -214,7 +214,7 @@ def pages_from_jsonl(
 
     import ray.data as rd
 
-    from .ids import md5_id_array
+    from .ids import episode_uuid
     from .schemas import PAGES
     from .stages.episodes import GROUP_ID_RE
 
@@ -282,7 +282,7 @@ def pages_from_jsonl(
             # the identical way (first 2 hex chars of the episode uuid), so
             # mixed with/without-key inputs stay consistent per ROW
             cols["group_id"].append(
-                group if group is not None else md5_id_array(["ep:" + url])[0][:2]
+                group if group is not None else episode_uuid(url)[:2]
             )
         if n_bad and on_bad == "error":
             raise ValueError(
@@ -303,10 +303,14 @@ def pages_from_jsonl(
     return [out_dir]
 
 
-def _iter_warc_records(f) -> "tuple":
-    """Yield (headers: dict, payload: bytes) per WARC/1.0 record from a
+def _iter_warc_records(f, path: str):
+    """Yield ``(headers: dict, payload: bytes)`` per WARC/1.0 record from a
     binary stream. Standard framing: header block ends at CRLFCRLF,
-    payload length = Content-Length, records separated by CRLFCRLF."""
+    payload length = Content-Length, records separated by CRLFCRLF.
+    Structural corruption (non-WARC boundary, non-numeric Content-Length,
+    payload cut short by EOF — a torn download) always raises with file
+    context: a torn tail silently dropped would be missing data, not a
+    per-record quality problem ``on_bad`` should paper over."""
     while True:
         line = f.readline()
         if not line:
@@ -314,7 +318,7 @@ def _iter_warc_records(f) -> "tuple":
         if line.strip() == b"":
             continue
         if not line.startswith(b"WARC/"):
-            raise ValueError(f"not a WARC record boundary: {line[:40]!r}")
+            raise ValueError(f"{path}: not a WARC record boundary: {line[:40]!r}")
         headers: dict[str, str] = {}
         while True:
             h = f.readline()
@@ -322,9 +326,91 @@ def _iter_warc_records(f) -> "tuple":
                 break
             k, _, v = h.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        n = int(headers.get("content-length", "0"))
+        cl = headers.get("content-length", "0")
+        try:
+            n = int(cl)
+        except ValueError:
+            raise ValueError(f"{path}: non-numeric WARC Content-Length {cl!r}") from None
         payload = f.read(n)
+        if len(payload) != n:
+            raise ValueError(
+                f"{path}: truncated WARC record "
+                f"(Content-Length {n}, only {len(payload)} bytes before EOF)"
+            )
         yield headers, payload
+
+
+def _dechunk_http(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (hex size line CRLF data
+    CRLF, terminated by a 0-size chunk). Raises ValueError on malformed
+    framing so the caller's on_bad policy governs."""
+    out: list[bytes] = []
+    i = 0
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            raise ValueError("chunked body: missing size-line terminator")
+        tok = body[i:j].split(b";", 1)[0].strip()
+        try:
+            n = int(tok, 16)
+        except ValueError:
+            raise ValueError(f"chunked body: bad chunk size {tok[:16]!r}") from None
+        if n == 0:
+            return b"".join(out)
+        start, end = j + 2, j + 2 + n
+        if end + 2 > len(body) or body[end : end + 2] != b"\r\n":
+            raise ValueError("chunked body: truncated or unterminated chunk")
+        out.append(body[start:end])
+        i = end + 2
+
+
+def _http_html_body(payload: bytes) -> bytes | None:
+    """Split an HTTP response message into header block + body and return
+    the DECODED body iff the response's own Content-Type header says
+    text/html — else None (non-HTML and untyped responses are skipped by
+    design, matching the source docstring). Header fields are parsed
+    line-by-line (a 'text/html' substring in some other header must not
+    defeat the filter). Real crawl captures store the wire form, so
+    Transfer-Encoding: chunked is de-framed and Content-Encoding
+    gzip/x-gzip/deflate decompressed; any other coding (br, zstd — no
+    stdlib codec) raises ValueError for the caller's on_bad policy."""
+    import gzip
+    import zlib
+
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("response record has no HTTP header/body separator")
+    ctype = tenc = cenc = ""
+    for ln in payload[:sep].split(b"\r\n")[1:]:  # [0] is the status line
+        k, _, v = ln.decode("latin-1").partition(":")
+        k = k.strip().lower()
+        if k == "content-type":
+            ctype = v.strip().lower()
+        elif k == "transfer-encoding":
+            tenc = v.strip().lower()
+        elif k == "content-encoding":
+            cenc = v.strip().lower()
+    if not ctype.startswith("text/html"):
+        return None
+    body = payload[sep + 4 :]
+    if "chunked" in tenc:
+        body = _dechunk_http(body)
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError) as e:
+            raise ValueError(f"bad gzip Content-Encoding: {e}") from None
+    elif cenc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw-deflate servers
+            except zlib.error as e:
+                raise ValueError(f"bad deflate Content-Encoding: {e}") from None
+    elif cenc and cenc != "identity":
+        raise ValueError(f"unsupported Content-Encoding {cenc!r}")
+    return body
 
 
 def pages_from_warc(
@@ -332,30 +418,44 @@ def pages_from_warc(
     out_dir: str,
     default_lang: str = "en",
     fingerprint: str = "",
+    on_bad: str = "error",
 ) -> list[str]:
     """Normalize WARC files — the actual Common-Crawl container — into
     PAGES-schema Parquet under ``out_dir``, completing the crawl-ingest
     source family (parquet / JSONL / WARC all feed ``kg_build``
     unchanged). Stdlib-only reader: per-record-gzip or plain streams
     (gzip.GzipFile reads multi-member transparently), keeps
-    ``WARC-Type: response`` records whose HTTP payload is ``text/html``,
-    and maps WARC-Target-URI → url, WARC-Date → warc_ts, HTTP body →
-    html (the pinned extractor derives text downstream, same as every
-    other source). Non-response records (warcinfo, request, metadata) and
-    non-HTML responses are skipped by design, not errors.
+    ``WARC-Type: response`` records whose HTTP Content-Type header says
+    ``text/html``, decodes the wire form (chunked framing, gzip/deflate
+    Content-Encoding), and maps WARC-Target-URI → url, WARC-Date →
+    warc_ts, decoded HTTP body → html (the pinned extractor derives text
+    downstream, same as every other source). Non-response records
+    (warcinfo, request, metadata) and non-HTML/untyped responses are
+    skipped by design, not errors. BAD response records — missing
+    URI/date, unparseable WARC-Date, no HTTP header/body separator,
+    undecodable body coding — follow ``on_bad``: 'error' (default, same
+    as ``pages_from_jsonl``) raises with file context, 'drop' skips them.
+    Structural file corruption (torn record, non-numeric Content-Length)
+    always raises.
 
     Distribution: one Ray task per WARC file (files are the natural
     parallel unit of a crawl dump; paths must be worker-visible).
     Each file STREAMS record-by-record into chunked output batches —
     task heap is O(chunk), never O(file). Same atomic manifested sink +
-    content-digest default fingerprint as ``pages_from_jsonl``."""
+    content-digest default fingerprint as ``pages_from_jsonl``; note the
+    default digest reads every file on the DRIVER before any task
+    launches (paths must be driver-visible too) — pass ``fingerprint=``
+    (e.g. a crawl-segment id) to skip that pass at scale."""
     import gzip
     import hashlib
 
     import ray.data as rd
 
-    from .ids import md5_id_array
+    from .ids import episode_uuid
     from .schemas import PAGES
+
+    if on_bad not in ("error", "drop"):
+        raise ValueError(f"on_bad must be 'error' or 'drop', got {on_bad!r}")
 
     paths = [warc_paths] if isinstance(warc_paths, str) else sorted(warc_paths)
     if not fingerprint:
@@ -392,38 +492,47 @@ def pages_from_warc(
                 v.clear()
             return tab
 
+        def bad(path: str, why: str) -> None:
+            if on_bad == "error":
+                raise ValueError(
+                    f"{path}: bad WARC response record: {why} "
+                    "(on_bad='drop' skips bad records)"
+                )
+
         emitted = False
         for path in t.column("path").to_pylist():
             with open(path, "rb") as raw:
                 head = raw.read(2)
                 raw.seek(0)
                 f = gzip.GzipFile(fileobj=raw) if head == b"\x1f\x8b" else raw
-                for headers, payload in _iter_warc_records(f):
+                for headers, payload in _iter_warc_records(f, path):
                     if headers.get("warc-type") != "response":
                         continue
                     url = headers.get("warc-target-uri")
                     date = headers.get("warc-date")
                     if not url or not date:
+                        bad(path, "missing WARC-Target-URI or WARC-Date")
                         continue
                     try:
                         dt = datetime.fromisoformat(date)
                     except ValueError:
+                        bad(path, f"unparseable WARC-Date {date!r}")
                         continue
                     if dt.tzinfo is not None:
                         dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
-                    # payload = HTTP response message: headers CRLFCRLF body
-                    sep = payload.find(b"\r\n\r\n")
-                    if sep < 0:
+                    try:
+                        body = _http_html_body(payload)
+                    except ValueError as e:
+                        bad(path, f"{e} (url {url})")
                         continue
-                    http_head = payload[:sep].decode("utf-8", "replace").lower()
-                    if "content-type:" in http_head and "text/html" not in http_head:
+                    if body is None:  # non-HTML / untyped response: by design
                         continue
                     cols["url"].append(url)
                     cols["warc_ts"].append((dt - _EPOCH) // timedelta(microseconds=1))
-                    cols["html"].append(payload[sep + 4 :])
+                    cols["html"].append(body)
                     cols["text"].append("")
                     cols["lang"].append(default_lang)
-                    cols["group_id"].append(md5_id_array(["ep:" + url])[0][:2])
+                    cols["group_id"].append(episode_uuid(url)[:2])
                     if len(cols["url"]) >= chunk_rows:
                         emitted = True
                         yield as_table()

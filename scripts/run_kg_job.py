@@ -34,11 +34,17 @@ def main() -> int:
                          "them into <out>/_pages_jsonl first (io.pages_from_jsonl; "
                          "resumable — a same-input re-run skips the conversion)")
     ap.add_argument("--on-bad", choices=("error", "drop"), default="error",
-                    help="with --from-jsonl: invalid records raise (default) or drop")
+                    help="with --from-jsonl/--from-warc: invalid records raise "
+                         "(default) or drop")
     ap.add_argument("--from-warc", action="store_true",
                     help="inputs are WARC files (plain or per-record gzip): keep "
                          "text/html response records and normalize them into "
                          "<out>/_pages_warc first (io.pages_from_warc; resumable)")
+    ap.add_argument("--source-fingerprint", default="",
+                    help="with --from-jsonl/--from-warc: precomputed input "
+                         "fingerprint (e.g. crawl-segment id or object-store "
+                         "etags) — skips the default driver-side content digest "
+                         "over every input file")
     ap.add_argument("--shards", type=int, default=None, help="extraction shard count")
     ap.add_argument("--run-ts-us", type=int, default=None, help="injected run timestamp (µs)")
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count (cluster mode: omit)")
@@ -69,12 +75,16 @@ def main() -> int:
         from graphiti_hf_ray.io import pages_from_jsonl
 
         pages = pages_from_jsonl(
-            args.pages, os.path.join(args.out, "_pages_jsonl"), on_bad=args.on_bad
+            args.pages, os.path.join(args.out, "_pages_jsonl"),
+            on_bad=args.on_bad, fingerprint=args.source_fingerprint,
         )
     elif args.from_warc:
         from graphiti_hf_ray.io import pages_from_warc
 
-        pages = pages_from_warc(args.pages, os.path.join(args.out, "_pages_warc"))
+        pages = pages_from_warc(
+            args.pages, os.path.join(args.out, "_pages_warc"),
+            on_bad=args.on_bad, fingerprint=args.source_fingerprint,
+        )
     metrics = build_graph(
         pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards
     )

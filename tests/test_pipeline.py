@@ -1248,7 +1248,8 @@ def test_pages_from_warc_source(ray_session, tmp_path_factory):
 
     for src in (plain, gz):
         out = os.path.join(jd, os.path.basename(src) + ".pages")
-        pages_from_warc(src, out)
+        # the no-URI response is a bad record: droppable, error by default
+        pages_from_warc(src, out, on_bad="drop")
         t = pq.read_table(out).to_pandas().sort_values("url").reset_index(drop=True)
         assert t["url"].tolist() == ["https://w.test/1", "https://w.test/2"]
         assert extract_text(t["html"][0]) == "Alice Smith works at Acme Corp."
@@ -1265,6 +1266,91 @@ def test_pages_from_warc_source(ray_session, tmp_path_factory):
         "Alice Smith works at Acme Corp.", "Bob Jones lives in Berlin.",
     ]
     assert gio.read_table_dir(g, "nodes").to_pandas()["name"].str.len().min() > 0
+
+
+def test_pages_from_warc_edge_contracts(ray_session, tmp_path_factory):
+    """The wire-form edges of the WARC source: chunked framing de-framed,
+    gzip/deflate Content-Encoding decompressed, the Content-Type filter
+    reads the actual header line (untyped responses and 'text/html'
+    appearing in OTHER headers don't leak through), bad records follow
+    on_bad (error raises with file context, drop skips), and structural
+    corruption (torn payload, non-numeric Content-Length) always raises."""
+    import gzip
+    import zlib
+
+    import pytest
+
+    from graphiti_hf_ray.extract.html import extract_text
+    from graphiti_hf_ray.io import pages_from_warc
+
+    jd = str(tmp_path_factory.mktemp("warc_edge"))
+    html = b"<html><body><p>Carol Park works at Initech.</p></body></html>"
+
+    def chunked(b: bytes) -> bytes:
+        return b"%x\r\n" % len(b[:7]) + b[:7] + b"\r\n" + b"%x\r\n" % len(b[7:]) + b[7:] + b"\r\n0\r\n\r\n"
+
+    http_chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n" + chunked(html))
+    http_gzip = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html))
+    http_deflate = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: deflate\r\n\r\n" + zlib.compress(html))
+    # wire-form composition: chunked framing AROUND a gzip body
+    http_both = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+                 + chunked(gzip.compress(html)))
+    # untyped response and a text/html mention in a DIFFERENT header: both skip
+    http_untyped = b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n" + html
+    http_decoy = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                  b"X-Original-Content-Type: text/html\r\n\r\nplain text")
+    ok = os.path.join(jd, "ok.warc")
+    with open(ok, "wb") as f:
+        f.write(_warc_record("response", "https://wf.test/chunked", "2024-03-01T00:00:00Z", http_chunked))
+        f.write(_warc_record("response", "https://wf.test/gzip", "2024-03-01T00:00:01Z", http_gzip))
+        f.write(_warc_record("response", "https://wf.test/deflate", "2024-03-01T00:00:02Z", http_deflate))
+        f.write(_warc_record("response", "https://wf.test/both", "2024-03-01T00:00:03Z", http_both))
+        f.write(_warc_record("response", "https://wf.test/untyped", "2024-03-01T00:00:04Z", http_untyped))
+        f.write(_warc_record("response", "https://wf.test/decoy", "2024-03-01T00:00:05Z", http_decoy))
+    out = os.path.join(jd, "ok.pages")
+    pages_from_warc(ok, out)  # default on_bad='error': nothing here is bad
+    t = pq.read_table(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert t["url"].tolist() == [
+        "https://wf.test/both", "https://wf.test/chunked",
+        "https://wf.test/deflate", "https://wf.test/gzip",
+    ]
+    for b in t["html"]:
+        assert extract_text(b) == "Carol Park works at Initech."
+
+    # bad records: unparseable WARC-Date, unsupported Content-Encoding
+    badf = os.path.join(jd, "bad.warc")
+    http_ok = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    http_br = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Content-Encoding: br\r\n\r\n\x00\x01")
+    with open(badf, "wb") as f:
+        f.write(_warc_record("response", "https://wf.test/good", "2024-03-01T00:00:00Z", http_ok))
+        f.write(_warc_record("response", "https://wf.test/baddate", "20240301000000", http_ok))
+        f.write(_warc_record("response", "https://wf.test/br", "2024-03-01T00:00:01Z", http_br))
+    with pytest.raises(Exception, match="bad WARC response record"):
+        pages_from_warc(badf, os.path.join(jd, "err"))
+    dropped = os.path.join(jd, "dropped.pages")
+    pages_from_warc(badf, dropped, on_bad="drop")
+    td = pq.read_table(dropped)
+    assert td.column("url").to_pylist() == ["https://wf.test/good"]
+
+    # structural corruption always raises, even with on_bad='drop':
+    # a payload torn by EOF ...
+    torn = os.path.join(jd, "torn.warc")
+    rec = _warc_record("response", "https://wf.test/torn", "2024-03-01T00:00:00Z", http_ok)
+    with open(torn, "wb") as f:
+        f.write(rec[: len(rec) - 30])
+    with pytest.raises(Exception, match="truncated WARC record"):
+        pages_from_warc(torn, os.path.join(jd, "torn_out"), on_bad="drop")
+    # ... and a non-numeric Content-Length
+    badlen = os.path.join(jd, "badlen.warc")
+    with open(badlen, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: abc\r\n\r\n")
+    with pytest.raises(Exception, match="non-numeric WARC Content-Length"):
+        pages_from_warc(badlen, os.path.join(jd, "badlen_out"), on_bad="drop")
 
 
 def test_build_graph_no_entities(ray_session, tmp_path_factory):
