@@ -420,23 +420,33 @@ def pages_from_warc(
     fingerprint: str = "",
     on_bad: str = "error",
 ) -> list[str]:
-    """Normalize WARC files — the actual Common-Crawl container — into
-    PAGES-schema Parquet under ``out_dir``, completing the crawl-ingest
-    source family (parquet / JSONL / WARC all feed ``kg_build``
-    unchanged). Stdlib-only reader: per-record-gzip or plain streams
-    (gzip.GzipFile reads multi-member transparently), keeps
-    ``WARC-Type: response`` records whose HTTP Content-Type header says
-    ``text/html``, decodes the wire form (chunked framing, gzip/deflate
-    Content-Encoding), and maps WARC-Target-URI → url, WARC-Date →
-    warc_ts, decoded HTTP body → html (the pinned extractor derives text
-    downstream, same as every other source). Non-response records
-    (warcinfo, request, metadata) and non-HTML/untyped responses are
-    skipped by design, not errors. BAD response records — missing
-    URI/date, unparseable WARC-Date, no HTTP header/body separator,
-    undecodable body coding — follow ``on_bad``: 'error' (default, same
-    as ``pages_from_jsonl``) raises with file context, 'drop' skips them.
-    Structural file corruption (torn record, non-numeric Content-Length)
-    always raises.
+    """Normalize WARC/WET files — the actual Common-Crawl containers —
+    into PAGES-schema Parquet under ``out_dir``, completing the
+    crawl-ingest source family (parquet / JSONL / WARC / WET all feed
+    ``kg_build`` unchanged). Stdlib-only reader: per-record-gzip or plain
+    streams (gzip.GzipFile reads multi-member transparently). Two record
+    kinds become pages:
+
+    - ``WARC-Type: response`` (WARC dumps) whose HTTP Content-Type header
+      says ``text/html``: the wire form is decoded (chunked framing,
+      gzip/deflate Content-Encoding) and the HTTP body becomes html (the
+      pinned extractor derives text downstream, same as every source).
+    - ``WARC-Type: conversion`` (WET dumps — Common Crawl's pre-extracted
+      text) whose record Content-Type is ``text/plain``: the payload IS
+      the text (no HTTP envelope); it fills the text column and a
+      minimal synthesized html the pinned extractor round-trips exactly
+      (same contract as JSONL text-only records). A
+      ``WARC-Identified-Content-Language`` header's first tag becomes
+      lang (CC labels WET records this way), else ``default_lang``.
+
+    WARC-Target-URI → url, WARC-Date → warc_ts for both. Other record
+    types (warcinfo, request, metadata) and non-HTML/untyped responses /
+    non-plain conversions are skipped by design, not errors. BAD records
+    — missing URI/date, unparseable WARC-Date, no HTTP header/body
+    separator, undecodable body coding — follow ``on_bad``: 'error'
+    (default, same as ``pages_from_jsonl``) raises with file context,
+    'drop' skips them. Structural file corruption (torn record,
+    non-numeric Content-Length) always raises.
 
     Distribution: one Ray task per WARC file (files are the natural
     parallel unit of a crawl dump; paths must be worker-visible).
@@ -506,7 +516,8 @@ def pages_from_warc(
                 raw.seek(0)
                 f = gzip.GzipFile(fileobj=raw) if head == b"\x1f\x8b" else raw
                 for headers, payload in _iter_warc_records(f, path):
-                    if headers.get("warc-type") != "response":
+                    wtype = headers.get("warc-type")
+                    if wtype not in ("response", "conversion"):
                         continue
                     url = headers.get("warc-target-uri")
                     date = headers.get("warc-date")
@@ -520,18 +531,29 @@ def pages_from_warc(
                         continue
                     if dt.tzinfo is not None:
                         dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
-                    try:
-                        body = _http_html_body(payload)
-                    except ValueError as e:
-                        bad(path, f"{e} (url {url})")
-                        continue
-                    if body is None:  # non-HTML / untyped response: by design
-                        continue
+                    lang = default_lang
+                    if wtype == "response":
+                        try:
+                            body = _http_html_body(payload)
+                        except ValueError as e:
+                            bad(path, f"{e} (url {url})")
+                            continue
+                        if body is None:  # non-HTML / untyped: by design
+                            continue
+                        text = ""
+                    else:  # conversion (WET): payload is the extracted text
+                        ctype = headers.get("content-type", "text/plain")
+                        if not ctype.lower().startswith("text/plain"):
+                            continue
+                        text = payload.decode("utf-8", "replace").replace("\r\n", "\n")
+                        body = _synth_html(text)
+                        tag = headers.get("warc-identified-content-language", "")
+                        lang = tag.split(",")[0].strip() or default_lang
                     cols["url"].append(url)
                     cols["warc_ts"].append((dt - _EPOCH) // timedelta(microseconds=1))
                     cols["html"].append(body)
-                    cols["text"].append("")
-                    cols["lang"].append(default_lang)
+                    cols["text"].append(text)
+                    cols["lang"].append(lang)
                     cols["group_id"].append(episode_uuid(url)[:2])
                     if len(cols["url"]) >= chunk_rows:
                         emitted = True

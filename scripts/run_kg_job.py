@@ -37,8 +37,9 @@ def main() -> int:
                     help="with --from-jsonl/--from-warc: invalid records raise "
                          "(default) or drop")
     ap.add_argument("--from-warc", action="store_true",
-                    help="inputs are WARC files (plain or per-record gzip): keep "
-                         "text/html response records and normalize them into "
+                    help="inputs are WARC or WET files (plain or per-record gzip): "
+                         "keep text/html response records (wire form decoded) and "
+                         "text/plain conversion records, normalized into "
                          "<out>/_pages_warc first (io.pages_from_warc; resumable)")
     ap.add_argument("--source-fingerprint", default="",
                     help="with --from-jsonl/--from-warc: precomputed input "

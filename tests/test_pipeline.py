@@ -1353,6 +1353,60 @@ def test_pages_from_warc_edge_contracts(ray_session, tmp_path_factory):
         pages_from_warc(badlen, os.path.join(jd, "badlen_out"), on_bad="drop")
 
 
+def test_pages_from_wet_source(ray_session, tmp_path_factory):
+    """WET dumps (Common Crawl's pre-extracted text: WARC-Type conversion,
+    text/plain payload, no HTTP envelope) flow through the same reader:
+    payload fills text, the synthesized html round-trips it exactly
+    through the pinned extractor, WARC-Identified-Content-Language's
+    first tag becomes lang, non-plain conversions skip, and the converted
+    table drives the unchanged KG build."""
+    import gzip
+
+    from graphiti_hf_ray.extract.html import extract_text
+    from graphiti_hf_ray.io import pages_from_warc
+
+    def wet_record(url, date, text, extra=""):
+        heads = ["WARC-Type: conversion", f"WARC-Target-URI: {url}",
+                 f"WARC-Date: {date}", "Content-Type: text/plain"]
+        if extra:
+            heads.append(extra)
+        body = text.encode("utf-8")
+        heads.append(f"Content-Length: {len(body)}")
+        return ("WARC/1.0\r\n" + "\r\n".join(heads) + "\r\n\r\n").encode() + body + b"\r\n\r\n"
+
+    jd = str(tmp_path_factory.mktemp("wet_src"))
+    t1 = "Alice Smith works at Acme Corp.\nBob Jones lives in Berlin."
+    recs = [
+        _warc_record("warcinfo", None, None, b"software: wet-test\r\n"),
+        wet_record("https://wet.test/1", "2024-03-01T00:00:00Z", t1,
+                   extra="WARC-Identified-Content-Language: eng,deu"),
+        wet_record("https://wet.test/2", "2024-03-01T05:30:00+05:30", "Carol Park works at Initech."),
+    ]
+    # a conversion record that is NOT text/plain skips by design
+    nonplain = wet_record("https://wet.test/skip", "2024-03-01T00:00:00Z", "x")
+    nonplain = nonplain.replace(b"Content-Type: text/plain", b"Content-Type: application/pdf")
+    recs.append(nonplain)
+    wet = os.path.join(jd, "a.warc.wet.gz")
+    with open(wet, "wb") as f:  # per-record gzip members, like Common Crawl
+        for r in recs:
+            f.write(gzip.compress(r))
+
+    out = os.path.join(jd, "pages")
+    pages_from_warc(wet, out)  # nothing here is bad: error default holds
+    t = pq.read_table(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert t["url"].tolist() == ["https://wet.test/1", "https://wet.test/2"]
+    assert t["text"][0] == t1
+    # the synthesized html round-trips the WET text byte-exactly
+    assert extract_text(t["html"][0]) == t1
+    assert t["lang"].tolist() == ["eng", "en"]
+    assert str(t["warc_ts"][1]) == "2024-03-01 00:00:00"  # offset → UTC
+
+    g = str(tmp_path_factory.mktemp("wet_graph"))
+    build_graph([out], g, num_shards=2)
+    nodes = gio.read_table_dir(g, "nodes").to_pandas()
+    assert {"Alice Smith", "Acme Corp", "Carol Park"} <= set(nodes["name"])
+
+
 def test_build_graph_no_entities(ray_session, tmp_path_factory):
     """A corpus whose extraction finds NO entity mentions is a valid input:
     the build completes with episodes written and empty global tables
