@@ -413,6 +413,22 @@ def _http_html_body(payload: bytes) -> bytes | None:
     return body
 
 
+# WARC-Identified-Content-Language (Common Crawl WET) uses ISO-639-3; the
+# engine's lang column uses 639-1 everywhere else. Normalize the common web
+# languages so one language never maps to two vocabulary values in a mixed
+# corpus; tags without a 639-1 equivalent (or already 2-letter) pass through.
+_ISO639_3TO1 = {
+    "eng": "en", "deu": "de", "fra": "fr", "spa": "es", "rus": "ru",
+    "zho": "zh", "cmn": "zh", "jpn": "ja", "por": "pt", "ita": "it",
+    "nld": "nl", "pol": "pl", "tur": "tr", "ces": "cs", "kor": "ko",
+    "ara": "ar", "vie": "vi", "swe": "sv", "ukr": "uk", "ell": "el",
+    "ron": "ro", "hun": "hu", "dan": "da", "fin": "fi", "nor": "no",
+    "nob": "no", "ind": "id", "tha": "th", "heb": "he", "hin": "hi",
+    "fas": "fa", "bul": "bg", "slk": "sk", "hrv": "hr", "srp": "sr",
+    "cat": "ca", "lit": "lt", "slv": "sl", "est": "et", "lav": "lv",
+}
+
+
 def pages_from_warc(
     warc_paths: list[str] | str,
     out_dir: str,
@@ -505,7 +521,7 @@ def pages_from_warc(
         def bad(path: str, why: str) -> None:
             if on_bad == "error":
                 raise ValueError(
-                    f"{path}: bad WARC response record: {why} "
+                    f"{path}: bad WARC record: {why} "
                     "(on_bad='drop' skips bad records)"
                 )
 
@@ -542,13 +558,19 @@ def pages_from_warc(
                             continue
                         text = ""
                     else:  # conversion (WET): payload is the extracted text
-                        ctype = headers.get("content-type", "text/plain")
+                        # untyped conversions skip, same rule as untyped
+                        # responses (a conversion can be any transform)
+                        ctype = headers.get("content-type", "")
                         if not ctype.lower().startswith("text/plain"):
                             continue
                         text = payload.decode("utf-8", "replace").replace("\r\n", "\n")
                         body = _synth_html(text)
                         tag = headers.get("warc-identified-content-language", "")
-                        lang = tag.split(",")[0].strip() or default_lang
+                        tag = tag.split(",")[0].strip().lower()
+                        # CC labels WET records in ISO-639-3; the engine's
+                        # lang vocabulary is 639-1 ('en'), so normalize the
+                        # common web languages (unknown tags pass verbatim)
+                        lang = _ISO639_3TO1.get(tag, tag) or default_lang
                     cols["url"].append(url)
                     cols["warc_ts"].append((dt - _EPOCH) // timedelta(microseconds=1))
                     cols["html"].append(body)

@@ -1330,7 +1330,7 @@ def test_pages_from_warc_edge_contracts(ray_session, tmp_path_factory):
         f.write(_warc_record("response", "https://wf.test/good", "2024-03-01T00:00:00Z", http_ok))
         f.write(_warc_record("response", "https://wf.test/baddate", "20240301000000", http_ok))
         f.write(_warc_record("response", "https://wf.test/br", "2024-03-01T00:00:01Z", http_br))
-    with pytest.raises(Exception, match="bad WARC response record"):
+    with pytest.raises(Exception, match="bad WARC record"):
         pages_from_warc(badf, os.path.join(jd, "err"))
     dropped = os.path.join(jd, "dropped.pages")
     pages_from_warc(badf, dropped, on_bad="drop")
@@ -1358,21 +1358,17 @@ def test_pages_from_wet_source(ray_session, tmp_path_factory):
     text/plain payload, no HTTP envelope) flow through the same reader:
     payload fills text, the synthesized html round-trips it exactly
     through the pinned extractor, WARC-Identified-Content-Language's
-    first tag becomes lang, non-plain conversions skip, and the converted
-    table drives the unchanged KG build."""
+    first tag becomes lang (ISO-639-3 normalized to the engine's 639-1
+    vocabulary), non-plain and untyped conversions skip, and the
+    converted table drives the unchanged KG build."""
     import gzip
 
     from graphiti_hf_ray.extract.html import extract_text
     from graphiti_hf_ray.io import pages_from_warc
 
     def wet_record(url, date, text, extra=""):
-        heads = ["WARC-Type: conversion", f"WARC-Target-URI: {url}",
-                 f"WARC-Date: {date}", "Content-Type: text/plain"]
-        if extra:
-            heads.append(extra)
-        body = text.encode("utf-8")
-        heads.append(f"Content-Length: {len(body)}")
-        return ("WARC/1.0\r\n" + "\r\n".join(heads) + "\r\n\r\n").encode() + body + b"\r\n\r\n"
+        ct = "Content-Type: text/plain" + (f"\r\n{extra}" if extra else "")
+        return _warc_record("conversion", url, date, text.encode("utf-8"), extra=ct)
 
     jd = str(tmp_path_factory.mktemp("wet_src"))
     t1 = "Alice Smith works at Acme Corp.\nBob Jones lives in Berlin."
@@ -1382,10 +1378,12 @@ def test_pages_from_wet_source(ray_session, tmp_path_factory):
                    extra="WARC-Identified-Content-Language: eng,deu"),
         wet_record("https://wet.test/2", "2024-03-01T05:30:00+05:30", "Carol Park works at Initech."),
     ]
-    # a conversion record that is NOT text/plain skips by design
+    # conversion records that are NOT text/plain — typed otherwise or
+    # untyped — skip by design
     nonplain = wet_record("https://wet.test/skip", "2024-03-01T00:00:00Z", "x")
-    nonplain = nonplain.replace(b"Content-Type: text/plain", b"Content-Type: application/pdf")
-    recs.append(nonplain)
+    recs.append(nonplain.replace(b"Content-Type: text/plain", b"Content-Type: application/pdf"))
+    recs.append(_warc_record("conversion", "https://wet.test/untyped",
+                             "2024-03-01T00:00:00Z", b"binary transform"))
     wet = os.path.join(jd, "a.warc.wet.gz")
     with open(wet, "wb") as f:  # per-record gzip members, like Common Crawl
         for r in recs:
@@ -1398,7 +1396,8 @@ def test_pages_from_wet_source(ray_session, tmp_path_factory):
     assert t["text"][0] == t1
     # the synthesized html round-trips the WET text byte-exactly
     assert extract_text(t["html"][0]) == t1
-    assert t["lang"].tolist() == ["eng", "en"]
+    # CC's ISO-639-3 tag normalizes into the engine's 639-1 vocabulary
+    assert t["lang"].tolist() == ["en", "en"]
     assert str(t["warc_ts"][1]) == "2024-03-01 00:00:00"  # offset → UTC
 
     g = str(tmp_path_factory.mktemp("wet_graph"))
