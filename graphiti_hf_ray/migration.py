@@ -233,3 +233,222 @@ def migrate_reference_layout(
             com, os.path.join(out_dir, "communities"), fp
         )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Exporter: this engine's tables → reference HF-datasets layout (the inverse
+# of migrate_reference_layout, so a user can hand a graph built here back to
+# the reference stack — huggingface_driver.py:245-319 expects exactly these
+# single-file splits).
+# ---------------------------------------------------------------------------
+
+
+def _write_single_parquet(ds: "rd.Dataset", path: str) -> int:
+    """Stream a Dataset into ONE parquet file — the reference layout IS
+    single-file-per-split (HF datasets), so this is the one place a single
+    output file is the contract, not a scale bug. Driver heap stays
+    O(batch) via iter_batches; atomic tmp + os.replace."""
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp-export"
+    writer = None
+    rows = 0
+    try:
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, b.schema)
+            writer.write_table(b)
+            rows += b.num_rows
+        if writer is None:  # fully empty split: keep the schema if we can
+            schema = ds.schema()
+            writer = pq.ParquetWriter(tmp, schema.base_schema)
+        writer.close()
+        writer = None
+        os.replace(tmp, path)
+    except BaseException:
+        if writer is not None:
+            writer.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    return rows
+
+
+def _ts_s(col) -> pa.ChunkedArray:
+    """timestamp[us] → the reference's timestamp[s] (sub-second truncated —
+    the reference layout cannot carry it)."""
+    return col.cast(pa.timestamp("s"), safe=False)
+
+
+def _var_list(col) -> pa.ChunkedArray:
+    """fixed_size_list<float32, DIM> → the reference's variable list<float32>."""
+    return col.cast(pa.list_(pa.float32()))
+
+
+def _export_nodes(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "uuid": t.column("uuid"),
+            "name": t.column("name"),
+            "group_id": t.column("group_id"),
+            "labels": pa.array(
+                [json.dumps(l) for l in t.column("labels").to_pylist()], pa.string()
+            ),
+            "created_at": _ts_s(t.column("created_at")),
+            "name_embedding": _var_list(t.column("name_embedding")),
+            "summary": t.column("summary"),
+            "attributes": t.column("attributes"),
+        }
+    )
+
+
+def _export_edges(t: pa.Table) -> pa.Table:
+    """Inverse of _convert_edges: sorted-csv provenance → JSON array with
+    created_by FIRST (the reference keys episode deletion on episodes[0],
+    graphiti.py:1097 — created_by must round-trip into that slot);
+    engine-only columns (source/target_name, created_by, n_occurrences)
+    are dropped, as the reference derives or lacks them."""
+    csvs = t.column("episodes").to_pylist()
+    cbs = t.column("created_by").to_pylist()
+
+    def ordered(csv: str, cb: str) -> str:
+        items = [e for e in (csv or "").split(",") if e]
+        if cb and cb in items:
+            items = [cb] + [e for e in items if e != cb]
+        return json.dumps(items)
+
+    return pa.table(
+        {
+            "uuid": t.column("uuid"),
+            "source_uuid": t.column("source_uuid"),
+            "target_uuid": t.column("target_uuid"),
+            "name": t.column("name"),
+            "fact": t.column("fact"),
+            "group_id": t.column("group_id"),
+            "created_at": _ts_s(t.column("created_at")),
+            "fact_embedding": _var_list(t.column("fact_embedding")),
+            "episodes": pa.array([ordered(c, cb or "") for c, cb in zip(csvs, cbs)], pa.string()),
+            "expired_at": _ts_s(t.column("expired_at")),
+            "valid_at": _ts_s(t.column("valid_at")),
+            "invalid_at": _ts_s(t.column("invalid_at")),
+            "attributes": t.column("attributes"),
+        }
+    )
+
+
+def export_reference_layout(src_dir: str, out_dir: str) -> dict:
+    """Convert a graph in this engine's partitioned layout back into the
+    reference HF-datasets layout (``nodes.parquet`` / ``edges.parquet`` /
+    ``episodes.parquet`` / ``communities.parquet`` if present) under
+    ``out_dir`` — the inverse of ``migrate_reference_layout``, closing the
+    round trip. Lossy by design where the reference has no slot:
+    ``n_occurrences`` and endpoint names are dropped (the reference
+    re-derives names from uuids), sub-second timestamps truncate to the
+    reference's timestamp[s].
+
+    ``entity_edges`` is DERIVED by inverting the edges' provenance lists
+    (episode ∈ edge.episodes ⇒ edge ∈ episode.entity_edges) — this engine
+    keeps provenance on edges only; the inversion is one narrow exchange
+    keyed by episode uuid (two string columns cross the wire, never text).
+    Returns per-split row counts."""
+    from .functions.joins import hash_join
+    from .stages.shuffle import bucketed_group_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats: dict[str, int] = {}
+
+    nodes = gio.read_table_dir_ds(src_dir, "nodes").map_batches(
+        _export_nodes, batch_format="pyarrow"
+    )
+    stats["nodes"] = _write_single_parquet(nodes, os.path.join(out_dir, "nodes.parquet"))
+
+    edges = gio.read_table_dir_ds(src_dir, "edges").map_batches(
+        _export_edges, batch_format="pyarrow"
+    )
+    stats["edges"] = _write_single_parquet(edges, os.path.join(out_dir, "edges.parquet"))
+
+    # entity_edges inversion: explode (edge, episodes-csv) → narrow
+    # (episode_uuid, edge_uuid) pairs → one bucketed exchange per episode
+    prov = gio.read_table_dir_ds(src_dir, "edges", columns=["uuid", "episodes"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        eps: list[str] = []
+        eus: list[str] = []
+        for edge, csv in zip(t.column("uuid").to_pylist(), t.column("episodes").to_pylist()):
+            for e in (csv or "").split(","):
+                if e:
+                    eps.append(e)
+                    eus.append(edge)
+        return pa.table(
+            {"episode_uuid": pa.array(eps, pa.string()), "edge_uuid": pa.array(eus, pa.string())}
+        )
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("episode_uuid", sort=False)["edge_uuid"].apply(
+            lambda s: json.dumps(sorted(set(s)))
+        )
+        return pd.DataFrame({"episode_uuid": g.index, "entity_edges_json": g.values})
+
+    inv = bucketed_group_apply(
+        prov.map_batches(explode, batch_format="pyarrow"), ["episode_uuid"], collect
+    )
+
+    eps_ds = gio.read_table_dir_ds(src_dir, "episodes")
+
+    def drop_ee(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["entity_edges"])
+
+    joined = hash_join(
+        eps_ds.map_batches(drop_ee, batch_format="pyarrow"),
+        inv,
+        "uuid",
+        "episode_uuid",
+        how="left",
+        right_types={"episode_uuid": pa.string(), "entity_edges_json": pa.string()},
+    )
+
+    def finish_episodes(t: pa.Table) -> pa.Table:
+        ee = [s if s else "[]" for s in t.column("entity_edges_json").to_pylist()]
+        return pa.table(
+            {
+                "uuid": t.column("uuid"),
+                "name": t.column("name"),
+                "content": t.column("content"),
+                "source": t.column("source"),
+                "source_description": t.column("source_description"),
+                "group_id": t.column("group_id"),
+                "created_at": _ts_s(t.column("created_at")),
+                "valid_at": _ts_s(t.column("valid_at")),
+                "entity_edges": pa.array(ee, pa.string()),
+            }
+        )
+
+    stats["episodes"] = _write_single_parquet(
+        joined.map_batches(finish_episodes, batch_format="pyarrow"),
+        os.path.join(out_dir, "episodes.parquet"),
+    )
+
+    com_root = os.path.join(src_dir, "communities")
+    if os.path.isdir(com_root):
+
+        def export_com(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "uuid": t.column("uuid"),
+                    "name": t.column("name"),
+                    "group_id": t.column("group_id"),
+                    "created_at": _ts_s(t.column("created_at")),
+                    "name_embedding": _var_list(t.column("name_embedding")),
+                    "summary": t.column("summary"),
+                }
+            )
+
+        com = gio.read_table_dir_ds(src_dir, "communities").map_batches(
+            export_com, batch_format="pyarrow"
+        )
+        stats["communities"] = _write_single_parquet(
+            com, os.path.join(out_dir, "communities.parquet")
+        )
+    return stats

@@ -475,23 +475,16 @@ def test_branch_merge_with_conflicts(ray_session, graph_dir, tmp_path_factory):
     assert "CHANGED FACT." not in set(branch["fact"])
 
 
-def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
-    """S5: reference HF-datasets layout (JSON-string lists, timestamp[s],
-    variable-dim embeddings, no endpoint names) converts into this
-    engine's table layout — lists real, timestamps us, created_by =
-    episodes[0], endpoint names joined from nodes, vectors re-embedded or
-    carried through byte-exact."""
+def _write_reference_fixture(src: str) -> None:
+    """One reference-layout graph (nodes/edges/episodes single-file splits,
+    JSON-string lists, timestamp[s], 384-dim variable embeddings) shared by
+    the migration-reader and export-round-trip tests."""
     import json as _json
     import os
 
-    import numpy as np
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    from graphiti_hf_ray.migration import migrate_reference_layout
-    from graphiti_hf_ray.schemas import EMBED_DIM
-
-    src = str(tmp_path_factory.mktemp("ref_layout"))
     ts_s = _pa.array([1704067200, 1704070800], _pa.timestamp("s"))
     _pq.write_table(
         _pa.table(
@@ -545,6 +538,23 @@ def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
         os.path.join(src, "episodes.parquet"),
     )
 
+
+def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
+    """S5: reference HF-datasets layout (JSON-string lists, timestamp[s],
+    variable-dim embeddings, no endpoint names) converts into this
+    engine's table layout — lists real, timestamps us, created_by =
+    episodes[0], endpoint names joined from nodes, vectors re-embedded or
+    carried through byte-exact."""
+    import os
+
+    import numpy as np
+
+    from graphiti_hf_ray.migration import migrate_reference_layout
+    from graphiti_hf_ray.schemas import EMBED_DIM
+
+    src = str(tmp_path_factory.mktemp("ref_layout"))
+    _write_reference_fixture(src)
+
     out = str(tmp_path_factory.mktemp("migrated"))
     stats = migrate_reference_layout(src, out, reembed=True)
     assert stats == {"nodes": 2, "edges": 1, "episodes": 1}
@@ -573,6 +583,71 @@ def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
     e2 = gio.read_table_dir(out2, "edges").to_pandas()
     v = np.asarray(e2["fact_embedding"].iloc[0], np.float32)
     assert v.shape == (384,) and np.allclose(v, 0.5)
+
+
+def test_export_reference_layout_roundtrip(ray_session, tmp_path_factory):
+    """The exporter closes the S5 round trip: reference layout → migrate
+    (vectors carried byte-exact) → export → the original single-file
+    splits, value-identical per column (episodes[0]=created_by order,
+    timestamp[s], JSON-string lists, variable-dim embeddings; derived
+    entity_edges reproduces the stored lists)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from graphiti_hf_ray.migration import export_reference_layout, migrate_reference_layout
+
+    src = str(tmp_path_factory.mktemp("rt_src"))
+    _write_reference_fixture(src)
+    mid = str(tmp_path_factory.mktemp("rt_mid"))
+    migrate_reference_layout(src, mid, reembed=False)
+    exp = str(tmp_path_factory.mktemp("rt_exp"))
+    stats = export_reference_layout(mid, exp)
+    assert stats == {"nodes": 2, "edges": 1, "episodes": 1}
+
+    for split in ("nodes", "edges", "episodes"):
+        orig = _pq.read_table(os.path.join(src, f"{split}.parquet")).sort_by("uuid")
+        got = _pq.read_table(os.path.join(exp, f"{split}.parquet")).sort_by("uuid")
+        assert got.schema.names == orig.schema.names, split
+        for c in orig.schema.names:
+            a, b = orig.column(c).combine_chunks(), got.column(c).combine_chunks()
+            assert a.type == b.type, (split, c)
+            assert a.equals(b), (split, c)
+
+
+def test_export_reference_layout_from_build(ray_session, graph_dir):
+    """Exporting a graph this engine BUILT yields reference-shape splits:
+    row counts match the partitioned tables, every edge's episodes JSON
+    decodes with created_by in slot 0 (the reference's deletion key), and
+    entity_edges is the exact inverse of the edges' provenance."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from graphiti_hf_ray.migration import export_reference_layout
+
+    with tempfile.TemporaryDirectory() as exp:
+        stats = export_reference_layout(graph_dir, exp)
+        edges_t = _pq.read_table(os.path.join(exp, "edges.parquet"))
+        eps_t = _pq.read_table(os.path.join(exp, "episodes.parquet"))
+        assert stats["edges"] == edges_t.num_rows == gio.read_table_dir(graph_dir, "edges").num_rows
+        assert stats["episodes"] == eps_t.num_rows > 0
+
+        want: dict[str, set] = {}
+        engine_edges = gio.read_table_dir(graph_dir, "edges").to_pandas().set_index("uuid")
+        for uuid, eps_json in zip(
+            edges_t.column("uuid").to_pylist(), edges_t.column("episodes").to_pylist()
+        ):
+            lst = _json.loads(eps_json)
+            assert lst and lst[0] == engine_edges.loc[uuid, "created_by"]
+            for ep in lst:
+                want.setdefault(ep, set()).add(uuid)
+        for ep_uuid, ee_json in zip(
+            eps_t.column("uuid").to_pylist(), eps_t.column("entity_edges").to_pylist()
+        ):
+            assert set(_json.loads(ee_json)) == want.get(ep_uuid, set())
 
 
 def test_branch_merge_identical_branches_noop(ray_session, graph_dir, tmp_path_factory):
