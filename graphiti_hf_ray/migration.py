@@ -243,6 +243,17 @@ def migrate_reference_layout(
 # ---------------------------------------------------------------------------
 
 
+def _split_has_parquet(root: str) -> bool:
+    """True iff the table dir holds at least one COMPLETED part file — a
+    killed write leaves only ``.tmp-`` dirs, which must read as absent
+    (read_table_dir_ds would raise on such a dir)."""
+    for dirpath, dirnames, filenames in os.walk(root):
+        gio._prune_tmp(dirnames)
+        if any(fn.endswith(".parquet") for fn in filenames):
+            return True
+    return False
+
+
 def _write_single_parquet(ds: "rd.Dataset", path: str) -> int:
     """Stream a Dataset into ONE parquet file — the reference layout IS
     single-file-per-split (HF datasets), so this is the one place a single
@@ -250,11 +261,16 @@ def _write_single_parquet(ds: "rd.Dataset", path: str) -> int:
     O(batch) via iter_batches; atomic tmp + os.replace."""
     import pyarrow.parquet as pq
 
+    import contextlib
+
     tmp = path + ".tmp-export"
     writer = None
+    schema = None
     rows = 0
     try:
         for b in ds.iter_batches(batch_format="pyarrow"):
+            if schema is None:
+                schema = b.schema  # 0-row batches still carry the schema
             if b.num_rows == 0:
                 continue
             if writer is None:
@@ -262,14 +278,19 @@ def _write_single_parquet(ds: "rd.Dataset", path: str) -> int:
             writer.write_table(b)
             rows += b.num_rows
         if writer is None:  # fully empty split: keep the schema if we can
-            schema = ds.schema()
-            writer = pq.ParquetWriter(tmp, schema.base_schema)
+            if schema is None:
+                # Ray drops the schema when every block has zero rows
+                # (functions/joins.py contract); ds.schema() may be None too.
+                s = ds.schema()
+                schema = s.base_schema if s is not None else pa.schema([])
+            writer = pq.ParquetWriter(tmp, schema)
         writer.close()
         writer = None
         os.replace(tmp, path)
     except BaseException:
         if writer is not None:
-            writer.close()
+            with contextlib.suppress(Exception):
+                writer.close()
         if os.path.exists(tmp):
             os.remove(tmp)
         raise
@@ -346,12 +367,19 @@ def export_reference_layout(src_dir: str, out_dir: str) -> dict:
     round trip. Lossy by design where the reference has no slot:
     ``n_occurrences`` and endpoint names are dropped (the reference
     re-derives names from uuids), sub-second timestamps truncate to the
-    reference's timestamp[s].
+    reference's timestamp[s], and edge-provenance ORDER beyond the
+    ``created_by`` head slot does not survive (this engine stores
+    provenance as a sorted csv, so ``episodes[1:]`` comes back sorted).
 
     ``entity_edges`` is DERIVED by inverting the edges' provenance lists
-    (episode ∈ edge.episodes ⇒ edge ∈ episode.entity_edges) — this engine
-    keeps provenance on edges only; the inversion is one narrow exchange
-    keyed by episode uuid (two string columns cross the wire, never text).
+    (episode ∈ edge.episodes ⇒ edge ∈ episode.entity_edges); the stored
+    ``entity_edges`` column (populated by migration, empty on native
+    builds) supplies the output ORDER where its ids agree with the
+    derived set, so a migrate → export round trip reproduces the original
+    byte-for-byte while native builds get a deterministic sorted list.
+    The edge-side inversion input is narrow (two uuid columns); the final
+    hash join does re-bucket the full episodes table, content included —
+    size the export's shuffle budget for the text payload.
     Returns per-split row counts."""
     from .functions.joins import hash_join
     from .stages.shuffle import bucketed_group_apply
@@ -397,11 +425,18 @@ def export_reference_layout(src_dir: str, out_dir: str) -> dict:
 
     eps_ds = gio.read_table_dir_ds(src_dir, "episodes")
 
-    def drop_ee(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["entity_edges"])
+    def stringify_ee(t: pa.Table) -> pa.Table:
+        # list<string> does not survive the pandas bucket shuffle inside
+        # hash_join — ride the stored order through as a JSON string
+        js = [
+            json.dumps([str(x) for x in (l or [])])
+            for l in t.column("entity_edges").to_pylist()
+        ]
+        t = t.drop_columns(["entity_edges"])
+        return t.append_column("stored_ee_json", pa.array(js, pa.string()))
 
     joined = hash_join(
-        eps_ds.map_batches(drop_ee, batch_format="pyarrow"),
+        eps_ds.map_batches(stringify_ee, batch_format="pyarrow"),
         inv,
         "uuid",
         "episode_uuid",
@@ -409,8 +444,22 @@ def export_reference_layout(src_dir: str, out_dir: str) -> dict:
         right_types={"episode_uuid": pa.string(), "entity_edges_json": pa.string()},
     )
 
+    def _merge_ee(stored_js: str, derived_js: str) -> str:
+        derived = set(json.loads(derived_js) if derived_js else [])
+        stored = json.loads(stored_js) if stored_js else []
+        out = [x for x in stored if x in derived]
+        seen = set(out)
+        out += sorted(x for x in derived if x not in seen)
+        return json.dumps(out)
+
     def finish_episodes(t: pa.Table) -> pa.Table:
-        ee = [s if s else "[]" for s in t.column("entity_edges_json").to_pylist()]
+        ee = [
+            _merge_ee(s, d)
+            for s, d in zip(
+                t.column("stored_ee_json").to_pylist(),
+                t.column("entity_edges_json").to_pylist(),
+            )
+        ]
         return pa.table(
             {
                 "uuid": t.column("uuid"),
@@ -431,7 +480,7 @@ def export_reference_layout(src_dir: str, out_dir: str) -> dict:
     )
 
     com_root = os.path.join(src_dir, "communities")
-    if os.path.isdir(com_root):
+    if _split_has_parquet(com_root):
 
         def export_com(t: pa.Table) -> pa.Table:
             return pa.table(

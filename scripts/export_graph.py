@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 
@@ -23,16 +22,9 @@ def main() -> int:
 
     import ray
 
-    if not ray.is_initialized():
-        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
-        if args.num_cpus:
-            ray.init(address="local", num_cpus=args.num_cpus, **kwargs)
-        else:
-            ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
-    from ray.data import DataContext
+    from _bootstrap import init_ray
 
-    DataContext.get_current().enable_progress_bars = False
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    init_ray(args.num_cpus)
     from graphiti_hf_ray.migration import export_reference_layout
 
     stats = export_reference_layout(args.graph, args.out)

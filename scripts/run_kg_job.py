@@ -53,19 +53,9 @@ def main() -> int:
 
     import ray
 
-    if not ray.is_initialized():
-        # under `ray job submit` the cluster is already there (address auto);
-        # standalone we bring up local mode
-        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
-        if args.num_cpus:
-            ray.init(address="local", num_cpus=args.num_cpus, **kwargs)
-        else:
-            ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
-    from ray.data import DataContext
+    from _bootstrap import init_ray
 
-    DataContext.get_current().enable_progress_bars = False
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    init_ray(args.num_cpus)
     from graphiti_hf_ray.pipelines.kg import DEFAULT_RUN_TS_US, build_graph
 
     t0 = time.time()

@@ -504,19 +504,24 @@ def _write_reference_fixture(src: str) -> None:
     _pq.write_table(
         _pa.table(
             {
-                "uuid": ["e1"],
-                "source_uuid": ["n1"],
-                "target_uuid": ["n2"],
-                "name": ["WORKS_AT"],
-                "fact": ["Ada Lovelace works at Acme Corporation."],
-                "group_id": ["g0"],
-                "created_at": ts_s.slice(0, 1),
-                "fact_embedding": _pa.array([[0.5] * 384], _pa.list_(_pa.float32())),
-                "episodes": [_json.dumps(["epB", "epA"])],
-                "expired_at": _pa.nulls(1, _pa.timestamp("s")),
-                "valid_at": ts_s.slice(0, 1),
-                "invalid_at": _pa.nulls(1, _pa.timestamp("s")),
-                "attributes": ["{}"],
+                "uuid": ["e1", "e2"],
+                "source_uuid": ["n1", "n2"],
+                "target_uuid": ["n2", "n1"],
+                "name": ["WORKS_AT", "FOUNDED"],
+                "fact": [
+                    "Ada Lovelace works at Acme Corporation.",
+                    "Acme Corporation was founded by Ada Lovelace.",
+                ],
+                "group_id": ["g0", "g0"],
+                "created_at": ts_s,
+                "fact_embedding": _pa.array(
+                    [[0.5] * 384, [0.25] * 384], _pa.list_(_pa.float32())
+                ),
+                "episodes": [_json.dumps(["epB", "epA"]), _json.dumps(["epA"])],
+                "expired_at": _pa.nulls(2, _pa.timestamp("s")),
+                "valid_at": ts_s,
+                "invalid_at": _pa.nulls(2, _pa.timestamp("s")),
+                "attributes": ["{}", "{}"],
             }
         ),
         os.path.join(src, "edges.parquet"),
@@ -532,7 +537,9 @@ def _write_reference_fixture(src: str) -> None:
                 "group_id": ["g0"],
                 "created_at": ts_s.slice(0, 1),
                 "valid_at": ts_s.slice(0, 1),
-                "entity_edges": [_json.dumps(["e1"])],
+                # NON-sorted on purpose: the export round trip must
+                # reproduce this stored order, not a re-sorted set
+                "entity_edges": [_json.dumps(["e2", "e1"])],
             }
         ),
         os.path.join(src, "episodes.parquet"),
@@ -557,12 +564,12 @@ def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("migrated"))
     stats = migrate_reference_layout(src, out, reembed=True)
-    assert stats == {"nodes": 2, "edges": 1, "episodes": 1}
+    assert stats == {"nodes": 2, "edges": 2, "episodes": 1}
     nodes = gio.read_table_dir(out, "nodes").to_pandas()
     assert sorted(nodes["labels"].map(tuple)) == [("Organization",), ("Person",)]
     assert all(len(v) == EMBED_DIM for v in nodes["name_embedding"])
-    edges = gio.read_table_dir(out, "edges").to_pandas()
-    r = edges.iloc[0]
+    edges = gio.read_table_dir(out, "edges").to_pandas().set_index("uuid")
+    r = edges.loc["e1"]
     assert r["source_name"] == "Ada Lovelace" and r["target_name"] == "Acme Corporation"
     assert r["episodes"] == "epA,epB" and r["created_by"] == "epB"  # episodes[0] of source order
     assert r["n_occurrences"] == 2
@@ -575,13 +582,13 @@ def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
         gio.read_table_dir_ds(out, "edges", columns=["uuid", "valid_at", "invalid_at"]),
         pd.Timestamp("2024-06-01"),
     ).to_pandas()
-    assert list(snap["uuid"]) == ["e1"]
+    assert sorted(snap["uuid"]) == ["e1", "e2"]
 
     # reembed=False carries the 384-dim source vectors byte-exact
     out2 = str(tmp_path_factory.mktemp("migrated2"))
     migrate_reference_layout(src, out2, reembed=False)
-    e2 = gio.read_table_dir(out2, "edges").to_pandas()
-    v = np.asarray(e2["fact_embedding"].iloc[0], np.float32)
+    e2 = gio.read_table_dir(out2, "edges").to_pandas().set_index("uuid")
+    v = np.asarray(e2.loc["e1", "fact_embedding"], np.float32)
     assert v.shape == (384,) and np.allclose(v, 0.5)
 
 
@@ -603,7 +610,7 @@ def test_export_reference_layout_roundtrip(ray_session, tmp_path_factory):
     migrate_reference_layout(src, mid, reembed=False)
     exp = str(tmp_path_factory.mktemp("rt_exp"))
     stats = export_reference_layout(mid, exp)
-    assert stats == {"nodes": 2, "edges": 1, "episodes": 1}
+    assert stats == {"nodes": 2, "edges": 2, "episodes": 1}
 
     for split in ("nodes", "edges", "episodes"):
         orig = _pq.read_table(os.path.join(src, f"{split}.parquet")).sort_by("uuid")
@@ -613,6 +620,21 @@ def test_export_reference_layout_roundtrip(ray_session, tmp_path_factory):
             a, b = orig.column(c).combine_chunks(), got.column(c).combine_chunks()
             assert a.type == b.type, (split, c)
             assert a.equals(b), (split, c)
+
+
+def test_write_single_parquet_empty_split(ray_session, tmp_path_factory):
+    """A fully-empty split still writes a schema-bearing zero-row file
+    (Ray can drop the dataset-level schema when every block is empty, so
+    the writer captures it from the 0-row batches)."""
+    from graphiti_hf_ray.migration import _write_single_parquet
+
+    t = pa.table({"uuid": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    d = str(tmp_path_factory.mktemp("empty_split"))
+    path = os.path.join(d, "edges.parquet")
+    rows = _write_single_parquet(rd.from_arrow(t), path)
+    assert rows == 0
+    got = pq.read_table(path)
+    assert got.num_rows == 0 and got.schema.names == ["uuid", "n"]
 
 
 def test_export_reference_layout_from_build(ray_session, graph_dir):
