@@ -1277,3 +1277,28 @@ def q52_weighted_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q52_weighted_neardup"] = q52_weighted_neardup
+
+
+def q53_bpe_vocab(sf_dir: str) -> pd.DataFrame:
+    """Corpus-trained byte-level BPE (functions/bpe.py): distributed
+    pretoken-frequency count over the documents table (map-side partials,
+    one narrow (word, count) exchange, capped driver collect) → the
+    driver-side Sennrich merge loop → the learned vocabulary as
+    (token_id, token_hex) rows. The merge loop is sequential by nature,
+    so there is no SQL oracle — rows-only driver check; determinism,
+    losslessness and the trainer-seam integration are pytest-verified
+    (tests/test_bpe.py). Replaces the reference's delegation of all
+    tokenization to LLM-provider tokenizers
+    (graphiti_core/llm_client/config.py:43)."""
+    from ..functions.bpe import BASE_VOCAB, BpeTokenizer, train_bpe
+
+    docs = _read(sf_dir, "documents", ["text"])
+    art = train_bpe(docs, vocab_size=BASE_VOCAB + 128)
+    tok = BpeTokenizer(art)
+    ids = list(range(BASE_VOCAB, tok.vocab_size))
+    return pd.DataFrame(
+        {"token_id": ids, "token_hex": [tok.token_bytes[i].hex() for i in ids]}
+    )
+
+
+QUERIES["q53_bpe_vocab"] = q53_bpe_vocab

@@ -1,0 +1,140 @@
+"""Corpus-trained byte-level BPE: train determinism, lossless round trip,
+distributed application, and the trainer-seam integration."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from graphiti_hf_ray.functions.bpe import (
+    BASE_VOCAB,
+    BpeTokenizer,
+    bpe_token_ids,
+    learn_bpe,
+    load_bpe,
+    save_bpe,
+    train_bpe,
+    word_frequencies,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "pack my box with five dozen liquor jugs, quickly!",
+    "über die Brücke — naïve café, 42 jugs of «liquor»",
+    "数字 123 と記号 #tag が混ざる行",
+]
+
+
+def _ds():
+    return rd.from_arrow(pa.table({"text": CORPUS}))
+
+
+def test_word_frequencies_counts_and_cap(ray_session):
+    wc = word_frequencies(_ds(), "text")
+    assert wc["the"] == 4 and wc["quick"] == 2 and wc[" "] >= 15
+    capped = word_frequencies(_ds(), "text", max_words=3)
+    assert len(capped) == 3
+    # cap keeps the highest counts (ties broken by word, deterministic)
+    assert min(capped.values()) >= sorted(wc.values(), reverse=True)[2]
+
+
+def test_learn_bpe_deterministic_and_useful(ray_session):
+    art1 = train_bpe(_ds(), vocab_size=BASE_VOCAB + 64)
+    art2 = train_bpe(_ds(), vocab_size=BASE_VOCAB + 64)
+    assert art1 == art2  # pure function of the input
+    assert len(art1["merges"]) == 64
+    tok = BpeTokenizer(art1)
+    # a frequent word compresses below its byte length
+    assert len(tok.encode("the quick")) < len("the quick".encode("utf-8"))
+
+
+@pytest.mark.parametrize(
+    "s",
+    [
+        "",
+        "plain ascii",
+        "  leading  and   trailing   ",
+        "tabs\tand\nnewlines\r\n",
+        "mixed 123abc!@# §±",
+        "emoji 🦊🐶 and ZWJ 👩‍🔬",
+        "한국어 텍스트와 日本語テキスト",
+        "\x00control\x07bytes",
+    ],
+)
+def test_roundtrip_lossless(ray_session, s):
+    art = learn_bpe({"the": 10, "qu": 5, "ick": 5}, BASE_VOCAB + 8)
+    tok = BpeTokenizer(art)
+    assert tok.decode(tok.encode(s)) == s
+
+
+def test_roundtrip_property(ray_session):
+    from hypothesis import given, settings, strategies as st
+
+    art = train_bpe(_ds(), vocab_size=BASE_VOCAB + 32)
+    tok = BpeTokenizer(art)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def check(s):
+        assert tok.decode(tok.encode(s)) == s
+
+    check()
+
+
+def test_artifact_save_load(ray_session, tmp_path):
+    art = train_bpe(_ds(), vocab_size=BASE_VOCAB + 16)
+    p = str(tmp_path / "bpe.json")
+    save_bpe(art, p)
+    assert load_bpe(p) == art
+    with pytest.raises(ValueError):
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            f.write("{}")
+        load_bpe(bad)
+
+
+def test_bpe_token_ids_distributed(ray_session):
+    art = train_bpe(_ds(), vocab_size=BASE_VOCAB + 32)
+    tok = BpeTokenizer(art)
+    out = bpe_token_ids(_ds(), art).to_pandas()
+    assert len(out) == len(CORPUS)
+    by_text = dict(zip(out["text"], out["token_ids"]))
+    for s in CORPUS:
+        assert tok.decode(by_text[s]) == s  # distributed == local, lossless
+
+
+def test_trainer_seam_with_trained_bpe(ray_session, tmp_path, sf_small):
+    """End-to-end: train BPE from the documents table, feed its encode
+    through corpus.iter_training_batches' tokenize seam, reconstruct the
+    pack texts losslessly from the padded int32 batches."""
+    import pyarrow.parquet as pq
+
+    from graphiti_hf_ray.pipelines.corpus import iter_training_batches, prepare_training_set
+
+    docs = pq.read_table(
+        os.path.join(sf_small, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ds = rd.from_arrow(docs.slice(0, 120))
+    art = train_bpe(ds, vocab_size=BASE_VOCAB + 128)
+    tok = BpeTokenizer(art)
+
+    out = str(tmp_path / "tset")
+    prepare_training_set(
+        ds, [], out, lang_allow=(), max_tokens=64, overlap=0, pack_budget=128
+    )
+
+    seen = {}
+    for b in iter_training_batches(out, batch_size=16, tokenize=tok.encode):
+        for row, n, pid in zip(b["input_ids"], b["lengths"], b["pack_ids"]):
+            seen[pid] = tok.decode(row[: int(n)])
+    assert seen  # at least one pack
+    from graphiti_hf_ray.pipelines.corpus import load_packs
+
+    packs = load_packs(out).to_pandas()
+    for pid, text in zip(packs["pack_id"], packs["text"]):
+        assert seen[pid] == text  # byte-lossless through the int32 matrix
