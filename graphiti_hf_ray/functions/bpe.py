@@ -72,14 +72,20 @@ def word_frequencies(
         )
 
     def merge(df):
-        return df.groupby("w", as_index=False, sort=False)["c"].sum()
+        # each word type lands in exactly ONE bucket, so per-bucket top-k
+        # then global top-k is EXACT — and it bounds the driver collect at
+        # num_buckets × max_words rows instead of the full type table
+        # (billions of types at 100 TB: the Zipf singleton tail)
+        g = df.groupby("w", as_index=False, sort=False)["c"].sum()
+        g = g.sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
+        return g.head(max_words)
 
     counts = bucketed_group_apply(
         ds.select_columns([text_col]).map_batches(partial_counts, batch_format="pyarrow"),
         ["w"],
         merge,
         num_buckets=num_buckets,
-    ).to_pandas()  # word-TYPE-sized, bounded below by the cap next line
+    ).to_pandas()  # ≤ num_buckets × max_words rows (per-bucket cap above)
     if counts.empty:
         return {}
     counts = counts.sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
@@ -87,15 +93,35 @@ def word_frequencies(
     return dict(zip(head["w"], (int(v) for v in head["c"])))
 
 
+def _merge_pair(syms: list[int], a: int, b: int, new_id: int) -> list[int]:
+    """Greedy left-to-right rewrite of every (a, b) adjacency into
+    ``new_id`` — the ONE definition of merge semantics, shared by training
+    and encoding so encode always reproduces the training segmentation."""
+    out: list[int] = []
+    j = 0
+    n = len(syms)
+    while j < n:
+        if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+            out.append(new_id)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
 def learn_bpe(word_counts: dict[str, int], vocab_size: int) -> dict:
     """Driver-side Sennrich merge loop over a word-frequency table.
 
     Incremental pair-count maintenance (only words containing the merged
-    pair are rewritten), so cost is O(types × avg merges touching them),
-    not O(merges × corpus). Deterministic: best pair = (max count, then
-    lexicographically smallest (a, b)). Returns the artifact dict
+    pair are rewritten) plus a lazy-invalidation heap for the argmax, so
+    each merge costs O(touched words + log heap) — O(types) overall, not
+    O(merges × distinct pairs). Deterministic: best pair = (max count,
+    then lexicographically smallest (a, b)). Returns the artifact dict
     ``{"version", "pattern", "merges"}`` — merge i creates token id
     ``BASE_VOCAB + i``."""
+    import heapq
+
     n_merges = vocab_size - BASE_VOCAB
     if n_merges < 0:
         raise ValueError(f"vocab_size must be >= {BASE_VOCAB} (byte base vocabulary)")
@@ -116,38 +142,41 @@ def learn_bpe(word_counts: dict[str, int], vocab_size: int) -> dict:
             pair_counts[p] += c
             pair_words[p].add(i)
 
+    # heap entries are (-count, a, b); stale entries (count no longer
+    # current in pair_counts) are skipped at pop time
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[int, int], delta: int) -> None:
+        pair_counts[p] += delta
+        if pair_counts[p] <= 0:
+            del pair_counts[p]
+        else:
+            heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+
     merges: list[tuple[int, int]] = []
     for k in range(n_merges):
-        if not pair_counts:
+        ab = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if pair_counts.get((a, b)) == -negc:
+                ab = (a, b)
+                break
+        if ab is None:
             break
-        (a, b), cnt = max(
-            pair_counts.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1])
-        )
-        if cnt < 1:
-            break
+        a, b = ab
         new_id = BASE_VOCAB + k
-        merges.append((a, b))
-        for i in list(pair_words[(a, b)]):
+        merges.append(ab)
+        for i in list(pair_words[ab]):
             syms, c = words[i], wcounts[i]
             for p in zip(syms, syms[1:]):
-                pair_counts[p] -= c
-                if pair_counts[p] <= 0:
-                    del pair_counts[p]
+                bump(p, -c)
                 pair_words[p].discard(i)
-            out: list[int] = []
-            j = 0
-            while j < len(syms):
-                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
-                    out.append(new_id)
-                    j += 2
-                else:
-                    out.append(syms[j])
-                    j += 1
+            out = _merge_pair(syms, a, b, new_id)
             words[i] = out
-            if len(out) >= 2:
-                for p in zip(out, out[1:]):
-                    pair_counts[p] += c
-                    pair_words[p].add(i)
+            for p in zip(out, out[1:]):
+                bump(p, c)
+                pair_words[p].add(i)
 
     return {"version": 1, "pattern": PRETOKEN_PATTERN, "merges": [list(m) for m in merges]}
 
@@ -197,7 +226,15 @@ class BpeTokenizer:
     instance (ships to workers as a small picklable object — the same
     broadcast-once posture as the embedder state). ``encode`` is the
     ``tokenize=`` seam contract of ``corpus.iter_training_batches``
-    (text → list[int])."""
+    (text → list[int]).
+
+    ``seq_len`` caveat at that seam: the pipeline's pack budget counts
+    PIPELINE tokens (whitespace-free), while byte-level BPE also emits
+    ids for whitespace runs and splits rare words — ``encode(pack_text)``
+    routinely exceeds the pack budget. Leave ``seq_len=None`` (dynamic
+    shapes, no truncation) or size it to a measured id-count bound; a
+    ``seq_len``-truncated row can end mid-UTF-8-character, so decode such
+    rows with ``errors="replace"``."""
 
     def __init__(self, artifact: dict, memo_max: int = 1 << 16):
         merges = [tuple(m) for m in artifact["merges"]]
@@ -222,18 +259,7 @@ class BpeTokenizer:
                     best_rank, best_pair = r, p
             if best_pair is None:
                 break
-            a, b = best_pair
-            new_id = BASE_VOCAB + best_rank
-            out: list[int] = []
-            j = 0
-            while j < len(syms):
-                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
-                    out.append(new_id)
-                    j += 2
-                else:
-                    out.append(syms[j])
-                    j += 1
-            syms = out
+            syms = _merge_pair(syms, best_pair[0], best_pair[1], BASE_VOCAB + best_rank)
         return syms
 
     def encode(self, text: str) -> list[int]:
@@ -250,9 +276,13 @@ class BpeTokenizer:
             out.extend(ids)
         return out
 
-    def decode(self, ids) -> str:
+    def decode(self, ids, errors: str = "strict") -> str:
+        """Byte concat + UTF-8 decode. ``errors="strict"`` (default) keeps
+        the lossless guarantee on COMPLETE id sequences; pass
+        ``errors="replace"`` when decoding rows that may have been cut
+        mid-character (e.g. a ``seq_len``-truncated trainer row)."""
         tb = self.token_bytes
-        return b"".join(tb[int(i)] for i in ids).decode("utf-8")
+        return b"".join(tb[int(i)] for i in ids).decode("utf-8", errors=errors)
 
     def encode_batch(self, texts: list[str]) -> list[list[int]]:
         return [self.encode(t or "") for t in texts]

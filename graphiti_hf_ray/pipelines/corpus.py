@@ -162,9 +162,13 @@ def iter_training_batches(
 
     Yields dicts of numpy arrays: ``input_ids`` int32 of shape
     (≤batch_size, seq_len) padded with ``pad_id``, ``lengths`` int32, and
-    ``pack_ids`` (object). ``seq_len`` should be the pack budget the set
-    was written with (no truncation then, packs never exceed it); left
-    None, each batch pads to its own max length (dynamic shapes).
+    ``pack_ids`` (object). With the DEFAULT tokenizer, ``seq_len`` =
+    the pack budget the set was written with means no truncation (packs
+    never exceed it); a custom ``tokenize`` may emit more ids than the
+    budget counts tokens (byte-level BPE tokenizes whitespace and splits
+    rare words), so there size ``seq_len`` to the custom tokenizer's
+    measured bound or leave it None. Left None, each batch pads to its
+    own max length (dynamic shapes).
     ``shuffle_seed`` selects the epoch order via ``load_packs``.
 
     Two shuffle regimes, picked by ``approx_shuffle_buffer``:

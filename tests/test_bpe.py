@@ -86,6 +86,63 @@ def test_roundtrip_property(ray_session):
     check()
 
 
+def test_learn_bpe_matches_bruteforce(ray_session):
+    """The heap/incremental merge loop must select the exact sequence the
+    naive Sennrich reference (full recount + max per merge) selects."""
+    import random
+
+    from graphiti_hf_ray.functions.bpe import _merge_pair
+
+    def brute(word_counts, n_merges):
+        words = {w: list(w.encode("utf-8")) for w in word_counts}
+        merges = []
+        for k in range(n_merges):
+            pc = {}
+            for w, syms in words.items():
+                c = word_counts[w]
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            (a, b), cnt = max(pc.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
+            merges.append([a, b])
+            for w in words:
+                words[w] = _merge_pair(words[w], a, b, 256 + k)
+        return merges
+
+    rng = random.Random(7)
+    alphabet = "abcdeé 日x"
+    for trial in range(20):
+        wc = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))): rng.randint(1, 9)
+            for _ in range(rng.randint(2, 40))
+        }
+        n = rng.randint(1, 48)
+        got = learn_bpe(wc, BASE_VOCAB + n)["merges"]
+        assert got == brute(wc, n), (trial, wc)
+
+
+def test_word_frequencies_bucket_cap_exact(ray_session):
+    """Per-bucket top-k then global top-k must equal the uncapped global
+    top-k (each word type aggregates in exactly one bucket)."""
+    full = word_frequencies(_ds(), "text", max_words=10**9, num_buckets=7)
+    capped = word_frequencies(_ds(), "text", max_words=5, num_buckets=7)
+    want = dict(sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert capped == want
+
+
+def test_decode_truncated_row_replace(ray_session):
+    art = learn_bpe({"héllo": 3}, BASE_VOCAB + 4)
+    tok = BpeTokenizer(art)
+    ids = tok.encode("héllo")
+    assert tok.decode(ids) == "héllo"
+    byte_ids = [b for i in ids for b in tok.token_bytes[i]]  # re-expand to raw bytes
+    # a seq_len cut can land mid-UTF-8-character: strict raises, replace degrades
+    with pytest.raises(UnicodeDecodeError):
+        tok.decode(byte_ids[:2])
+    assert tok.decode(byte_ids[:2], errors="replace") == "h�"
+
+
 def test_artifact_save_load(ray_session, tmp_path):
     art = train_bpe(_ds(), vocab_size=BASE_VOCAB + 16)
     p = str(tmp_path / "bpe.json")
