@@ -203,6 +203,15 @@ def run_bench() -> dict:
         timings["surprisal"] = round(time.time() - t0, 3)
         del su, n_su
 
+        # corpus-trained BPE: distributed word-frequency count + driver
+        # merge loop (one narrow exchange; merges O(types))
+        from graphiti_hf_ray.functions.bpe import BASE_VOCAB, train_bpe
+
+        t0 = time.time()
+        art = train_bpe(docs_ds, vocab_size=BASE_VOCAB + 256, num_buckets=2 * num_cpus)
+        timings["bpe_train"] = round(time.time() - t0, 3)
+        del art
+
     return {
         "metric": "kg_build_sec",
         "value": timings["kg_build"],

@@ -248,19 +248,30 @@ class BpeTokenizer:
         self._memo: dict[str, list[int]] = {}
         self._memo_max = memo_max
 
+    # merge-window cap: the greedy loop is O(n²) in pretoken length, and
+    # webtext contains megabyte character/whitespace runs that would make
+    # one row quadratic. Chunks merge independently (a merge can't cross
+    # a chunk boundary — only observable on >1 KiB single pretokens, a
+    # degenerate case); byte concat keeps decode lossless regardless.
+    _MAX_WORD_BYTES = 1024
+
     def _encode_word(self, w: str) -> list[int]:
-        syms = list(w.encode("utf-8"))
-        while len(syms) > 1:
-            best_rank = None
-            best_pair = None
-            for p in zip(syms, syms[1:]):
-                r = self.ranks.get(p)
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_pair = r, p
-            if best_pair is None:
-                break
-            syms = _merge_pair(syms, best_pair[0], best_pair[1], BASE_VOCAB + best_rank)
-        return syms
+        bs = w.encode("utf-8")
+        out: list[int] = []
+        for off in range(0, len(bs), self._MAX_WORD_BYTES):
+            syms = list(bs[off : off + self._MAX_WORD_BYTES])
+            while len(syms) > 1:
+                best_rank = None
+                best_pair = None
+                for p in zip(syms, syms[1:]):
+                    r = self.ranks.get(p)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, p
+                if best_pair is None:
+                    break
+                syms = _merge_pair(syms, best_pair[0], best_pair[1], BASE_VOCAB + best_rank)
+            out.extend(syms)
+        return out
 
     def encode(self, text: str) -> list[int]:
         if not text:

@@ -143,6 +143,21 @@ def test_decode_truncated_row_replace(ray_session):
     assert tok.decode(byte_ids[:2], errors="replace") == "h�"
 
 
+def test_encode_megarun_fast_and_lossless(ray_session):
+    """A single megabyte-scale pretoken (webtext has such runs) must not
+    go quadratic: the merge window caps at _MAX_WORD_BYTES and the result
+    still round-trips byte-exactly."""
+    import time
+
+    art = train_bpe(_ds(), vocab_size=BASE_VOCAB + 32)
+    tok = BpeTokenizer(art)
+    s = " " * 500_000 + "a" * 500_000 + "é" * 100_000
+    t0 = time.time()
+    ids = tok.encode(s)
+    assert time.time() - t0 < 30.0  # capped window: linear-ish, not O(n^2)
+    assert tok.decode(ids) == s
+
+
 def test_artifact_save_load(ray_session, tmp_path):
     art = train_bpe(_ds(), vocab_size=BASE_VOCAB + 16)
     p = str(tmp_path / "bpe.json")
