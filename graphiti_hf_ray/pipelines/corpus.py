@@ -102,6 +102,21 @@ _TOKEN_ID_CACHE: dict[str, int] = {}
 _TOKEN_ID_CACHE_MAX = 1_000_000
 
 
+def load_tokenizer(out_dir: str):
+    """The corpus-trained ``BpeTokenizer`` shipped with a training set
+    written with ``bpe_vocab_size=`` (``{out_dir}/bpe.json``), or None if
+    the set has no tokenizer artifact. Pass its ``.encode`` as
+    ``iter_training_batches(tokenize=)``."""
+    import os
+
+    p = os.path.join(out_dir, "bpe.json")
+    if not os.path.exists(p):
+        return None
+    from ..functions.bpe import BpeTokenizer, load_bpe
+
+    return BpeTokenizer(load_bpe(p))
+
+
 def _default_tokenize(text: str) -> list:
     memo = _TOKEN_ID_CACHE
     ids = []
@@ -247,6 +262,8 @@ def prepare_training_set(
     surprisal_max_bits: float | None = None,
     mixture_weights: dict[str, float] | None = None,
     mixture_col: str = "lang",
+    bpe_vocab_size: int | None = None,
+    bpe_max_words: int = 32768,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -517,6 +534,29 @@ def prepare_training_set(
 
         docs = docs.map_batches(composite, batch_format="pyarrow")
         docs = checkpoint(docs, "n_after_mixture")
+
+    # 4d. optional corpus-trained tokenizer: ship the vocabulary WITH the
+    # training set (the post-dedup/gate/mixture survivors ARE the
+    # distribution the model will train on — upsampled strata weigh more,
+    # exactly as they do in the token stream). Artifact lands at
+    # {out_dir}/bpe.json; read it back with ``load_tokenizer``. BRANCH
+    # POINT: train_bpe consumes the stream once more — materialize the
+    # boundary so the dedup suffix runs once (same rule as stages 4/4b).
+    if bpe_vocab_size is not None:
+        import os
+
+        from ..functions.bpe import save_bpe, train_bpe
+
+        if not collect_counts:
+            docs = docs.materialize()
+        art = train_bpe(
+            docs.select_columns([text_col]), text_col=text_col,
+            vocab_size=bpe_vocab_size, max_words=bpe_max_words,
+            num_buckets=shuffle_buckets,
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        save_bpe(art, os.path.join(out_dir, "bpe.json"))
+        metrics["bpe_merges"] = len(art["merges"])
 
     # 5-6. chunk then pack
     chunks = chunk_documents(docs, max_tokens=max_tokens, overlap=overlap, id_col=id_col, text_col=text_col)

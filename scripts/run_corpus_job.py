@@ -53,6 +53,9 @@ def main() -> int:
     ap.add_argument("--mixture", default=None,
                     help='JSON per-stratum mixture weights, e.g. \'{"en": 2.0, "de": 0.5}\'')
     ap.add_argument("--mixture-col", default="lang")
+    ap.add_argument("--bpe-vocab-size", type=int, default=None,
+                    help="train a byte-level BPE tokenizer on the survivors and "
+                         "ship it as <out>/bpe.json (load with corpus.load_tokenizer)")
     ap.add_argument("--lang-allow", default="en",
                     help="comma-separated LangId allowlist; empty string disables the gate")
     ap.add_argument("--min-tokens", type=int, default=8)
@@ -116,6 +119,7 @@ def main() -> int:
         surprisal_max_bits=args.surprisal_max_bits,
         mixture_weights=json.loads(args.mixture) if args.mixture else None,
         mixture_col=args.mixture_col,
+        bpe_vocab_size=args.bpe_vocab_size,
         lang_allow=tuple(x.strip() for x in args.lang_allow.split(",") if x.strip()),
         fingerprint=args.fingerprint,
         min_tokens=args.min_tokens,

@@ -181,24 +181,33 @@ def test_bpe_token_ids_distributed(ray_session):
 
 
 def test_trainer_seam_with_trained_bpe(ray_session, tmp_path, sf_small):
-    """End-to-end: train BPE from the documents table, feed its encode
-    through corpus.iter_training_batches' tokenize seam, reconstruct the
-    pack texts losslessly from the padded int32 batches."""
+    """End-to-end: prepare_training_set(bpe_vocab_size=) trains and ships
+    the tokenizer WITH the set; load_tokenizer reads it back; its encode
+    through iter_training_batches' tokenize seam reconstructs the pack
+    texts losslessly from the padded int32 batches."""
     import pyarrow.parquet as pq
 
-    from graphiti_hf_ray.pipelines.corpus import iter_training_batches, prepare_training_set
+    from graphiti_hf_ray.pipelines.corpus import (
+        iter_training_batches,
+        load_tokenizer,
+        prepare_training_set,
+    )
 
     docs = pq.read_table(
         os.path.join(sf_small, "documents.parquet"), columns=["doc_id", "text"]
     )
     ds = rd.from_arrow(docs.slice(0, 120))
-    art = train_bpe(ds, vocab_size=BASE_VOCAB + 128)
-    tok = BpeTokenizer(art)
 
     out = str(tmp_path / "tset")
-    prepare_training_set(
-        ds, [], out, lang_allow=(), max_tokens=64, overlap=0, pack_budget=128
+    m = prepare_training_set(
+        ds, [], out, lang_allow=(), max_tokens=64, overlap=0, pack_budget=128,
+        bpe_vocab_size=BASE_VOCAB + 128,
     )
+    assert m["bpe_merges"] > 0
+    tok = load_tokenizer(out)
+    assert tok is not None
+    # the shipped artifact is the same pure function of the survivors
+    assert load_tokenizer(str(tmp_path)) is None
 
     seen = {}
     for b in iter_training_batches(out, batch_size=16, tokenize=tok.encode):
