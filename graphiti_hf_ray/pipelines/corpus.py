@@ -81,6 +81,13 @@ def load_packs(out_dir: str, shuffle_seed: int | None = None, columns: list[str]
     from .. import io as gio
 
     ds = gio.read_table_dir_ds(out_dir, "packs", columns=columns)
+    # packs are an ORDER-delivering API (baked file order / seeded epoch
+    # order), so pin preserve_order on this lineage: Ray's default (False)
+    # lets the streaming executor permute blocks between the read/sort and
+    # the consumer under load — a baked-order read flaked exactly that way
+    # in a loaded full-suite run. Scoped to this dataset's context copy,
+    # not the global DataContext.
+    ds.context.execution_options.preserve_order = True
     if shuffle_seed is None:
         return ds
     if columns is not None and "pack_id" not in columns:
@@ -572,6 +579,13 @@ def prepare_training_set(
         packs = packs.map_batches(
             _shuffle_key_batch(shuffle_seed), batch_format="pyarrow"
         ).sort("shuffle_key")
+        # the baked-order guarantee ("readers that stream files in order
+        # get this order") needs the sink's (task, block) file indices to
+        # follow the sorted block order — pin preserve_order for THIS
+        # lineage's execution (context is shared along it, so the seeded
+        # write trades a little scheduling freedom for determinism; the
+        # unseeded default path is untouched)
+        packs.context.execution_options.preserve_order = True
 
     # 7. partitioned, resumable sink
     # mixture_col only reaches the fingerprint when the stage is ON — a
