@@ -594,8 +594,10 @@ def pages_from_warc(
 def _prune_tmp(dirnames: list[str]) -> None:
     """In-place os.walk pruning: never descend into .tmp-* dirs — a
     SIGKILLed writer leaves its tmp dir behind (cleanup only runs on
-    exceptions) and its partial part files must not be read as data."""
-    dirnames[:] = [d for d in dirnames if not d.startswith(".tmp-")]
+    exceptions) and its partial part files must not be read as data.
+    Also SORTS dirnames so traversal (hence multi-shard read order) is
+    deterministic instead of filesystem-listdir order."""
+    dirnames[:] = sorted(d for d in dirnames if not d.startswith(".tmp-"))
 
 
 def rewrite_file_atomic(table: pa.Table, path: str) -> None:
