@@ -592,6 +592,127 @@ def test_migration_reader_reference_layout(ray_session, tmp_path_factory):
     assert v.shape == (384,) and np.allclose(v, 0.5)
 
 
+def test_export_reference_layout_roundtrip_random(ray_session, tmp_path_factory):
+    """Property form of the round trip: RANDOM consistent reference
+    graphs (unicode names, null timestamps, multi-episode provenance,
+    multi-edge entity_edges in non-sorted order) survive migrate →
+    export value-identically. Generator constraints = the engine's
+    documented lossy set: provenance tails are written sorted (the
+    engine stores a sorted csv) and entity_edges is the exact inverse
+    of edge provenance (a consistent reference graph)."""
+    import json as _json
+    import random
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from graphiti_hf_ray.migration import export_reference_layout, migrate_reference_layout
+
+    rng = random.Random(11)
+    names = ["Ada Lovelace", "Acme Corporation", "über GmbH", "数字会社", "N. O'Neil-Smith"]
+
+    for trial in range(3):
+        n_nodes = rng.randint(2, 5)
+        n_eps = rng.randint(1, 4)
+        n_edges = rng.randint(1, 6)
+        node_ids = [f"n{trial}_{i}" for i in range(n_nodes)]
+        ep_ids = [f"ep{trial}_{i}" for i in range(n_eps)]
+        ts = lambda: rng.choice([1704067200, 1704070800, 1710000000, None])  # noqa: E731
+
+        edges = []
+        for j in range(n_edges):
+            cb = rng.choice(ep_ids)
+            extra = sorted(rng.sample(ep_ids, rng.randint(0, n_eps - 1)))
+            eps = [cb] + [e for e in extra if e != cb]
+            edges.append(
+                {
+                    "uuid": f"e{trial}_{j}",
+                    "source_uuid": rng.choice(node_ids),
+                    "target_uuid": rng.choice(node_ids),
+                    "name": rng.choice(["WORKS_AT", "FOUNDED", "LIVES_IN"]),
+                    "fact": f"fact {j} — «{rng.choice(names)}»",
+                    "episodes": eps,
+                    "valid_at": ts(),
+                    "expired_at": ts(),
+                    "invalid_at": ts(),
+                }
+            )
+        # consistent inverse, stored in a shuffled (non-sorted) order
+        inv = {e: [] for e in ep_ids}
+        for ed in edges:
+            for e in ed["episodes"]:
+                inv[e].append(ed["uuid"])
+        for e in inv:
+            rng.shuffle(inv[e])
+
+        src = str(tmp_path_factory.mktemp(f"prop_src{trial}"))
+        ts_arr = lambda vals: _pa.array(vals, _pa.timestamp("s"))  # noqa: E731
+        _pq.write_table(
+            _pa.table(
+                {
+                    "uuid": node_ids,
+                    "name": [rng.choice(names) for _ in node_ids],
+                    "group_id": ["g0"] * n_nodes,
+                    "labels": [_json.dumps(rng.sample(["Person", "Organization", "Place"], 2)) for _ in node_ids],
+                    "created_at": ts_arr([1704067200] * n_nodes),
+                    "name_embedding": _pa.array([[rng.random()] * 8 for _ in node_ids], _pa.list_(_pa.float32())),
+                    "summary": [f"s{i}" for i in range(n_nodes)],
+                    "attributes": ['{"k": "v"}'] * n_nodes,
+                }
+            ),
+            os.path.join(src, "nodes.parquet"),
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    "uuid": [e["uuid"] for e in edges],
+                    "source_uuid": [e["source_uuid"] for e in edges],
+                    "target_uuid": [e["target_uuid"] for e in edges],
+                    "name": [e["name"] for e in edges],
+                    "fact": [e["fact"] for e in edges],
+                    "group_id": ["g0"] * n_edges,
+                    "created_at": ts_arr([1704067200] * n_edges),
+                    "fact_embedding": _pa.array([[rng.random()] * 8 for _ in edges], _pa.list_(_pa.float32())),
+                    "episodes": [_json.dumps(e["episodes"]) for e in edges],
+                    "expired_at": ts_arr([e["expired_at"] for e in edges]),
+                    "valid_at": ts_arr([e["valid_at"] for e in edges]),
+                    "invalid_at": ts_arr([e["invalid_at"] for e in edges]),
+                    "attributes": ["{}"] * n_edges,
+                }
+            ),
+            os.path.join(src, "edges.parquet"),
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    "uuid": ep_ids,
+                    "name": [f"https://x.example/{i}" for i in range(n_eps)],
+                    "content": [f"content {i} — {rng.choice(names)}" for i in range(n_eps)],
+                    "source": ["text"] * n_eps,
+                    "source_description": ["crawl"] * n_eps,
+                    "group_id": ["g0"] * n_eps,
+                    "created_at": ts_arr([1704067200] * n_eps),
+                    "valid_at": ts_arr([1704067200] * n_eps),
+                    "entity_edges": [_json.dumps(inv[e]) for e in ep_ids],
+                }
+            ),
+            os.path.join(src, "episodes.parquet"),
+        )
+
+        mid = str(tmp_path_factory.mktemp(f"prop_mid{trial}"))
+        migrate_reference_layout(src, mid, reembed=False)
+        exp = str(tmp_path_factory.mktemp(f"prop_exp{trial}"))
+        export_reference_layout(mid, exp)
+        for split in ("nodes", "edges", "episodes"):
+            orig = _pq.read_table(os.path.join(src, f"{split}.parquet")).sort_by("uuid")
+            got = _pq.read_table(os.path.join(exp, f"{split}.parquet")).sort_by("uuid")
+            assert got.schema.names == orig.schema.names, (trial, split)
+            for c in orig.schema.names:
+                a, b = orig.column(c).combine_chunks(), got.column(c).combine_chunks()
+                assert a.type == b.type, (trial, split, c)
+                assert a.equals(b), (trial, split, c, a.to_pylist(), b.to_pylist())
+
+
 def test_export_reference_layout_roundtrip(ray_session, tmp_path_factory):
     """The exporter closes the S5 round trip: reference layout → migrate
     (vectors carried byte-exact) → export → the original single-file
