@@ -62,6 +62,7 @@ def pack_chunks(
     tok_col: str = "n_tokens",
     text_col: str = "text",
     num_buckets: int = 64,
+    id_salt: str = "",
 ) -> "object":
     """Dataset[(doc_id, chunk_idx, n_tokens, text)] → Dataset[(pack_id,
     n_chunks, n_tokens, text, members)].
@@ -69,7 +70,12 @@ def pack_chunks(
     ``text`` is the packed token stream (member texts joined by a single
     space, in order); ``members`` is the provenance list as
     ``"doc:idx,doc:idx,..."``. Raises on any chunk with
-    ``n_tokens > budget`` (no silent truncation)."""
+    ``n_tokens > budget`` (no silent truncation).
+
+    ``id_salt`` namespaces the pack ids: pack_id = md5(salt:bucket:seq).
+    The default "" keeps the historical ids; any writer adding packs
+    NEXT TO an existing set (append_training_set) MUST pass a per-batch
+    salt, or its (bucket, seq) ids collide with the base set's."""
     from ..stages.shuffle import bucketed_group_apply
 
     def pack_one(bucket: int, df: pd.DataFrame, out: dict) -> None:
@@ -79,9 +85,10 @@ def pack_chunks(
             packs = next_fit_pack(rows, budget)
         except ValueError as e:
             raise ValueError(f"{e}; chunk with max_tokens <= budget") from e
+        pid_prefix = f"{id_salt}:" if id_salt else ""
         for seq, member_idxs in enumerate(packs):
             ms = [rows[i] for i in member_idxs]
-            out["pack_id"].append(hashlib.md5(f"{bucket}:{seq}".encode()).hexdigest())
+            out["pack_id"].append(hashlib.md5(f"{pid_prefix}{bucket}:{seq}".encode()).hexdigest())
             out["n_chunks"].append(len(ms))
             out["n_tokens"].append(sum(int(r[0]) for r in ms))
             out["text"].append(" ".join(r[3] for r in ms))

@@ -45,10 +45,17 @@ materializes the corpus on the driver.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
 
-__all__ = ["prepare_training_set", "load_packs", "iter_training_batches"]
+__all__ = [
+    "prepare_training_set",
+    "append_training_set",
+    "load_packs",
+    "load_tokenizer",
+    "iter_training_batches",
+]
 
 
 def _shuffle_key_batch(seed: int):
@@ -253,6 +260,56 @@ def iter_training_batches(
         }
 
 
+def _lang_length_gate(docs, allow: tuple, min_tokens: int):
+    """Stage-3 gate shared by prepare and append: LangId actor pool +
+    whitespace-token length floor over the normalized ``text`` column;
+    ``allow=()`` disables the language half."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import LangId
+
+    allow = tuple(allow)
+
+    def gate(t: pa.Table) -> pa.Table:
+        n_toks = pa.array(
+            [len((x or "").split()) for x in t.column("text").to_pylist()], pa.int64()
+        )
+        keep = pc.greater_equal(n_toks, pa.scalar(min_tokens))
+        if allow:
+            keep = pc.and_(keep, pc.is_in(t.column("lang_pred"), value_set=pa.array(allow)))
+        return t.filter(keep).drop_columns(["lang_pred"])
+
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+def _distinct_fps(docs, num_buckets: int):
+    """Narrow (fp) table of the distinct md5 fingerprints of the ``text``
+    column — the cross-run dedup state ``append_training_set`` anti-joins
+    against. One bucketed exchange over 32-byte rows; text never ships."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def add(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fp": pa.array(
+                    [hashlib.md5((x or "").encode()).hexdigest() for x in t.column("text").to_pylist()]
+                )
+            }
+        )
+
+    def uniq(df):
+        return df.drop_duplicates("fp")
+
+    return bucketed_group_apply(
+        docs.select_columns(["text"]).map_batches(add, batch_format="pyarrow"),
+        ["fp"],
+        uniq,
+        num_buckets=num_buckets,
+    )
+
+
 def prepare_training_set(
     docs: "object",
     benchmark_texts: list[str],
@@ -271,6 +328,7 @@ def prepare_training_set(
     mixture_col: str = "lang",
     bpe_vocab_size: int | None = None,
     bpe_max_words: int = 32768,
+    track_doc_keys: bool = False,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -347,6 +405,10 @@ def prepare_training_set(
 
         docs = docs.map_batches(_canon_text, batch_format="pyarrow")
         text_col = "text"
+    # normalized INPUT reference for the optional doc-keys state (stage 7b):
+    # re-reading the read-backed input is the documented cheap path (same
+    # rule as the mixture strata projection below)
+    input_docs = docs
     docs = checkpoint(docs, "n_input")
     # narrow (id, stratum) projection for the optional mixture stage (4c);
     # taken from the INPUT so the stratum is ground-truth metadata (crawl
@@ -402,19 +464,7 @@ def prepare_training_set(
 
     # 3. language + length gate
     allow = tuple(lang_allow)
-
-    def gate(t: pa.Table) -> pa.Table:
-        n_toks = pa.array(
-            [len((x or "").split()) for x in t.column(text_col).to_pylist()], pa.int64()
-        )
-        keep = pc.greater_equal(n_toks, pa.scalar(min_tokens))
-        if allow:
-            keep = pc.and_(keep, pc.is_in(t.column("lang_pred"), value_set=pa.array(allow)))
-        return t.filter(keep).drop_columns(["lang_pred"])
-
-    docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).map_batches(
-        gate, batch_format="pyarrow"
-    )
+    docs = _lang_length_gate(docs, allow, min_tokens)
     docs = checkpoint(docs, "n_after_gate")
 
     # 3b. optional Gopher quality gate (integer-exact thresholds: token
@@ -550,8 +600,6 @@ def prepare_training_set(
     # POINT: train_bpe consumes the stream once more — materialize the
     # boundary so the dedup suffix runs once (same rule as stages 4/4b).
     if bpe_vocab_size is not None:
-        import os
-
         from ..functions.bpe import save_bpe, train_bpe
 
         if not collect_counts:
@@ -614,4 +662,158 @@ def prepare_training_set(
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
+
+    # 7b. optional cross-run dedup state (what append_training_set
+    # anti-joins new batches against): the distinct text fingerprints of
+    # the INPUT — not the survivors, so a doc any gate dropped still
+    # blocks an identical future copy (it would be dropped again anyway).
+    # Written AFTER the packs on purpose: the safe crash order is
+    # packs-then-keys (keys-first + crash would make a rerun's anti-join
+    # drop everything and bake an empty pack set under a valid manifest).
+    # A knob change rebuilds the packs (new fp ⇒ rmtree), so stale append
+    # keys are swept with the same trigger.
+    if track_doc_keys:
+        import shutil
+
+        keys_root = os.path.join(out_dir, "doc_keys")
+        if not gio.manifest_matches(os.path.join(keys_root, "base"), fp):
+            shutil.rmtree(keys_root, ignore_errors=True)
+        metrics["n_doc_keys"] = gio.write_table_distributed(
+            _distinct_fps(input_docs, shuffle_buckets),
+            os.path.join(keys_root, "base"),
+            fp,
+        )
     return metrics
+
+
+def append_training_set(
+    docs_new,
+    benchmark_texts: list[str],
+    out_dir: str,
+    *,
+    fingerprint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contam_n: int = 8,
+    lang_allow: tuple[str, ...] = ("en",),
+    min_tokens: int = 8,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    pack_budget: int = 1024,
+    shuffle_buckets: int = 64,
+) -> dict:
+    """Incrementally append a new document batch to an existing training
+    set — the corpus-side mirror of the KG pipeline's TS8 incremental
+    model (new crawl snapshots land as new pack files; nothing already
+    written moves). The batch is exact-deduped WITHIN itself, anti-joined
+    against the set's ``doc_keys`` state (every text fingerprint ever
+    ingested — one bucketed exchange over 32-byte fp rows, the scale path
+    when the seen-set outgrows a broadcast), then decontaminated, gated,
+    chunked and packed with the SAME stage code as ``prepare_training_set``
+    and written under ``packs/append-<fp8>/`` with per-batch-salted pack
+    ids. ``load_packs`` / ``iter_training_batches`` serve the union
+    automatically; read-time epoch reshuffles keep working (seeded keys
+    are per-pack-id).
+
+    Requirements and scope, explicit:
+
+    - the base set must be prepared with ``track_doc_keys=True`` and
+      WITHOUT a write-time ``shuffle_seed`` (a baked file order cannot
+      incorporate future appends; read-time seeds are the multi-epoch
+      form anyway) — both are validated up front;
+    - pass the SAME chunk/pack knobs as the base (not verifiable from the
+      output; a mismatched ``pack_budget`` silently mixes shapes);
+    - ``fingerprint`` names the batch (e.g. the crawl-segment id) and
+      keys idempotence: re-running the same append is a manifest no-op,
+      and a crash between the two writes resumes correctly because packs
+      land BEFORE the doc-keys extension (keys-first + crash would make
+      the rerun's anti-join drop everything and bake an empty pack set);
+    - appends are single-writer: run them one at a time (batch B's
+      anti-join must see batch A's keys);
+    - cross-run dedup is EXACT-document scope; paragraph/span dedup,
+      fuzzy dedup, mixtures and BPE training remain prepare-time passes —
+      re-prepare to refresh those (which sweeps appends by design).
+
+    Returns ``{"n_packs_appended", "n_new_doc_keys"}``."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from .. import io as gio
+    from ..functions.decontam import ngram_decontaminate
+    from ..functions.dedup import exact_dedup_rows
+    from ..functions.joins import _arrow_types, semi_join
+    from ..functions.textchunk import chunk_documents
+    from ..functions.textpack import pack_chunks
+
+    if not os.path.exists(os.path.join(out_dir, "packs", gio.MANIFEST)):
+        raise ValueError(f"no completed pack set under {out_dir} — run prepare_training_set first")
+    keys_root = os.path.join(out_dir, "doc_keys")
+    if not os.path.isdir(keys_root):
+        raise ValueError(
+            "base set has no doc_keys state — prepare_training_set(track_doc_keys=True) is "
+            "the precondition for appends"
+        )
+    # a baked (write-time shuffled) base cannot absorb appends in order
+    for dirpath, dirnames, filenames in os.walk(os.path.join(out_dir, "packs")):
+        gio._prune_tmp(dirnames)
+        part = next((f for f in sorted(filenames) if f.endswith(".parquet")), None)
+        if part is not None:
+            if "shuffle_key" in pq.read_schema(os.path.join(dirpath, part)).names:
+                raise ValueError(
+                    "base set was written with shuffle_seed (baked order); appends require an "
+                    "unseeded base — use read-time seeds (load_packs(shuffle_seed=)) for epochs"
+                )
+            break
+
+    bt_fp = hashlib.md5("\x1f".join(benchmark_texts).encode()).hexdigest()
+    allow = tuple(lang_allow)
+    afp = hashlib.md5(
+        f"append:{fingerprint}:{contam_n}:{bt_fp}:{allow}:{min_tokens}:{max_tokens}:"
+        f"{overlap}:{pack_budget}".encode()
+    ).hexdigest()
+    pack_dir = os.path.join(out_dir, "packs", f"append-{afp[:12]}")
+    keys_dir = os.path.join(keys_root, f"append-{afp[:12]}")
+    if gio.manifest_matches(pack_dir, afp) and gio.manifest_matches(keys_dir, afp):
+        with open(os.path.join(pack_dir, gio.MANIFEST)) as f:
+            n_packs = json.load(f).get("rows", 0)
+        with open(os.path.join(keys_dir, gio.MANIFEST)) as f:
+            n_keys = json.load(f).get("rows", 0)
+        return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}
+
+    docs = docs_new
+    if text_col != "text":
+        def _canon(t: pa.Table) -> pa.Table:
+            if "text" in t.schema.names:
+                raise ValueError(f"input already has a 'text' column alongside text_col={text_col!r}")
+            return t.rename_columns(["text" if n == text_col else n for n in t.schema.names])
+        docs = docs.map_batches(_canon, batch_format="pyarrow")
+
+    in_types = _arrow_types(docs)  # read-backed input: metadata-cheap probe
+    docs = exact_dedup_rows(docs, num_buckets=shuffle_buckets, id_col=id_col, text_col="text")
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fp = pa.array([hashlib.md5((x or "").encode()).hexdigest() for x in t.column("text").to_pylist()])
+        return t.append_column("fp", fp)
+
+    docs = docs.map_batches(add_fp, batch_format="pyarrow")
+    seen = gio.read_table_dir_ds(out_dir, "doc_keys", columns=["fp"])
+    fresh = semi_join(
+        docs, seen, "fp", anti=True, num_buckets=shuffle_buckets,
+        data_types={**in_types, "fp": pa.string()},
+    )
+    # BRANCH POINT: fresh feeds the pack chain AND the doc-keys extension
+    fresh = fresh.materialize()
+
+    kept = ngram_decontaminate(fresh, benchmark_texts, n=contam_n, text_col="text", mode="filter")
+    kept = _lang_length_gate(kept, allow, min_tokens)
+    chunks = chunk_documents(
+        kept.select_columns([id_col, "text"]), max_tokens=max_tokens, overlap=overlap, id_col=id_col
+    )
+    packs = pack_chunks(chunks, budget=pack_budget, id_col=id_col, id_salt=afp[:12])
+    n_packs = gio.write_table_distributed(packs, pack_dir, afp)
+    # keys extension LAST (see crash-order note in the docstring); records
+    # every genuinely-new distinct text — including ones decontam/gate
+    # dropped, which would be dropped again anyway
+    n_keys = gio.write_table_distributed(fresh.select_columns(["fp"]), keys_dir, afp)
+    return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}

@@ -17,6 +17,18 @@ In this sandbox (local mode)::
 The sink is manifest-resumable: re-submitting with identical inputs and
 knobs skips finished pack shards. Prints one JSON line of metrics
 (``n_packs`` always; per-stage counts with ``--counts``).
+
+Incremental appends (new crawl segments landing beside an existing set)::
+
+    python scripts/run_corpus_job.py --docs s3://bucket/crawl-42/*.parquet \
+        --out s3://bucket/trainset --benchmark s3://bucket/evals.parquet \
+        --append-batch crawl-42
+
+``--append-batch NAME`` routes to ``corpus.append_training_set`` — the
+base set must have been prepared with ``--track-doc-keys`` and without
+``--shuffle-seed``; NAME keys idempotence (re-submitting the same batch
+is a manifest no-op). Prepare-only knobs (fuzzy dedup, quality gates,
+mixtures, BPE) are rejected in append mode — re-prepare to refresh those.
 """
 
 from __future__ import annotations
@@ -50,6 +62,12 @@ def main() -> int:
                     help=".npy file of trained quality weights (stub weights when omitted)")
     ap.add_argument("--fingerprint", default="corpus-v1",
                     help="resume fingerprint prefix (encode your knob set)")
+    ap.add_argument("--track-doc-keys", action="store_true",
+                    help="persist the input's distinct text fingerprints as <out>/doc_keys "
+                         "(the precondition for --append-batch runs later)")
+    ap.add_argument("--append-batch", default=None, metavar="NAME",
+                    help="append this batch to an existing set instead of preparing one; "
+                         "NAME (e.g. the crawl-segment id) keys idempotence")
     ap.add_argument("--mixture", default=None,
                     help='JSON per-stratum mixture weights, e.g. \'{"en": 2.0, "de": 0.5}\'')
     ap.add_argument("--mixture-col", default="lang")
@@ -94,6 +112,43 @@ def main() -> int:
             .column(args.benchmark_col).to_pylist() if x
         ]
 
+    if args.append_batch is not None:
+        unsupported = {
+            "--fuzzy-jaccard": args.fuzzy_jaccard, "--span-dedup-k": args.span_dedup_k,
+            "--quality-gate": args.quality_gate or None,
+            "--surprisal-max-bits": args.surprisal_max_bits,
+            "--model-quality-min": args.model_quality_min, "--mixture": args.mixture,
+            "--bpe-vocab-size": args.bpe_vocab_size, "--shuffle-seed": args.shuffle_seed,
+            "--counts": args.counts or None,
+        }
+        bad = [k for k, v in unsupported.items() if v is not None]
+        if bad:
+            ap.error(f"{', '.join(bad)}: prepare-only knob(s) — appends are "
+                     "dedup+decontam+gate+pack only; re-prepare to refresh the rest")
+        from graphiti_hf_ray.pipelines.corpus import append_training_set
+
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+        t0 = time.time()
+        metrics = append_training_set(
+            docs,
+            benchmark_texts,
+            args.out,
+            fingerprint=args.append_batch,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            contam_n=args.contam_n,
+            lang_allow=tuple(x.strip() for x in args.lang_allow.split(",") if x.strip()),
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            overlap=args.overlap,
+            pack_budget=args.pack_budget,
+            shuffle_buckets=args.shuffle_buckets or max(64, 2 * cpus),
+        )
+        metrics["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(metrics))
+        ray.shutdown()
+        return 0
+
     quality_weights = None
     if args.model_quality_weights:
         if args.model_quality_min is None:
@@ -120,6 +175,7 @@ def main() -> int:
         mixture_weights=json.loads(args.mixture) if args.mixture else None,
         mixture_col=args.mixture_col,
         bpe_vocab_size=args.bpe_vocab_size,
+        track_doc_keys=args.track_doc_keys,
         lang_allow=tuple(x.strip() for x in args.lang_allow.split(",") if x.strip()),
         fingerprint=args.fingerprint,
         min_tokens=args.min_tokens,

@@ -1431,3 +1431,110 @@ def test_build_graph_no_entities(ray_session, tmp_path_factory):
     assert counts["episodes"] == 3
     assert counts["nodes"] == 0 and counts["edges"] == 0 and counts["episodic_edges"] == 0
     assert gio.read_table_dir(os.path.join(d, "g"), "episodes").num_rows == 3
+
+
+def test_append_training_set(ray_session, tmp_path):
+    """Incremental corpus append: base prepare(track_doc_keys=True), then
+    a batch mixing a base duplicate (anti-joined away), a within-batch
+    duplicate pair, a benchmark-contaminated doc, a too-short doc, and a
+    genuinely new doc. Appended packs land beside the base set, the union
+    serves through load_packs, doc_keys grows by every genuinely-new
+    distinct text, and re-running the same append is a manifest no-op."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        append_training_set,
+        load_packs,
+        prepare_training_set,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(100)]
+    mk = lambda: " ".join(rng.choice(words, 25))  # noqa: E731
+    base_texts = [mk() for _ in range(10)]
+    bench = [mk()]
+    base = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64), "text": base_texts})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+    m0 = prepare_training_set(
+        rd.from_pandas(base), bench, out, track_doc_keys=True, **common
+    )
+    assert m0["n_doc_keys"] == 10
+    n_base_packs = m0["n_packs"]
+
+    new_doc = mk()
+    dup_pair = mk()
+    batch = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 106, dtype=np.int64),
+            "text": [
+                base_texts[3],     # exact dup of base → anti-joined
+                dup_pair, dup_pair,  # within-batch dup pair → one survives
+                bench[0],          # contaminated → decontam drops it
+                "too short",       # length gate drops it
+                new_doc,           # survives to packs
+            ],
+        }
+    )
+    m1 = append_training_set(
+        rd.from_pandas(batch), bench, out, fingerprint="batch-1", **common
+    )
+    # genuinely-new distinct texts: dup_pair, bench[0], "too short", new_doc
+    assert m1["n_new_doc_keys"] == 4
+    assert m1["n_packs_appended"] >= 1
+
+    union = load_packs(out).to_pandas()
+    assert len(union) == n_base_packs + m1["n_packs_appended"]
+    assert union["pack_id"].is_unique  # salted append ids can't collide
+    joined = " ".join(union["text"])
+    assert new_doc in joined and dup_pair in joined
+    assert bench[0] not in joined.replace(new_doc, "").replace(dup_pair, "")
+
+    # idempotence: same batch + same fingerprint = manifest no-op
+    m2 = append_training_set(
+        rd.from_pandas(batch), bench, out, fingerprint="batch-1", **common
+    )
+    assert m2 == m1
+    assert len(load_packs(out).to_pandas()) == len(union)
+
+    # same TEXTS under a new fingerprint: everything already seen → empty
+    m3 = append_training_set(
+        rd.from_pandas(batch), bench, out, fingerprint="batch-2", **common
+    )
+    assert m3 == {"n_packs_appended": 0, "n_new_doc_keys": 0}
+
+    # seeded read over the union still reproduces per seed
+    e1 = list(load_packs(out, shuffle_seed=1).to_pandas()["pack_id"])
+    e1b = list(load_packs(out, shuffle_seed=1).to_pandas()["pack_id"])
+    assert e1 == e1b and sorted(e1) == sorted(union["pack_id"])
+
+
+def test_append_training_set_preconditions(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import append_training_set, prepare_training_set
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "text": [f"doc {i} " + "tok " * 8 for i in range(6)]}
+    )
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+
+    with _pytest.raises(ValueError, match="no completed pack set"):
+        append_training_set(rd.from_pandas(docs), [], str(tmp_path / "missing"), fingerprint="x", **common)
+
+    no_keys = str(tmp_path / "nokeys")
+    prepare_training_set(rd.from_pandas(docs), [], no_keys, **common)
+    with _pytest.raises(ValueError, match="doc_keys"):
+        append_training_set(rd.from_pandas(docs), [], no_keys, fingerprint="x", **common)
+
+    baked = str(tmp_path / "baked")
+    prepare_training_set(
+        rd.from_pandas(docs), [], baked, track_doc_keys=True, shuffle_seed=7, **common
+    )
+    with _pytest.raises(ValueError, match="shuffle_seed"):
+        append_training_set(rd.from_pandas(docs), [], baked, fingerprint="x", **common)
