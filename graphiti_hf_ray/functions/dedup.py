@@ -187,12 +187,23 @@ def exact_dedup(docs: "ray.data.Dataset", num_buckets: int | None = None) -> "ra
     )
 
 
+def md5_fp_batch(t: pa.Table, text_col: str = "text", out_col: str = "_fp") -> pa.Table:
+    """Append the md5-hex fingerprint of ``text_col`` as ``out_col`` — the
+    ONE text-fingerprint mapper shared by exact dedup, the corpus doc_keys
+    state and the append anti-join (so the three can never drift)."""
+    fp = pa.array(
+        [hashlib.md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+    )
+    return t.append_column(out_col, fp).replace_schema_metadata(None)
+
+
 def exact_dedup_rows(
     docs: "ray.data.Dataset",
     num_buckets: int | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_fp: str | None = None,
 ) -> "ray.data.Dataset":
     """Row-KEEPING exact dedup in ONE exchange: the min-``id_col`` row per
     distinct ``text_col`` survives with its full schema intact.
@@ -203,17 +214,22 @@ def exact_dedup_rows(
     bucket keeps the first row per fingerprint. The composed form ships
     the text through the join exchange anyway, so the fusion halves the
     exchange count without shipping anything new — this is the shape the
-    corpus pipeline's stage 1 runs at 100 TB."""
+    corpus pipeline's stage 1 runs at 100 TB.
+
+    ``keep_fp`` retains the text fingerprint on the survivors under that
+    column name (instead of dropping it) — append_training_set reuses it
+    for the cross-run anti-join rather than re-hashing the whole batch."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        fp = pa.array(
-            [hashlib.md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
-        )
-        return t.append_column("_fp", fp).replace_schema_metadata(None)
+        return md5_fp_batch(t, text_col)
 
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        return df.drop_duplicates("_fp", keep="first").drop(columns=["_fp"])
+        df = df.sort_values(id_col, kind="stable").drop_duplicates("_fp", keep="first")
+        if keep_fp:
+            if keep_fp in df.columns and keep_fp != "_fp":
+                raise ValueError(f"keep_fp={keep_fp!r} collides with an input column")
+            return df.rename(columns={"_fp": keep_fp})
+        return df.drop(columns=["_fp"])
 
     from ..stages.shuffle import bucketed_group_apply
 

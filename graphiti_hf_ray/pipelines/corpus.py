@@ -262,13 +262,16 @@ def iter_training_batches(
 
 def _lang_length_gate(docs, allow: tuple, min_tokens: int):
     """Stage-3 gate shared by prepare and append: LangId actor pool +
-    whitespace-token length floor over the normalized ``text`` column;
-    ``allow=()`` disables the language half."""
+    whitespace-token length floor over the normalized ``text`` column.
+    ``allow=()`` disables the language half — and skips the LangId actor
+    pool entirely (no point scoring a column the gate never reads)."""
     import pyarrow.compute as pc
 
-    from ..functions.textstats import LangId
-
     allow = tuple(allow)
+    if allow:
+        from ..functions.textstats import LangId
+
+        docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
     def gate(t: pa.Table) -> pa.Table:
         n_toks = pa.array(
@@ -277,27 +280,21 @@ def _lang_length_gate(docs, allow: tuple, min_tokens: int):
         keep = pc.greater_equal(n_toks, pa.scalar(min_tokens))
         if allow:
             keep = pc.and_(keep, pc.is_in(t.column("lang_pred"), value_set=pa.array(allow)))
-        return t.filter(keep).drop_columns(["lang_pred"])
+            return t.filter(keep).drop_columns(["lang_pred"])
+        return t.filter(keep)
 
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).map_batches(
-        gate, batch_format="pyarrow"
-    )
+    return docs.map_batches(gate, batch_format="pyarrow")
 
 
 def _distinct_fps(docs, num_buckets: int):
     """Narrow (fp) table of the distinct md5 fingerprints of the ``text``
     column — the cross-run dedup state ``append_training_set`` anti-joins
     against. One bucketed exchange over 32-byte rows; text never ships."""
+    from ..functions.dedup import md5_fp_batch
     from ..stages.shuffle import bucketed_group_apply
 
     def add(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "fp": pa.array(
-                    [hashlib.md5((x or "").encode()).hexdigest() for x in t.column("text").to_pylist()]
-                )
-            }
-        )
+        return md5_fp_batch(t, "text", out_col="fp").select(["fp"])
 
     def uniq(df):
         return df.drop_duplicates("fp")
@@ -375,7 +372,6 @@ def prepare_training_set(
     from ..functions.textchunk import chunk_documents
     from ..functions.textclean import dedup_paragraphs_global, dedup_spans_global
     from ..functions.textpack import pack_chunks
-    from ..functions.textstats import LangId
 
     def checkpoint(ds, key: str):
         """Optionally materialize + count a stage boundary."""
@@ -710,24 +706,31 @@ def append_training_set(
     ingested — one bucketed exchange over 32-byte fp rows, the scale path
     when the seen-set outgrows a broadcast), then decontaminated, gated,
     chunked and packed with the SAME stage code as ``prepare_training_set``
-    and written under ``packs/append-<fp8>/`` with per-batch-salted pack
-    ids. ``load_packs`` / ``iter_training_batches`` serve the union
-    automatically; read-time epoch reshuffles keep working (seeded keys
-    are per-pack-id).
+    and written under a per-batch slot ``packs/append-<md5(name)[:12]>/``
+    with per-batch-salted pack ids. ``load_packs`` /
+    ``iter_training_batches`` serve the union automatically; read-time
+    epoch reshuffles keep working (seeded keys are per-pack-id).
 
     Requirements and scope, explicit:
 
     - the base set must be prepared with ``track_doc_keys=True`` and
       WITHOUT a write-time ``shuffle_seed`` (a baked file order cannot
       incorporate future appends; read-time seeds are the multi-epoch
-      form anyway) — both are validated up front;
+      form anyway) — both validated up front, as is doc_keys/base's
+      manifest fingerprint matching the pack set's (a stale keys state —
+      base re-prepared without the flag — would silently anti-join every
+      doc away);
     - pass the SAME chunk/pack knobs as the base (not verifiable from the
       output; a mismatched ``pack_budget`` silently mixes shapes);
     - ``fingerprint`` names the batch (e.g. the crawl-segment id) and
-      keys idempotence: re-running the same append is a manifest no-op,
-      and a crash between the two writes resumes correctly because packs
-      land BEFORE the doc-keys extension (keys-first + crash would make
-      the rerun's anti-join drop everything and bake an empty pack set);
+      keys idempotence: re-running the same append is a manifest no-op;
+      re-running the same batch NAME with CHANGED knobs or benchmark
+      texts rebuilds that batch in place (its slot — packs and keys — is
+      swept before the anti-join, so a benchmark update re-screens the
+      batch's own docs instead of baking an empty append beside stale
+      packs); a crash between the two writes resumes correctly because
+      packs land BEFORE the doc-keys extension (keys-first + crash would
+      make the rerun's anti-join drop everything);
     - appends are single-writer: run them one at a time (batch B's
       anti-join must see batch A's keys);
     - cross-run dedup is EXACT-document scope; paragraph/span dedup,
@@ -736,6 +739,7 @@ def append_training_set(
 
     Returns ``{"n_packs_appended", "n_new_doc_keys"}``."""
     import json
+    import shutil
 
     import pyarrow.parquet as pq
 
@@ -753,6 +757,19 @@ def append_training_set(
         raise ValueError(
             "base set has no doc_keys state — prepare_training_set(track_doc_keys=True) is "
             "the precondition for appends"
+        )
+    # the keys state must belong to THIS pack set: prepare writes both
+    # under the same fingerprint, so a doc_keys/base whose manifest carries
+    # a different fp is stale (the base was re-prepared without
+    # track_doc_keys=True, or crashed between the pack and key writes) —
+    # anti-joining against it would silently drop every doc the swept pack
+    # set once held and bake an empty append under a valid manifest
+    with open(os.path.join(out_dir, "packs", gio.MANIFEST)) as f:
+        base_fp = json.load(f).get("fingerprint")
+    if not gio.manifest_matches(os.path.join(keys_root, "base"), base_fp):
+        raise ValueError(
+            "doc_keys state is stale: doc_keys/base's fingerprint does not match the pack "
+            "set's — re-run prepare_training_set(track_doc_keys=True) before appending"
         )
     # a baked (write-time shuffled) base cannot absorb appends in order
     for dirpath, dirnames, filenames in os.walk(os.path.join(out_dir, "packs")):
@@ -772,14 +789,24 @@ def append_training_set(
         f"append:{fingerprint}:{contam_n}:{bt_fp}:{allow}:{min_tokens}:{max_tokens}:"
         f"{overlap}:{pack_budget}".encode()
     ).hexdigest()
-    pack_dir = os.path.join(out_dir, "packs", f"append-{afp[:12]}")
-    keys_dir = os.path.join(keys_root, f"append-{afp[:12]}")
+    # dirs are keyed by the batch NAME alone; the manifest fingerprint
+    # carries the full knob set. Same NAME + same knobs = no-op; same NAME
+    # + changed knobs/benchmark = rebuild THIS batch (sweep its slot before
+    # the anti-join reads the seen-set, so the batch's own old keys can't
+    # mask its docs from the rebuild — otherwise a benchmark update would
+    # bake an empty new append while the stale packs kept serving)
+    slot = hashlib.md5(f"batch:{fingerprint}".encode()).hexdigest()[:12]
+    pack_dir = os.path.join(out_dir, "packs", f"append-{slot}")
+    keys_dir = os.path.join(keys_root, f"append-{slot}")
     if gio.manifest_matches(pack_dir, afp) and gio.manifest_matches(keys_dir, afp):
         with open(os.path.join(pack_dir, gio.MANIFEST)) as f:
             n_packs = json.load(f).get("rows", 0)
         with open(os.path.join(keys_dir, gio.MANIFEST)) as f:
             n_keys = json.load(f).get("rows", 0)
         return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}
+    for d in (pack_dir, keys_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
 
     docs = docs_new
     if text_col != "text":
@@ -790,13 +817,14 @@ def append_training_set(
         docs = docs.map_batches(_canon, batch_format="pyarrow")
 
     in_types = _arrow_types(docs)  # read-backed input: metadata-cheap probe
-    docs = exact_dedup_rows(docs, num_buckets=shuffle_buckets, id_col=id_col, text_col="text")
-
-    def add_fp(t: pa.Table) -> pa.Table:
-        fp = pa.array([hashlib.md5((x or "").encode()).hexdigest() for x in t.column("text").to_pylist()])
-        return t.append_column("fp", fp)
-
-    docs = docs.map_batches(add_fp, batch_format="pyarrow")
+    if "fp" in in_types:
+        raise ValueError("input already has an 'fp' column — rename it; 'fp' is the join key")
+    # keep_fp: the dedup pass already hashed every text — reuse that
+    # fingerprint for the anti-join and the keys extension instead of
+    # re-hashing the whole batch
+    docs = exact_dedup_rows(
+        docs, num_buckets=shuffle_buckets, id_col=id_col, text_col="text", keep_fp="fp"
+    )
     seen = gio.read_table_dir_ds(out_dir, "doc_keys", columns=["fp"])
     fresh = semi_join(
         docs, seen, "fp", anti=True, num_buckets=shuffle_buckets,

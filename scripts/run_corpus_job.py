@@ -117,9 +117,12 @@ def main() -> int:
             "--fuzzy-jaccard": args.fuzzy_jaccard, "--span-dedup-k": args.span_dedup_k,
             "--quality-gate": args.quality_gate or None,
             "--surprisal-max-bits": args.surprisal_max_bits,
-            "--model-quality-min": args.model_quality_min, "--mixture": args.mixture,
+            "--model-quality-min": args.model_quality_min,
+            "--model-quality-weights": args.model_quality_weights, "--mixture": args.mixture,
             "--bpe-vocab-size": args.bpe_vocab_size, "--shuffle-seed": args.shuffle_seed,
             "--counts": args.counts or None,
+            "--track-doc-keys": args.track_doc_keys or None,
+            "--fingerprint": None if args.fingerprint == "corpus-v1" else args.fingerprint,
         }
         bad = [k for k, v in unsupported.items() if v is not None]
         if bad:

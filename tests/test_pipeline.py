@@ -1538,3 +1538,70 @@ def test_append_training_set_preconditions(ray_session, tmp_path):
     )
     with _pytest.raises(ValueError, match="shuffle_seed"):
         append_training_set(rd.from_pandas(docs), [], baked, fingerprint="x", **common)
+
+
+def test_append_training_set_stale_doc_keys(ray_session, tmp_path):
+    """A re-prepare that rebuilds the packs WITHOUT track_doc_keys leaves
+    doc_keys/base carrying the old fingerprint; appending against that
+    stale state must error (not silently anti-join every doc away)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import append_training_set, prepare_training_set
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "text": [f"doc {i} " + "tok " * 8 for i in range(6)]}
+    )
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), max_tokens=16, overlap=0, pack_budget=24)
+    prepare_training_set(rd.from_pandas(docs), [], out, track_doc_keys=True, min_tokens=5, **common)
+    # changed knob (min_tokens) rebuilds the packs under a new fingerprint;
+    # the flag is off so doc_keys/base keeps the OLD fingerprint
+    prepare_training_set(rd.from_pandas(docs), [], out, min_tokens=4, **common)
+    with _pytest.raises(ValueError, match="stale"):
+        append_training_set(
+            rd.from_pandas(docs), [], out, fingerprint="b1", min_tokens=4, **common
+        )
+
+
+def test_append_training_set_rebatch_on_knob_change(ray_session, tmp_path):
+    """Re-running the same batch NAME with changed benchmark texts rebuilds
+    that batch in place: the slot's old packs AND keys are swept, so the
+    batch's own docs are re-screened under the new benchmark instead of the
+    old packs being served beside an empty new append."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        append_training_set,
+        load_packs,
+        prepare_training_set,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(100)]
+    mk = lambda: " ".join(rng.choice(words, 25))  # noqa: E731
+    base = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": [mk() for _ in range(4)]})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+    m0 = prepare_training_set(rd.from_pandas(base), [], out, track_doc_keys=True, **common)
+
+    doc_a, doc_b = mk(), mk()
+    batch = pd.DataFrame({"doc_id": np.array([100, 101], dtype=np.int64), "text": [doc_a, doc_b]})
+    m1 = append_training_set(rd.from_pandas(batch), [], out, fingerprint="crawl-1", **common)
+    assert m1["n_new_doc_keys"] == 2
+    assert doc_a in " ".join(load_packs(out).to_pandas()["text"])
+
+    # benchmark v2 now contains doc_a: same NAME, new knobs → rebuild
+    m2 = append_training_set(
+        rd.from_pandas(batch), [doc_a], out, fingerprint="crawl-1", **common
+    )
+    assert m2["n_new_doc_keys"] == 2  # slot keys swept → both fresh again
+    union = load_packs(out).to_pandas()
+    joined = " ".join(union["text"])
+    assert doc_a not in joined and doc_b in joined  # old packs NOT served
+    assert len(union) == m0["n_packs"] + m2["n_packs_appended"]
+    assert union["pack_id"].is_unique
