@@ -282,7 +282,12 @@ class BpeTokenizer:
             ids = memo.get(w)
             if ids is None:
                 ids = self._encode_word(w)
-                if len(memo) < self._memo_max:
+                # entry-COUNT cap only bounds memory if entries are small:
+                # never memoize over-window pretokens (distinct megabyte
+                # runs would each pin a ~1 MB key + ~1M-id list in a
+                # long-lived actor; chunked encoding gains little from the
+                # memo anyway)
+                if len(memo) < self._memo_max and len(w) <= self._MAX_WORD_BYTES:
                     memo[w] = ids
             out.extend(ids)
         return out

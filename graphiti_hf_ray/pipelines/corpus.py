@@ -120,15 +120,35 @@ def load_tokenizer(out_dir: str):
     """The corpus-trained ``BpeTokenizer`` shipped with a training set
     written with ``bpe_vocab_size=`` (``{out_dir}/bpe.json``), or None if
     the set has no tokenizer artifact. Pass its ``.encode`` as
-    ``iter_training_batches(tokenize=)``."""
+    ``iter_training_batches(tokenize=)``.
+
+    The artifact carries the pack set's fingerprint; a bpe.json whose
+    stamp doesn't match the packs beside it (a re-prepare crashed between
+    the two writes, or rewrote the packs without retraining) is rejected —
+    a tokenizer trained on a DIFFERENT survivor distribution must never
+    silently feed the trainer."""
+    import json
     import os
 
     p = os.path.join(out_dir, "bpe.json")
     if not os.path.exists(p):
         return None
+    from .. import io as gio
     from ..functions.bpe import BpeTokenizer, load_bpe
 
-    return BpeTokenizer(load_bpe(p))
+    art = load_bpe(p)
+    man = os.path.join(out_dir, "packs", gio.MANIFEST)
+    try:
+        with open(man) as f:
+            pack_fp = json.load(f).get("fingerprint")
+    except (OSError, ValueError):
+        pack_fp = None
+    if art.get("set_fingerprint") != pack_fp or pack_fp is None:
+        raise ValueError(
+            f"stale tokenizer artifact: {p} was not trained on the pack set beside it — "
+            "re-run prepare_training_set(bpe_vocab_size=...) to retrain"
+        )
+    return BpeTokenizer(art)
 
 
 def _default_tokenize(text: str) -> list:
@@ -595,19 +615,18 @@ def prepare_training_set(
     # {out_dir}/bpe.json; read it back with ``load_tokenizer``. BRANCH
     # POINT: train_bpe consumes the stream once more — materialize the
     # boundary so the dedup suffix runs once (same rule as stages 4/4b).
+    bpe_art = None
     if bpe_vocab_size is not None:
-        from ..functions.bpe import save_bpe, train_bpe
+        from ..functions.bpe import train_bpe
 
         if not collect_counts:
             docs = docs.materialize()
-        art = train_bpe(
+        bpe_art = train_bpe(
             docs.select_columns([text_col]), text_col=text_col,
             vocab_size=bpe_vocab_size, max_words=bpe_max_words,
             num_buckets=shuffle_buckets,
         )
-        os.makedirs(out_dir, exist_ok=True)
-        save_bpe(art, os.path.join(out_dir, "bpe.json"))
-        metrics["bpe_merges"] = len(art["merges"])
+        metrics["bpe_merges"] = len(bpe_art["merges"])
 
     # 5-6. chunk then pack
     chunks = chunk_documents(docs, max_tokens=max_tokens, overlap=overlap, id_col=id_col, text_col=text_col)
@@ -658,6 +677,30 @@ def prepare_training_set(
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
+
+    # 7a. the tokenizer artifact is stamped with the pack set's fingerprint
+    # and written AFTER the packs (a crash between the two leaves a stale-
+    # stamped bpe.json that load_tokenizer rejects, never a tokenizer that
+    # silently mismatches the survivor distribution it sits beside). A
+    # bpe-less re-prepare that rewrote the packs sweeps a stale artifact
+    # for the same reason; an artifact whose stamp matches the (unchanged)
+    # set is kept — same packs, same distribution, still valid.
+    bpe_path = os.path.join(out_dir, "bpe.json")
+    if bpe_art is not None:
+        from ..functions.bpe import save_bpe
+
+        bpe_art["set_fingerprint"] = fp
+        save_bpe(bpe_art, bpe_path)
+    elif os.path.exists(bpe_path):
+        import json as _json
+
+        try:
+            with open(bpe_path) as f:
+                stale = _json.load(f).get("set_fingerprint") != fp
+        except (OSError, ValueError):
+            stale = True
+        if stale:
+            os.remove(bpe_path)
 
     # 7b. optional cross-run dedup state (what append_training_set
     # anti-joins new batches against): the distinct text fingerprints of

@@ -219,3 +219,44 @@ def test_trainer_seam_with_trained_bpe(ray_session, tmp_path, sf_small):
     packs = load_packs(out).to_pandas()
     for pid, text in zip(packs["pack_id"], packs["text"]):
         assert seen[pid] == text  # byte-lossless through the int32 matrix
+
+
+def test_shipped_tokenizer_staleness_guard(ray_session, tmp_path, sf_small):
+    """The artifact is stamped with the pack set's fingerprint: a re-prepare
+    that rewrites the packs without retraining SWEEPS the stale bpe.json; a
+    hand-staled stamp is rejected by load_tokenizer (never silently served);
+    a bpe-less re-prepare with IDENTICAL knobs keeps the still-valid one."""
+    import json
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from graphiti_hf_ray.pipelines.corpus import load_tokenizer, prepare_training_set
+
+    docs = pq.read_table(
+        os.path.join(sf_small, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ds = rd.from_arrow(docs.slice(0, 60))
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), max_tokens=64, overlap=0, pack_budget=128)
+    prepare_training_set(ds, [], out, bpe_vocab_size=BASE_VOCAB + 32, **common)
+    assert load_tokenizer(out) is not None
+
+    # identical knobs, no bpe: packs resume as a no-op, artifact still valid
+    prepare_training_set(ds, [], out, **common)
+    assert load_tokenizer(out) is not None
+
+    # changed knob rewrites the packs; the stale artifact is swept
+    prepare_training_set(ds, [], out, min_tokens=9, **common)
+    assert load_tokenizer(out) is None
+
+    # hand-staled stamp: rejected, not silently served
+    prepare_training_set(ds, [], out, min_tokens=9, bpe_vocab_size=BASE_VOCAB + 32, **common)
+    p = os.path.join(out, "bpe.json")
+    with open(p) as f:
+        art = json.load(f)
+    art["set_fingerprint"] = "0" * 32
+    with open(p, "w") as f:
+        json.dump(art, f)
+    with _pytest.raises(ValueError, match="stale tokenizer"):
+        load_tokenizer(out)
