@@ -286,8 +286,13 @@ class BpeTokenizer:
                 # never memoize over-window pretokens (distinct megabyte
                 # runs would each pin a ~1 MB key + ~1M-id list in a
                 # long-lived actor; chunked encoding gains little from the
-                # memo anyway)
-                if len(memo) < self._memo_max and len(w) <= self._MAX_WORD_BYTES:
+                # memo anyway). Char-count short-circuit, BYTE check decides
+                # (1024 CJK chars are 3072 bytes — over-window).
+                if (
+                    len(memo) < self._memo_max
+                    and len(w) <= self._MAX_WORD_BYTES
+                    and len(w.encode("utf-8")) <= self._MAX_WORD_BYTES
+                ):
                     memo[w] = ids
             out.extend(ids)
         return out

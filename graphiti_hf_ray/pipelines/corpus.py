@@ -145,8 +145,9 @@ def load_tokenizer(out_dir: str):
         pack_fp = None
     if art.get("set_fingerprint") != pack_fp or pack_fp is None:
         raise ValueError(
-            f"stale tokenizer artifact: {p} was not trained on the pack set beside it — "
-            "re-run prepare_training_set(bpe_vocab_size=...) to retrain"
+            f"stale tokenizer artifact: {p} was not trained on the pack set beside it "
+            "(or predates fingerprint stamping) — re-run "
+            "prepare_training_set(bpe_vocab_size=...) to retrain"
         )
     return BpeTokenizer(art)
 
@@ -773,7 +774,10 @@ def append_training_set(
       batch's own docs instead of baking an empty append beside stale
       packs); a crash between the two writes resumes correctly because
       packs land BEFORE the doc-keys extension (keys-first + crash would
-      make the rerun's anti-join drop everything);
+      make the rerun's anti-join drop everything), and a half-written
+      slot BLOCKS other batches until its own batch re-runs (a different
+      batch appended over it would serve shared docs twice — the crashed
+      batch's keys never landed);
     - appends are single-writer: run them one at a time (batch B's
       anti-join must see batch A's keys);
     - cross-run dedup is EXACT-document scope; paragraph/span dedup,
@@ -851,6 +855,44 @@ def append_training_set(
         if os.path.exists(d):
             shutil.rmtree(d)
 
+    # crash hygiene across OTHER batches: packs land before keys, so a
+    # slot with exactly one complete side is a crash remnant. Appending a
+    # DIFFERENT batch over it would either serve duplicates (packs without
+    # keys: that batch's docs are absent from the seen-set) or lose
+    # documents (keys without packs: masked yet never served) — refuse and
+    # name the batch to re-run. A slot whose manifest carries THIS batch's
+    # name under a different directory name (an older slot layout) is
+    # swept like the current slot.
+    def _man(d: str) -> dict:
+        try:
+            with open(os.path.join(d, gio.MANIFEST)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    packs_root = os.path.join(out_dir, "packs")
+    names: set = set()
+    for root in (packs_root, keys_root):
+        if os.path.isdir(root):
+            names.update(n for n in os.listdir(root) if n.startswith("append-"))
+    for nm in sorted(names - {f"append-{slot}"}):
+        pman = _man(os.path.join(packs_root, nm))
+        kman = _man(os.path.join(keys_root, nm))
+        if fingerprint in (pman.get("batch"), kman.get("batch")):
+            shutil.rmtree(os.path.join(packs_root, nm), ignore_errors=True)
+            shutil.rmtree(os.path.join(keys_root, nm), ignore_errors=True)
+            continue
+        if not (
+            pman.get("complete")
+            and kman.get("complete")
+            and pman.get("fingerprint") == kman.get("fingerprint")
+        ):
+            b = pman.get("batch") or kman.get("batch") or nm
+            raise ValueError(
+                f"half-written append slot {nm} (batch {b!r}): its packs and doc_keys "
+                "disagree — re-run that batch before appending others"
+            )
+
     docs = docs_new
     if text_col != "text":
         def _canon(t: pa.Table) -> pa.Table:
@@ -882,9 +924,11 @@ def append_training_set(
         kept.select_columns([id_col, "text"]), max_tokens=max_tokens, overlap=overlap, id_col=id_col
     )
     packs = pack_chunks(chunks, budget=pack_budget, id_col=id_col, id_salt=afp[:12])
-    n_packs = gio.write_table_distributed(packs, pack_dir, afp)
+    n_packs = gio.write_table_distributed(packs, pack_dir, afp, metrics={"batch": fingerprint})
     # keys extension LAST (see crash-order note in the docstring); records
     # every genuinely-new distinct text — including ones decontam/gate
     # dropped, which would be dropped again anyway
-    n_keys = gio.write_table_distributed(fresh.select_columns(["fp"]), keys_dir, afp)
+    n_keys = gio.write_table_distributed(
+        fresh.select_columns(["fp"]), keys_dir, afp, metrics={"batch": fingerprint}
+    )
     return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}

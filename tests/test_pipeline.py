@@ -1605,3 +1605,44 @@ def test_append_training_set_rebatch_on_knob_change(ray_session, tmp_path):
     assert doc_a not in joined and doc_b in joined  # old packs NOT served
     assert len(union) == m0["n_packs"] + m2["n_packs_appended"]
     assert union["pack_id"].is_unique
+
+
+def test_append_training_set_half_written_slot(ray_session, tmp_path):
+    """A crash between a batch's pack write and its keys write leaves a
+    half-written slot: appending a DIFFERENT batch must refuse (shared
+    docs would be served twice — the crashed batch's keys never landed);
+    re-running the crashed batch itself heals the slot, after which other
+    batches proceed."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import append_training_set, prepare_training_set
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(100)]
+    mk = lambda: " ".join(rng.choice(words, 25))  # noqa: E731
+    base = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": [mk() for _ in range(3)]})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+    prepare_training_set(rd.from_pandas(base), [], out, track_doc_keys=True, **common)
+
+    b1 = pd.DataFrame({"doc_id": np.array([100], dtype=np.int64), "text": [mk()]})
+    append_training_set(rd.from_pandas(b1), [], out, fingerprint="crawl-1", **common)
+    # simulate the crash: remove crawl-1's keys side
+    (slot1,) = [d for d in os.listdir(os.path.join(out, "doc_keys")) if d.startswith("append-")]
+    shutil.rmtree(os.path.join(out, "doc_keys", slot1))
+
+    b2 = pd.DataFrame({"doc_id": np.array([200], dtype=np.int64), "text": [mk()]})
+    with _pytest.raises(ValueError, match="half-written"):
+        append_training_set(rd.from_pandas(b2), [], out, fingerprint="crawl-2", **common)
+
+    # re-running the crashed batch heals its slot...
+    m1 = append_training_set(rd.from_pandas(b1), [], out, fingerprint="crawl-1", **common)
+    assert m1["n_new_doc_keys"] == 1
+    # ...and the other batch then proceeds
+    m2 = append_training_set(rd.from_pandas(b2), [], out, fingerprint="crawl-2", **common)
+    assert m2["n_new_doc_keys"] == 1
