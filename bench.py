@@ -179,6 +179,46 @@ def run_bench() -> dict:
         )
         timings["corpus_prep"] = round(time.time() - t0, 3)
 
+        # incremental append: a second crawl segment with 50% exact overlap
+        # against the base set — times the within-batch dedup + seen-set
+        # anti-join + decontam/gate/pack chain. The base prepare (with the
+        # doc_keys state) is untimed setup.
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from graphiti_hf_ray.pipelines.corpus import append_training_set
+
+        append_out = f"{scratch}/corpus_app_{sf_tag}_{num_cpus}"
+        shutil.rmtree(append_out, ignore_errors=True)
+        prepare_training_set(
+            docs_ds, bench_docs, append_out, track_doc_keys=True,
+            lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
+        )
+
+        def _second_segment(t: "_pa.Table") -> "_pa.Table":
+            ids = t.column("doc_id")
+            odd = _pc.equal(_pc.bit_wise_and(ids, _pa.scalar(1, ids.type)), _pa.scalar(1, ids.type))
+            text = _pc.if_else(
+                odd,
+                _pc.binary_join_element_wise(
+                    t.column("text"), _pa.scalar("segment two marker"), _pa.scalar(" ")
+                ),
+                t.column("text"),
+            )
+            return _pa.table(
+                {"doc_id": _pc.add(ids, _pa.scalar(10_000_000, ids.type)), "text": text}
+            )
+
+        batch = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(_second_segment, batch_format="pyarrow")
+        t0 = time.time()
+        append_training_set(
+            batch, bench_docs, append_out, fingerprint="bench-crawl-2",
+            lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
+        )
+        timings["corpus_append"] = round(time.time() - t0, 3)
+
         # duplicated-span removal alone (exact substring dedup, window
         # form) — timed outside corpus_prep so the recorded corpus_prep
         # baseline stays comparable across rounds

@@ -797,6 +797,10 @@ def append_training_set(
     from ..functions.textchunk import chunk_documents
     from ..functions.textpack import pack_chunks
 
+    # a falsy/non-string name would poison the slot hash AND the manifest
+    # batch-match sweep (None == a missing "batch" key)
+    if not fingerprint or not isinstance(fingerprint, str):
+        raise ValueError("fingerprint must name the batch (non-empty string)")
     if not os.path.exists(os.path.join(out_dir, "packs", gio.MANIFEST)):
         raise ValueError(f"no completed pack set under {out_dir} — run prepare_training_set first")
     keys_root = os.path.join(out_dir, "doc_keys")
