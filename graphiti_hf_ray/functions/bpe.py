@@ -255,8 +255,7 @@ class BpeTokenizer:
     # degenerate case); byte concat keeps decode lossless regardless.
     _MAX_WORD_BYTES = 1024
 
-    def _encode_word(self, w: str) -> list[int]:
-        bs = w.encode("utf-8")
+    def _encode_word(self, bs: bytes) -> list[int]:
         out: list[int] = []
         for off in range(0, len(bs), self._MAX_WORD_BYTES):
             syms = list(bs[off : off + self._MAX_WORD_BYTES])
@@ -281,18 +280,15 @@ class BpeTokenizer:
         for w in self.pattern.findall(text):
             ids = memo.get(w)
             if ids is None:
-                ids = self._encode_word(w)
+                bs = w.encode("utf-8")
+                ids = self._encode_word(bs)
                 # entry-COUNT cap only bounds memory if entries are small:
                 # never memoize over-window pretokens (distinct megabyte
                 # runs would each pin a ~1 MB key + ~1M-id list in a
                 # long-lived actor; chunked encoding gains little from the
-                # memo anyway). Char-count short-circuit, BYTE check decides
-                # (1024 CJK chars are 3072 bytes — over-window).
-                if (
-                    len(memo) < self._memo_max
-                    and len(w) <= self._MAX_WORD_BYTES
-                    and len(w.encode("utf-8")) <= self._MAX_WORD_BYTES
-                ):
+                # memo anyway). BYTE length decides — 1024 CJK chars are
+                # 3072 bytes, over-window.
+                if len(memo) < self._memo_max and len(bs) <= self._MAX_WORD_BYTES:
                     memo[w] = ids
             out.extend(ids)
         return out

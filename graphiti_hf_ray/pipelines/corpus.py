@@ -677,7 +677,24 @@ def prepare_training_set(
         f"{model_quality_min}:{w_fp}:{surprisal_max_bits}:{mix_fp}:"
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
-    metrics["n_packs"] = gio.write_table_distributed(packs, f"{out_dir}/packs", fp)
+    # the knobs an append must repeat are stamped into the manifest so
+    # append_training_set can validate parity instead of trusting the
+    # caller (a mismatched pack_budget would silently mix pack shapes)
+    metrics["n_packs"] = gio.write_table_distributed(
+        packs,
+        f"{out_dir}/packs",
+        fp,
+        metrics={
+            "append_knobs": {
+                "contam_n": contam_n,
+                "lang_allow": list(allow),
+                "min_tokens": min_tokens,
+                "max_tokens": max_tokens,
+                "overlap": overlap,
+                "pack_budget": pack_budget,
+            }
+        },
+    )
 
     # 7a. the tokenizer artifact is stamped with the pack set's fingerprint
     # and written AFTER the packs (a crash between the two leaves a stale-
@@ -816,11 +833,31 @@ def append_training_set(
     # anti-joining against it would silently drop every doc the swept pack
     # set once held and bake an empty append under a valid manifest
     with open(os.path.join(out_dir, "packs", gio.MANIFEST)) as f:
-        base_fp = json.load(f).get("fingerprint")
+        base_man = json.load(f)
+    base_fp = base_man.get("fingerprint")
     if not gio.manifest_matches(os.path.join(keys_root, "base"), base_fp):
         raise ValueError(
             "doc_keys state is stale: doc_keys/base's fingerprint does not match the pack "
             "set's — re-run prepare_training_set(track_doc_keys=True) before appending"
+        )
+    # knob parity with the base, validated from the manifest stamp rather
+    # than trusted (a mismatched pack_budget silently mixes pack shapes;
+    # a mismatched gate changes which docs survive)
+    allow = tuple(lang_allow)
+    want = base_man.get("append_knobs")
+    got = {
+        "contam_n": contam_n,
+        "lang_allow": list(allow),
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+        "overlap": overlap,
+        "pack_budget": pack_budget,
+    }
+    if want is not None and want != got:
+        diff = {k: (want.get(k), got[k]) for k in got if want.get(k) != got[k]}
+        raise ValueError(
+            f"append knobs must match the base set's (base, append): {diff} — "
+            "re-prepare to change them"
         )
     # a baked (write-time shuffled) base cannot absorb appends in order
     for dirpath, dirnames, filenames in os.walk(os.path.join(out_dir, "packs")):
@@ -835,7 +872,6 @@ def append_training_set(
             break
 
     bt_fp = hashlib.md5("\x1f".join(benchmark_texts).encode()).hexdigest()
-    allow = tuple(lang_allow)
     afp = hashlib.md5(
         f"append:{fingerprint}:{contam_n}:{bt_fp}:{allow}:{min_tokens}:{max_tokens}:"
         f"{overlap}:{pack_budget}".encode()
@@ -846,7 +882,9 @@ def append_training_set(
     # the anti-join reads the seen-set, so the batch's own old keys can't
     # mask its docs from the rebuild — otherwise a benchmark update would
     # bake an empty new append while the stale packs kept serving)
-    slot = hashlib.md5(f"batch:{fingerprint}".encode()).hexdigest()[:12]
+    # full digest: a truncated slot hash colliding across two batch NAMES
+    # would silently destroy the earlier batch's slot as "stale"
+    slot = hashlib.md5(f"batch:{fingerprint}".encode()).hexdigest()
     pack_dir = os.path.join(out_dir, "packs", f"append-{slot}")
     keys_dir = os.path.join(keys_root, f"append-{slot}")
     if gio.manifest_matches(pack_dir, afp) and gio.manifest_matches(keys_dir, afp):
@@ -855,18 +893,16 @@ def append_training_set(
         with open(os.path.join(keys_dir, gio.MANIFEST)) as f:
             n_keys = json.load(f).get("rows", 0)
         return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}
-    for d in (pack_dir, keys_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
 
-    # crash hygiene across OTHER batches: packs land before keys, so a
-    # slot with exactly one complete side is a crash remnant. Appending a
-    # DIFFERENT batch over it would either serve duplicates (packs without
-    # keys: that batch's docs are absent from the seen-set) or lose
-    # documents (keys without packs: masked yet never served) — refuse and
-    # name the batch to re-run. A slot whose manifest carries THIS batch's
-    # name under a different directory name (an older slot layout) is
-    # swept like the current slot.
+    # crash hygiene across OTHER batches — and it runs BEFORE any sweep,
+    # so a refusal can never follow a destructive step: packs land before
+    # keys, so a slot with exactly one complete side is a crash remnant.
+    # Appending a DIFFERENT batch over it would either serve duplicates
+    # (packs without keys: that batch's docs are absent from the seen-set)
+    # or lose documents (keys without packs: masked yet never served) —
+    # refuse and name the batch to re-run. Slots whose manifests carry
+    # THIS batch's name (the current slot, or an older slot layout) are
+    # ours to rebuild: collected read-only here, swept after validation.
     def _man(d: str) -> dict:
         try:
             with open(os.path.join(d, gio.MANIFEST)) as f:
@@ -879,12 +915,12 @@ def append_training_set(
     for root in (packs_root, keys_root):
         if os.path.isdir(root):
             names.update(n for n in os.listdir(root) if n.startswith("append-"))
+    mine = [f"append-{slot}"]
     for nm in sorted(names - {f"append-{slot}"}):
         pman = _man(os.path.join(packs_root, nm))
         kman = _man(os.path.join(keys_root, nm))
         if fingerprint in (pman.get("batch"), kman.get("batch")):
-            shutil.rmtree(os.path.join(packs_root, nm), ignore_errors=True)
-            shutil.rmtree(os.path.join(keys_root, nm), ignore_errors=True)
+            mine.append(nm)
             continue
         if not (
             pman.get("complete")
@@ -896,6 +932,9 @@ def append_training_set(
                 f"half-written append slot {nm} (batch {b!r}): its packs and doc_keys "
                 "disagree — re-run that batch before appending others"
             )
+    for nm in mine:
+        shutil.rmtree(os.path.join(packs_root, nm), ignore_errors=True)
+        shutil.rmtree(os.path.join(keys_root, nm), ignore_errors=True)
 
     docs = docs_new
     if text_col != "text":

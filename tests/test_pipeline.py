@@ -1539,6 +1539,16 @@ def test_append_training_set_preconditions(ray_session, tmp_path):
     with _pytest.raises(ValueError, match="shuffle_seed"):
         append_training_set(rd.from_pandas(docs), [], baked, fingerprint="x", **common)
 
+    # knob parity is validated from the base manifest's stamp, not trusted
+    ok = str(tmp_path / "ok")
+    prepare_training_set(rd.from_pandas(docs), [], ok, track_doc_keys=True, **common)
+    with _pytest.raises(ValueError, match="append knobs"):
+        append_training_set(
+            rd.from_pandas(docs), [], ok, fingerprint="x", **{**common, "pack_budget": 32}
+        )
+    with _pytest.raises(ValueError, match="non-empty string"):
+        append_training_set(rd.from_pandas(docs), [], ok, fingerprint="", **common)
+
 
 def test_append_training_set_stale_doc_keys(ray_session, tmp_path):
     """A re-prepare that rebuilds the packs WITHOUT track_doc_keys leaves
