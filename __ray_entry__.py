@@ -116,8 +116,11 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id
         """,
         "q12_dedup_exact": """
-            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_dups
-            FROM documents GROUP BY text
+            -- coalesce mirrors the engine's nulls-hash-as-empty policy
+            -- (md5_fp_batch); no-op on the null-free test tables
+            SELECT md5(coalesce(text, '')) AS fingerprint, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY coalesce(text, '')
         """,
         # PII columns: the fixture text has zero digits, so the scrub probe
         # appends the same deterministic doc_id-derived contact suffix on

@@ -171,7 +171,10 @@ def exact_dedup(docs: "ray.data.Dataset", num_buckets: int | None = None) -> "ra
     """One row per distinct text: (fingerprint, keep_doc_id = min, n_dups)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        fp = pa.array([hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()])
+        # the shared mapper (nulls hash as '' like every other text entry
+        # point; oracle mirror: md5(coalesce(text, ''))), renamed to this
+        # op's published output column
+        fp = md5_fp_batch(t, out_col="fingerprint").column("fingerprint")
         return pa.table({"fingerprint": fp, "doc_id": t.column("doc_id")})
 
     def first(df: pd.DataFrame) -> pd.DataFrame:

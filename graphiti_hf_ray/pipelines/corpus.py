@@ -58,6 +58,29 @@ __all__ = [
 ]
 
 
+def _append_knob_dict(
+    contam_n: int,
+    allow: tuple,
+    min_tokens: int,
+    max_tokens: int,
+    overlap: int,
+    pack_budget: int,
+) -> dict:
+    """The gate/chunk/pack knobs an append must repeat verbatim — built by
+    this ONE helper on both sides (prepare's manifest stamp and append's
+    parity check) so the two dicts can never drift: a key added to one
+    side but not the other would otherwise fail every append (or skip
+    validating the new knob)."""
+    return {
+        "contam_n": contam_n,
+        "lang_allow": list(allow),
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+        "overlap": overlap,
+        "pack_budget": pack_budget,
+    }
+
+
 def _shuffle_key_batch(seed: int):
     """Batch fn appending the rerun-stable shuffle key: signed-int64 from
     md5(seed:pack_id). Shared by the pipeline's write-time shuffle and
@@ -144,11 +167,21 @@ def load_tokenizer(out_dir: str):
     except (OSError, ValueError):
         pack_fp = None
     if art.get("set_fingerprint") != pack_fp or pack_fp is None:
-        raise ValueError(
-            f"stale tokenizer artifact: {p} was not trained on the pack set beside it "
-            "(or predates fingerprint stamping) — re-run "
+        # both cases reject — a tokenizer that can't be PROVEN to match the
+        # survivor distribution beside it must never feed the trainer — but
+        # the remedies differ: an unstamped artifact may well be valid, and
+        # re-running prepare with the SAME knobs resumes the pack write
+        # (manifest no-op) and only retrains + stamps the tokenizer
+        why = (
+            "predates fingerprint stamping, so it cannot be verified against the pack set "
+            "beside it — re-run prepare_training_set(bpe_vocab_size=...) with the same knobs "
+            "(the pack write resumes; the tokenizer retrains and lands stamped)"
+            if art.get("set_fingerprint") is None and pack_fp is not None
+            else "was not trained on the pack set beside it (a re-prepare crashed between the "
+            "two writes, or rewrote the packs without retraining) — re-run "
             "prepare_training_set(bpe_vocab_size=...) to retrain"
         )
+        raise ValueError(f"stale tokenizer artifact: {p} {why}")
     return BpeTokenizer(art)
 
 
@@ -685,14 +718,9 @@ def prepare_training_set(
         f"{out_dir}/packs",
         fp,
         metrics={
-            "append_knobs": {
-                "contam_n": contam_n,
-                "lang_allow": list(allow),
-                "min_tokens": min_tokens,
-                "max_tokens": max_tokens,
-                "overlap": overlap,
-                "pack_budget": pack_budget,
-            }
+            "append_knobs": _append_knob_dict(
+                contam_n, allow, min_tokens, max_tokens, overlap, pack_budget
+            )
         },
     )
 
@@ -767,8 +795,9 @@ def append_training_set(
     ingested — one bucketed exchange over 32-byte fp rows, the scale path
     when the seen-set outgrows a broadcast), then decontaminated, gated,
     chunked and packed with the SAME stage code as ``prepare_training_set``
-    and written under a per-batch slot ``packs/append-<md5(name)[:12]>/``
-    with per-batch-salted pack ids. ``load_packs`` /
+    and written under a per-batch slot ``packs/append-<md5('batch:'+name)>/``
+    (full 32-hex digest — truncating it could collide two batch names and
+    sweep the wrong slot) with per-batch-salted pack ids. ``load_packs`` /
     ``iter_training_batches`` serve the union automatically; read-time
     epoch reshuffles keep working (seeded keys are per-pack-id).
 
@@ -845,16 +874,11 @@ def append_training_set(
     # a mismatched gate changes which docs survive)
     allow = tuple(lang_allow)
     want = base_man.get("append_knobs")
-    got = {
-        "contam_n": contam_n,
-        "lang_allow": list(allow),
-        "min_tokens": min_tokens,
-        "max_tokens": max_tokens,
-        "overlap": overlap,
-        "pack_budget": pack_budget,
-    }
+    got = _append_knob_dict(contam_n, allow, min_tokens, max_tokens, overlap, pack_budget)
     if want is not None and want != got:
-        diff = {k: (want.get(k), got[k]) for k in got if want.get(k) != got[k]}
+        diff = {
+            k: (want.get(k), got.get(k)) for k in set(want) | set(got) if want.get(k) != got.get(k)
+        }
         raise ValueError(
             f"append knobs must match the base set's (base, append): {diff} — "
             "re-prepare to change them"
@@ -870,6 +894,23 @@ def append_training_set(
                     "unseeded base — use read-time seeds (load_packs(shuffle_seed=)) for epochs"
                 )
             break
+
+    # input validation BEFORE anything destructive (the rebuild path
+    # sweeps this batch's live slot below — a refusal over a bad input
+    # schema must come first, or the refusal costs the batch its packs):
+    # the rename is lazy, but the schema probe surfaces both collision
+    # checks eagerly (metadata-cheap on read-backed inputs, one small
+    # task on mapped ones — the same price _arrow_types already paid)
+    docs = docs_new
+    if text_col != "text":
+        def _canon(t: pa.Table) -> pa.Table:
+            if "text" in t.schema.names:
+                raise ValueError(f"input already has a 'text' column alongside text_col={text_col!r}")
+            return t.rename_columns(["text" if n == text_col else n for n in t.schema.names])
+        docs = docs_new.map_batches(_canon, batch_format="pyarrow")
+    in_types = _arrow_types(docs)
+    if "fp" in in_types:
+        raise ValueError("input already has an 'fp' column — rename it; 'fp' is the join key")
 
     bt_fp = hashlib.md5("\x1f".join(benchmark_texts).encode()).hexdigest()
     afp = hashlib.md5(
@@ -915,8 +956,15 @@ def append_training_set(
     for root in (packs_root, keys_root):
         if os.path.isdir(root):
             names.update(n for n in os.listdir(root) if n.startswith("append-"))
-    mine = [f"append-{slot}"]
-    for nm in sorted(names - {f"append-{slot}"}):
+    # two older layouts are claimable as ours: slots stamped with this
+    # batch's name under any directory name, and the pre-stamp layout
+    # whose name was the truncated digest (its manifests carry no batch
+    # key, so only the name identifies it — without this match a complete
+    # pre-stamp slot would defeat the rebuild: its keys stay in the
+    # seen-set, mask every doc, and the rebuild bakes an empty slot while
+    # the stale packs keep serving)
+    mine = [f"append-{slot}", f"append-{slot[:12]}"]
+    for nm in sorted(names - set(mine)):
         pman = _man(os.path.join(packs_root, nm))
         kman = _man(os.path.join(keys_root, nm))
         if fingerprint in (pman.get("batch"), kman.get("batch")):
@@ -927,26 +975,22 @@ def append_training_set(
             and kman.get("complete")
             and pman.get("fingerprint") == kman.get("fingerprint")
         ):
-            b = pman.get("batch") or kman.get("batch") or nm
+            b = pman.get("batch") or kman.get("batch")
+            hint = (
+                f"re-run batch {b!r} before appending others"
+                if b is not None
+                # pre-stamp crash remnant: no manifest names its batch, so
+                # a re-run can't claim it — manual removal is the remedy
+                else f"it predates batch stamping — remove {os.path.join(packs_root, nm)} "
+                f"and {os.path.join(keys_root, nm)} and re-run its batch before appending others"
+            )
             raise ValueError(
-                f"half-written append slot {nm} (batch {b!r}): its packs and doc_keys "
-                "disagree — re-run that batch before appending others"
+                f"half-written append slot {nm}: its packs and doc_keys disagree — {hint}"
             )
     for nm in mine:
         shutil.rmtree(os.path.join(packs_root, nm), ignore_errors=True)
         shutil.rmtree(os.path.join(keys_root, nm), ignore_errors=True)
 
-    docs = docs_new
-    if text_col != "text":
-        def _canon(t: pa.Table) -> pa.Table:
-            if "text" in t.schema.names:
-                raise ValueError(f"input already has a 'text' column alongside text_col={text_col!r}")
-            return t.rename_columns(["text" if n == text_col else n for n in t.schema.names])
-        docs = docs.map_batches(_canon, batch_format="pyarrow")
-
-    in_types = _arrow_types(docs)  # read-backed input: metadata-cheap probe
-    if "fp" in in_types:
-        raise ValueError("input already has an 'fp' column — rename it; 'fp' is the join key")
     # keep_fp: the dedup pass already hashed every text — reuse that
     # fingerprint for the anti-join and the keys extension instead of
     # re-hashing the whole batch

@@ -1223,6 +1223,24 @@ def test_exact_dedup_rows_parity(ray_session):
     assert sorted(fused["doc_id"]) == sorted(expect["doc_id"])
 
 
+def test_exact_dedup_null_text(ray_session):
+    """Null text rows hash as '' (the repo-wide nulls-are-empty-docs
+    policy, via the shared md5_fp_batch mapper) instead of crashing —
+    oracle mirror: md5(coalesce(text, ''))."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.functions.dedup import exact_dedup
+
+    docs = pd.DataFrame({"doc_id": [3, 1, 2, 4], "text": ["a", None, "a", None]})
+    out = exact_dedup(rd.from_pandas(docs), num_buckets=2).to_pandas()
+    assert len(out) == 2
+    row = out[out["fingerprint"] == hashlib.md5(b"").hexdigest()]
+    assert len(row) == 1 and int(row["keep_doc_id"].iloc[0]) == 1 and int(row["n_dups"].iloc[0]) == 2
+
+
 def test_token_budget_sample(ray_session):
     """Per-stratum token-budget mixture sampling: hash-ordered greedy
     prefix, inclusive cumsum ≤ budget, strata without a budget dropped —

@@ -1656,3 +1656,140 @@ def test_append_training_set_half_written_slot(ray_session, tmp_path):
     # ...and the other batch then proceeds
     m2 = append_training_set(rd.from_pandas(b2), [], out, fingerprint="crawl-2", **common)
     assert m2["n_new_doc_keys"] == 1
+
+
+def _to_legacy_slot(out: str, batch: str) -> str:
+    """Rewrite a batch's append slot to the pre-stamp layout: truncated
+    directory name, no 'batch' key in either manifest."""
+    import hashlib
+    import json
+    import shutil
+
+    from graphiti_hf_ray import io as gio
+
+    full = hashlib.md5(f"batch:{batch}".encode()).hexdigest()
+    for root in ("packs", "doc_keys"):
+        src = os.path.join(out, root, f"append-{full}")
+        dst = os.path.join(out, root, f"append-{full[:12]}")
+        if not os.path.isdir(src):
+            continue
+        shutil.move(src, dst)
+        man = os.path.join(dst, gio.MANIFEST)
+        with open(man) as f:
+            m = json.load(f)
+        m.pop("batch", None)
+        with open(man, "w") as f:
+            json.dump(m, f)
+    return f"append-{full[:12]}"
+
+
+def test_append_training_set_legacy_prestamp_slot(ray_session, tmp_path):
+    """A complete slot written by the pre-stamp layout (truncated dir name,
+    no 'batch' manifest key) is still claimed by ITS batch on re-run — by
+    name, since the manifest can't say — so a rebuild re-screens the docs
+    instead of the legacy keys masking them into an empty new slot while
+    the stale legacy packs keep serving."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        append_training_set,
+        load_packs,
+        prepare_training_set,
+    )
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(100)]
+    mk = lambda: " ".join(rng.choice(words, 25))  # noqa: E731
+    base = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": [mk() for _ in range(3)]})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+    m0 = prepare_training_set(rd.from_pandas(base), [], out, track_doc_keys=True, **common)
+
+    doc_a, doc_b = mk(), mk()
+    batch = pd.DataFrame({"doc_id": np.array([100, 101], dtype=np.int64), "text": [doc_a, doc_b]})
+    append_training_set(rd.from_pandas(batch), [], out, fingerprint="crawl-1", **common)
+    legacy = _to_legacy_slot(out, "crawl-1")
+    assert os.path.isdir(os.path.join(out, "packs", legacy))
+
+    # benchmark v2 contains doc_a: same NAME → the legacy slot must be
+    # swept and the batch rebuilt (doc_b served, doc_a screened out)
+    m2 = append_training_set(rd.from_pandas(batch), [doc_a], out, fingerprint="crawl-1", **common)
+    assert m2["n_new_doc_keys"] == 2
+    assert not os.path.isdir(os.path.join(out, "packs", legacy))
+    assert not os.path.isdir(os.path.join(out, "doc_keys", legacy))
+    union = load_packs(out).to_pandas()
+    joined = " ".join(union["text"])
+    assert doc_a not in joined and doc_b in joined
+    assert len(union) == m0["n_packs"] + m2["n_packs_appended"]
+
+
+def test_append_training_set_legacy_half_written_slot(ray_session, tmp_path):
+    """A half-written PRE-STAMP slot can't name its batch, so the refusal
+    tells the operator to remove it manually instead of 're-run that
+    batch' (no re-run can claim a batch-less slot)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import append_training_set, prepare_training_set
+
+    rng = np.random.default_rng(19)
+    words = [f"w{i}" for i in range(100)]
+    mk = lambda: " ".join(rng.choice(words, 25))  # noqa: E731
+    base = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": [mk() for _ in range(3)]})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+    prepare_training_set(rd.from_pandas(base), [], out, track_doc_keys=True, **common)
+
+    b1 = pd.DataFrame({"doc_id": np.array([100], dtype=np.int64), "text": [mk()]})
+    append_training_set(rd.from_pandas(b1), [], out, fingerprint="crawl-1", **common)
+    legacy = _to_legacy_slot(out, "crawl-1")
+    shutil.rmtree(os.path.join(out, "doc_keys", legacy))  # the crash
+
+    b2 = pd.DataFrame({"doc_id": np.array([200], dtype=np.int64), "text": [mk()]})
+    with _pytest.raises(ValueError, match="predates batch stamping"):
+        append_training_set(rd.from_pandas(b2), [], out, fingerprint="crawl-2", **common)
+
+
+def test_append_training_set_refusal_precedes_sweep(ray_session, tmp_path):
+    """Input validation runs BEFORE the rebuild path sweeps the batch's
+    live slot: a bad input schema on a re-run must refuse with the slot —
+    packs AND keys — intact and still serving."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        append_training_set,
+        load_packs,
+        prepare_training_set,
+    )
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(100)]
+    mk = lambda: " ".join(rng.choice(words, 25))  # noqa: E731
+    base = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": [mk() for _ in range(3)]})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=16, overlap=0, pack_budget=24)
+    prepare_training_set(rd.from_pandas(base), [], out, track_doc_keys=True, **common)
+
+    doc_a = mk()
+    batch = pd.DataFrame({"doc_id": np.array([100], dtype=np.int64), "text": [doc_a]})
+    m1 = append_training_set(rd.from_pandas(batch), [], out, fingerprint="crawl-1", **common)
+    assert m1["n_new_doc_keys"] == 1
+
+    # changed benchmark forces the rebuild path (not the no-op return);
+    # the reserved-column collision must refuse BEFORE the slot sweep
+    bad = batch.assign(fp=["boom"])
+    with _pytest.raises(ValueError, match="'fp' column"):
+        append_training_set(rd.from_pandas(bad), [mk()], out, fingerprint="crawl-1", **common)
+    assert doc_a in " ".join(load_packs(out).to_pandas()["text"])  # slot intact
+    # and the slot still heals/no-ops normally afterwards
+    m2 = append_training_set(rd.from_pandas(batch), [], out, fingerprint="crawl-1", **common)
+    assert m2 == m1
