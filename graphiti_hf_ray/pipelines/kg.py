@@ -161,13 +161,18 @@ def _slice_specs(files: list[str], num_shards: int) -> list[list[tuple[str, int,
     return specs
 
 
+# (factory, instance): keyed so a run with a DIFFERENT injected factory
+# rebuilds instead of reusing a stale extractor. Ray caches the
+# deserialized task closure per worker, so within one extract_phase run
+# the factory object's identity is stable and the build happens once per
+# worker — the heavy-weights-load-once contract the stage is built on.
 _EXTRACTOR_MEMO: list = []
 
 
-def _worker_extractor() -> TripleExtractor:
-    if not _EXTRACTOR_MEMO:
-        _EXTRACTOR_MEMO.append(TripleExtractor())
-    return _EXTRACTOR_MEMO[0]
+def _worker_extractor(factory=None) -> TripleExtractor:
+    if not _EXTRACTOR_MEMO or _EXTRACTOR_MEMO[0][0] is not factory:
+        _EXTRACTOR_MEMO[:] = [(factory, (factory or TripleExtractor)())]
+    return _EXTRACTOR_MEMO[0][1]
 
 
 def extract_phase(
@@ -178,6 +183,8 @@ def extract_phase(
     extractor_concurrency: int | None = None,
     store_content: bool = True,
     input_etags: dict[str, str] | None = None,
+    extractor_resources: dict | None = None,
+    extractor_factory=None,
 ) -> None:
     """P1: shard-resumable extraction with ZERO exchange. One shard = one
     deterministic contiguous input slice (``_slice_specs``); each shard
@@ -191,7 +198,23 @@ def extract_phase(
     still holds — the invariant mentions_edges_per_shard documents.
 
     ``input_etags`` (path → content digest) skips reading input bytes for
-    fingerprinting — pass object-store etags at scale."""
+    fingerprinting — pass object-store etags at scale.
+
+    ``extractor_factory`` swaps the per-worker extractor (default
+    ``TripleExtractor``): any zero-arg callable — a class like
+    ``models.OpenAICompatExtractor`` or a closure binding its config —
+    returning a batch callable with ``TripleExtractor``'s contract
+    (episodes batch in, TRIPLES_SCHEMA rows out). It ships in the shard
+    task's closure and builds ONCE per worker (``_worker_extractor``
+    memo), so NER / OpenIE / LLM weights load once, not per shard.
+    ``extractor_resources`` are per-shard-task Ray resource args passed
+    straight to the extract ``map_batches`` (e.g. ``{"num_gpus": 1}`` or
+    ``{"num_cpus": 2}``) — a GPU-backed extractor reserves its
+    accelerator here, the same knob the embed/rerank stages document.
+    NOTE: shard resume fingerprints cover the INPUT (and shard count),
+    not the extractor — callables have no stable content hash — so point
+    different extractors at different ``out_dir``s; a re-run over an
+    out_dir extracted by another extractor skips its completed shards."""
     fp_run = _fingerprint(pages_paths, input_etags)
     # The shard count is PINNED per input fingerprint in a plan file written
     # before any shard: the cluster-sized default below is NOT a pure
@@ -284,7 +307,7 @@ def extract_phase(
                         pages = rg_tab.slice(off, chunk_rows)
                         ep = make_episode_batch(extract_text_batch(pages), run_ts_us)
                         ep = ep.select(EPISODES.names).cast(EPISODES)
-                        tr = _worker_extractor()(ep)
+                        tr = _worker_extractor(extractor_factory)(ep)
                         if not store_content:
                             # store_raw_episode_content=False parity
                             # (graphiti.py:137, 551-552): keep the episode
@@ -314,6 +337,7 @@ def extract_phase(
         batch_format="pyarrow",
         batch_size=1,
         **({"concurrency": extractor_concurrency} if extractor_concurrency else {}),
+        **(extractor_resources or {}),
     )
     stats.materialize()  # execute
 
@@ -622,8 +646,12 @@ def build_graph(
     num_shards: int | None = None,
     store_content: bool = True,
     input_etags: dict[str, str] | None = None,
+    extractor_resources: dict | None = None,
+    extractor_factory=None,
 ) -> dict:
-    """Full pipeline: pages parquet → nodes/edges/episodes/episodic_edges."""
+    """Full pipeline: pages parquet → nodes/edges/episodes/episodic_edges.
+    ``extractor_factory`` / ``extractor_resources`` plug a model-backed
+    (e.g. GPU) extractor into the extract phase — see ``extract_phase``."""
     import time as _time
 
     timings: dict = {}
@@ -631,6 +659,7 @@ def build_graph(
     extract_phase(
         pages_paths, out_dir, run_ts_us, num_shards,
         store_content=store_content, input_etags=input_etags,
+        extractor_resources=extractor_resources, extractor_factory=extractor_factory,
     )
     timings["extract"] = round(_time.time() - t0, 2)
     return link_and_edges_phase(out_dir, run_ts_us, timings)

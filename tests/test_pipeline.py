@@ -139,6 +139,50 @@ def test_mentions_edges_match_oracle(duck, graph_out):
     assert a == b
 
 
+def test_extract_phase_injected_factory(ray_session, pages_parquet, tmp_path_factory):
+    """The ST1 seam through the FUSED slice-sharded extract path: an
+    injected extractor factory (the hook a model/LLM-backed extractor
+    like models.OpenAICompatExtractor plugs into) replaces the default
+    TripleExtractor inside the shard tasks, and per-task resource args
+    pass through to the stage. The class is defined in-function so
+    cloudpickle ships it by VALUE into the shard closure — exactly how a
+    user-defined extractor travels."""
+    marker = "INJECTED_BY_FACTORY"
+
+    class MarkerExtractor:
+        def __call__(self, ep):
+            import pyarrow as pa
+
+            from graphiti_hf_ray.extract.triples import TRIPLES_SCHEMA
+
+            n = ep.num_rows
+            return pa.table(
+                {
+                    "episode_uuid": ep.column("uuid"),
+                    "group_id": ep.column("group_id"),
+                    "valid_at": ep.column("valid_at"),
+                    "subj_surface": pa.array(["S"] * n),
+                    "subj_label": pa.array(["Entity"] * n),
+                    "pred": pa.array([marker] * n),
+                    "obj_surface": pa.array(["O"] * n),
+                    "obj_label": pa.array(["Entity"] * n),
+                    "fact": pa.array(["S O"] * n),
+                    "sent_idx": pa.array([0] * n, pa.int32()),
+                },
+                schema=TRIPLES_SCHEMA,
+            )
+
+    out = str(tmp_path_factory.mktemp("injected"))
+    extract_phase(
+        [pages_parquet], out, num_shards=4,
+        extractor_factory=MarkerExtractor, extractor_resources={"num_cpus": 0.5},
+    )
+    tr = gio.read_table_dir(out, "triples").to_pandas()
+    eps = gio.read_table_dir(out, "episodes").to_pandas()
+    assert len(tr) == len(eps) > 0              # exactly one triple per episode
+    assert (tr["pred"] == marker).all()
+
+
 def test_resume_skips_completed_shards(ray_session, pages_parquet, tmp_path_factory):
     """Kill-mid-run model: delete one shard, re-run → only that shard is
     rewritten; other manifests untouched; tables byte-identical."""
