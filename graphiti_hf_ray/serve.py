@@ -93,9 +93,23 @@ class GraphService:
     (idempotent, deterministic ids). ``flush()`` blocks until the queue
     drains (tests; the reference's queue offers no such hook)."""
 
-    def __init__(self, out_dir: str, run_ts_us: int = DEFAULT_RUN_TS_US):
+    def __init__(
+        self,
+        out_dir: str,
+        run_ts_us: int = DEFAULT_RUN_TS_US,
+        extractor_factory=None,
+        extractor_resources: dict | None = None,
+    ):
+        # the deployment-level extractor choice (e.g. an LLM/GPU-backed
+        # one — see extract_phase's docstring) is pinned at service
+        # construction and used by EVERY incremental build: shard resume
+        # fingerprints don't cover the extractor, so per-request swapping
+        # over one out_dir would silently mix extraction regimes
         self.out_dir = out_dir
         self.run_ts_us = run_ts_us
+        self._extractor_kwargs = dict(
+            extractor_factory=extractor_factory, extractor_resources=extractor_resources
+        )
         self.spool_dir = os.path.join(out_dir, "_ingest_spool")
         os.makedirs(self.spool_dir, exist_ok=True)
         self._q: queue.Queue = queue.Queue()
@@ -190,7 +204,10 @@ class GraphService:
             pq.write_table(t, spool + ".tmp-w")
             os.replace(spool + ".tmp-w", spool)
         with self._lock:
-            build_graph([spool], self.out_dir, self.run_ts_us, num_shards=1)
+            build_graph(
+                [spool], self.out_dir, self.run_ts_us, num_shards=1,
+                **self._extractor_kwargs,
+            )
 
     def add_episode(
         self,
@@ -264,7 +281,10 @@ class GraphService:
                         f"episode {ep_key!r} already ingested with different "
                         "content; delete the episode first, then re-add"
                     )
-            build_graph([spool], self.out_dir, self.run_ts_us, num_shards=1)
+            build_graph(
+                [spool], self.out_dir, self.run_ts_us, num_shards=1,
+                **self._extractor_kwargs,
+            )
         return {"uuid": md5_id("ep:" + f"memory://{group_id}/{ep_key}"), "name": name, "group_id": group_id}
 
     def add_entity_node(

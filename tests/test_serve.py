@@ -239,3 +239,42 @@ def test_spool_migration_from_legacy_names(ray_session, tmp_path_factory):
     assert not os.path.exists(legacy)
     with pytest.raises(ValueError, match="different"):
         svc2.add_episode("g", "e1", "Ada Lovelace moved to London.", uuid=key)
+
+
+def test_service_injected_extractor_factory(ray_session, tmp_path_factory):
+    """A deployment-pinned extractor factory (GraphService(extractor_
+    factory=...)) reaches the incremental build: every ingested episode
+    is extracted by the injected callable, not the default extractor."""
+    from graphiti_hf_ray import io as gio
+    from graphiti_hf_ray.serve import GraphService
+
+    marker = "SERVICE_INJECTED"
+
+    class MarkerExtractor:
+        def __call__(self, ep):
+            import pyarrow as pa
+
+            from graphiti_hf_ray.extract.triples import TRIPLES_SCHEMA
+
+            n = ep.num_rows
+            return pa.table(
+                {
+                    "episode_uuid": ep.column("uuid"),
+                    "group_id": ep.column("group_id"),
+                    "valid_at": ep.column("valid_at"),
+                    "subj_surface": pa.array(["S"] * n),
+                    "subj_label": pa.array(["Entity"] * n),
+                    "pred": pa.array([marker] * n),
+                    "obj_surface": pa.array(["O"] * n),
+                    "obj_label": pa.array(["Entity"] * n),
+                    "fact": pa.array(["S O"] * n),
+                    "sent_idx": pa.array([0] * n, pa.int32()),
+                },
+                schema=TRIPLES_SCHEMA,
+            )
+
+    out = str(tmp_path_factory.mktemp("svc_injected"))
+    svc = GraphService(out, extractor_factory=MarkerExtractor)
+    svc.add_episode("g", "e1", "Ada Lovelace works at Acme Corporation.")
+    tr = gio.read_table_dir(out, "triples").to_pandas()
+    assert len(tr) == 1 and (tr["pred"] == marker).all()
