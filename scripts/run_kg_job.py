@@ -10,6 +10,15 @@ In this sandbox (local mode)::
 
     python scripts/run_kg_job.py --pages /tmp/pages.parquet --out /tmp/graph
 
+With a model-backed extractor (any OpenAI-compatible endpoint — vLLM,
+Ollama, LM Studio, OpenAI; one chat request per episode inside the
+shard tasks; reserve accelerators per task with --extractor-num-gpus)::
+
+    OPENAI_API_KEY=... python scripts/run_kg_job.py ... \
+        --extractor openai --llm-endpoint http://vllm:8000/v1 \
+        --llm-model my-model --llm-api-key-env OPENAI_API_KEY \
+        --extractor-num-gpus 1
+
 The job is resumable: re-submitting after a failure skips extraction
 shards whose lineage manifest matches, and the link phase re-derives the
 global tables only when the shard set changed. Prints one JSON line of
@@ -49,6 +58,21 @@ def main() -> int:
     ap.add_argument("--shards", type=int, default=None, help="extraction shard count")
     ap.add_argument("--run-ts-us", type=int, default=None, help="injected run timestamp (µs)")
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count (cluster mode: omit)")
+    ap.add_argument("--extractor", choices=("deterministic", "openai"), default="deterministic",
+                    help="triple extractor: the deterministic pattern engine (default) or "
+                         "models.OpenAICompatExtractor against --llm-endpoint (one chat "
+                         "request per episode, inside the shard tasks)")
+    ap.add_argument("--llm-endpoint", default="http://127.0.0.1:8000/v1",
+                    help="with --extractor openai: OpenAI-compatible base URL "
+                         "(vLLM / Ollama / LM Studio / OpenAI)")
+    ap.add_argument("--llm-model", default="gpt-4o-mini", help="with --extractor openai: model name")
+    ap.add_argument("--llm-api-key-env", default="",
+                    help="with --extractor openai: ENV VAR holding the API key "
+                         "(read from the environment — a key on argv leaks via ps)")
+    ap.add_argument("--extractor-num-gpus", type=float, default=None,
+                    help="GPUs reserved per extraction shard task (model-backed extractors)")
+    ap.add_argument("--extractor-num-cpus", type=float, default=None,
+                    help="CPUs reserved per extraction shard task")
     args = ap.parse_args()
 
     import ray
@@ -76,8 +100,27 @@ def main() -> int:
             args.pages, os.path.join(args.out, "_pages_warc"),
             on_bad=args.on_bad, fingerprint=args.source_fingerprint,
         )
+    extractor_factory = None
+    if args.extractor == "openai":
+        endpoint, model = args.llm_endpoint, args.llm_model
+        api_key = os.environ.get(args.llm_api_key_env) if args.llm_api_key_env else None
+
+        # defined in-function so cloudpickle ships it by value into the
+        # shard tasks; the adapter itself (weights-free, stdlib HTTP)
+        # builds once per worker via extract_phase's memo
+        def extractor_factory():
+            from graphiti_hf_ray.models import OpenAICompatExtractor
+
+            return OpenAICompatExtractor(endpoint=endpoint, model=model, api_key=api_key)
+
+    extractor_resources = {}
+    if args.extractor_num_gpus is not None:
+        extractor_resources["num_gpus"] = args.extractor_num_gpus
+    if args.extractor_num_cpus is not None:
+        extractor_resources["num_cpus"] = args.extractor_num_cpus
     metrics = build_graph(
-        pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards
+        pages, args.out, run_ts_us=args.run_ts_us or DEFAULT_RUN_TS_US, num_shards=args.shards,
+        extractor_factory=extractor_factory, extractor_resources=extractor_resources or None,
     )
     metrics["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))
