@@ -19,6 +19,16 @@ verification runs as bucketed shuffle joins, not driver loops.
                                embedding sidecar → same cluster-winner tail
 - ``dedup_rows_from_pairs``  — the shared tail: any (doc_a, doc_b) pair
                                set → components → min-id winner kept
+- ``minhash_state_rows``     — (fp, band_keys, sig) per distinct text: the
+                               PERSISTED cross-run near-dup state (binary-
+                               packed MinHash signatures + banded LSH keys)
+- ``fuzzy_cross_dedup_rows`` — screen a new batch against that state:
+                               batch band keys broadcast once, the state
+                               streams through one membership filter, two
+                               narrow bucketed joins estimate Jaccard from
+                               signature agreement (incremental-append
+                               near-dup dedup without re-reading any text)
+- ``add_minhash_cols``       — the shared per-row kernel both use
 - ``components_of_pairs``    — (doc_a, doc_b) pairs → (node, root) with
                                root = smallest reachable doc_id
 - ``minhash_lsh_candidates`` — k-shingle → 64-perm MinHash → banded LSH
@@ -691,6 +701,25 @@ def dedup_rows_from_pairs(
     n_losers = losers.count()
     if metrics_out is not None:
         metrics_out[metric_key] = n_losers
+    return _drop_rows_by_id(
+        docs, losers, n_losers, id_col=id_col,
+        broadcast_max_losers=broadcast_max_losers, num_buckets=num_buckets,
+    )
+
+
+def _drop_rows_by_id(
+    docs: "ray.data.Dataset",
+    losers: "ray.data.Dataset",
+    n_losers: int,
+    *,
+    id_col: str,
+    broadcast_max_losers: int,
+    num_buckets: int | None,
+) -> "ray.data.Dataset":
+    """Shared loser-removal tail: drop the rows of ``docs`` whose ``id_col``
+    appears in ``losers`` (a materialized dataset with a ``node`` int64
+    column). Size-gated: broadcast set + streaming filter at or below
+    ``broadcast_max_losers``; one bucketed anti-join above it."""
     if n_losers == 0:
         return docs
 
@@ -749,6 +778,323 @@ def dedup_rows_from_pairs(
         losers.map_batches(tag_losers, batch_format="pyarrow")
     )
     return bucketed_group_apply(tagged, ["_k"], drop_in_bucket, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Cross-run fuzzy dedup: persisted MinHash signature state (corpus appends).
+# The reference dedups only within one bulk call (bulk_utils.py:258-388);
+# this extends the same MinHash machinery across ingestion runs by persisting
+# per-document signatures, the piece an incremental 100-TB crawl needs: a
+# re-crawled page with a tweaked footer must not re-enter the training set.
+
+
+def add_minhash_cols(
+    t: pa.Table, text_col: str = "text", n_bands: int = N_BANDS
+) -> pa.Table:
+    """Append two fixed-width BINARY columns per row: ``band_keys``
+    (``n_bands`` × uint64 LE — the LSH band hashes with the band INDEX mixed
+    in, so equal hashes in different bands can never meet as candidates) and
+    ``sig`` (``N_PERM`` × uint64 LE — the full MinHash signature, the
+    cross-run Jaccard estimator's basis).
+
+    Binary instead of list columns on purpose: the values ride bucketed
+    pandas exchanges and the parquet state table byte-for-byte and decode
+    zero-copy on the other side (``np.frombuffer``); Arrow lists degrade to
+    object arrays inside the pandas bucket bodies."""
+    texts = t.column(text_col).to_pylist()
+    n = len(texts)
+    rows_per_band = N_PERM // n_bands
+    band_w = _mix_weights(rows_per_band)
+    sigs = np.empty((n, N_PERM), np.uint64)
+    for i, x in enumerate(texts):
+        sigs[i] = minhash_signature(x or "")
+    with np.errstate(over="ignore"):
+        bh = (
+            (sigs.reshape(n, n_bands, rows_per_band) * band_w[None, None, :])
+            .sum(axis=2)
+            .astype(np.uint64)
+        )
+        keys = _finalize(
+            _finalize(bh) + _GOLDEN * np.arange(1, n_bands + 1, dtype=np.uint64)
+        )
+    kb, sb = keys.astype("<u8").tobytes(), sigs.astype("<u8").tobytes()
+    kw, sw = 8 * n_bands, 8 * N_PERM
+    return t.append_column(
+        "band_keys", pa.array([kb[i * kw : (i + 1) * kw] for i in range(n)], pa.binary())
+    ).append_column(
+        "sig", pa.array([sb[i * sw : (i + 1) * sw] for i in range(n)], pa.binary())
+    )
+
+
+def minhash_state_rows(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    n_bands: int = N_BANDS,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """(fp, band_keys, sig) per DISTINCT text of ``docs`` — the persisted
+    cross-run near-dup state ``fuzzy_cross_dedup_rows`` screens future
+    batches against. One bucketed exchange over ~(32 + 8·n_bands + 8·N_PERM)-
+    byte rows; the text itself never ships (fp/bands/sig are computed
+    map-side and duplicates are byte-identical, so keep-first per fp is
+    exact)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        t = md5_fp_batch(t, text_col, out_col="fp")
+        return add_minhash_cols(t, text_col, n_bands).select(["fp", "band_keys", "sig"])
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("fp")
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        docs.select_columns([text_col]).map_batches(add, batch_format="pyarrow"),
+        ["fp"], uniq, num_buckets=num_buckets,
+    )
+
+
+def fuzzy_cross_dedup_rows(
+    fresh: "ray.data.Dataset",
+    state: "ray.data.Dataset",
+    jaccard_threshold: float,
+    *,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    num_buckets: int | None = None,
+    broadcast_max_keys: int = 64_000_000,
+    max_key_docs: int = MAX_BUCKET_DOCS,
+    broadcast_max_losers: int = 2_000_000,
+    metrics_out: dict | None = None,
+) -> "ray.data.Dataset":
+    """Drop the rows of ``fresh`` that are near-duplicates of any document
+    in ``state`` (a persisted (fp, band_keys, sig) table from
+    ``minhash_state_rows`` — both sides MUST carry the same ``n_bands``).
+    ``fresh`` must already carry ``band_keys``/``sig`` (``add_minhash_cols``)
+    and is consumed several times — materialize it first.
+
+    Shape, sized for a huge state and a batch-sized ``fresh`` (the corpus
+    append contract — an incoming batch approaching base size should be
+    re-prepared, not appended):
+
+    1. the batch's distinct band keys broadcast once (``ray.put``; 8 bytes ×
+       n_bands × batch docs — gated at ``broadcast_max_keys``, above which
+       the call refuses and the operational answer is smaller batches);
+    2. the state STREAMS through one map-side membership filter
+       (``np.searchsorted`` per batch) — only colliding (band_key, fp, sig)
+       rows leave the scan, candidate-sized by LSH design;
+    3. two narrow bucketed joins pair them with the batch's band rows and
+       signatures; per-pair Jaccard is ESTIMATED as the fraction of agreeing
+       signature positions (unbiased, σ ≈ √(J(1−J)/N_PERM) ≈ 0.045 at
+       J=0.85 — the honest verifier when re-reading state text would cost a
+       corpus-sized read per append; within-run dedup keeps exact-Jaccard
+       verification);
+    4. estimated J ≥ threshold marks the batch row a loser; losers are
+       removed by the shared size-gated tail.
+
+    Hot band keys (boilerplate clusters) are capped at ``max_key_docs``
+    STATE docs per key with counted drops (``metrics_out
+    ['cross_minhash_capped_docs']``) — a capped key can miss a true cross-run
+    near-dup, so a nonzero count voids the screen's completeness for those
+    keys. ``metrics_out['cross_fuzzy_dropped_docs']`` counts removed rows."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    kw = 8 * n_bands
+
+    # 1. batch band-key set → one broadcast (distinct map-side first: the
+    # driver sees at most n_bands × batch-docs uint64s, gated below)
+    def keys_of(t: pa.Table) -> pa.Table:
+        a = np.frombuffer(b"".join(t.column("band_keys").to_pylist()), "<u8")
+        return pa.table({"k": pa.array(np.unique(a).astype(np.int64), pa.int64())})
+
+    blocks = _fetch_arrow_blocks(
+        fresh.select_columns(["band_keys"]).map_batches(keys_of, batch_format="pyarrow")
+    )
+    if not blocks:
+        return fresh
+    keys = np.unique(
+        np.concatenate([b.column("k").to_numpy(zero_copy_only=False) for b in blocks])
+    ).astype(np.uint64)
+    if keys.size > broadcast_max_keys:
+        raise ValueError(
+            f"append batch has {keys.size} distinct band keys > broadcast_max_keys="
+            f"{broadcast_max_keys} — split the append into smaller batches (cross-run "
+            "fuzzy dedup broadcasts the batch's band keys), or re-prepare the base "
+            "with the batch folded in"
+        )
+    keys_ref = ray.put(np.sort(keys))
+
+    hits_schema = pa.schema(
+        [("bkey", pa.int64()), ("fp", pa.string()), ("sig_state", pa.binary())]
+    )
+
+    # 2. state scan: membership of each state doc's band keys in the batch's
+    # key set; only colliding rows (one per colliding band) leave the scan
+    class _StateHits:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)  # sorted uint64, fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return hits_schema.empty_table()
+            bk = np.frombuffer(b"".join(t.column("band_keys").to_pylist()), "<u8").reshape(
+                -1, n_bands
+            )
+            ks = self.keys
+            pos = np.searchsorted(ks, bk)
+            hit = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == bk)
+            rows, bands = np.nonzero(hit)
+            if rows.size == 0:
+                return hits_schema.empty_table()
+            sel = t.take(rows)
+            return pa.table(
+                {
+                    "bkey": pa.array(bk[rows, bands].astype(np.int64), pa.int64()),
+                    "fp": sel.column("fp"),
+                    "sig_state": sel.column("sig"),
+                }
+            )
+
+    hits = state.map_batches(
+        _StateHits, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    # 3a. join 1 on band key: candidate (doc_id, fp, sig_state) pairs.
+    # Union is schema-uniform via null padding; the bucket body caps STATE
+    # rows per hot key (counted via sentinel rows — the same mechanism as
+    # minhash_lsh_candidates' pair cap).
+    def new_band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        bk = np.frombuffer(b"".join(t.column("band_keys").to_pylist()), "<u8")
+        return pa.table(
+            {
+                "bkey": pa.array(bk.astype(np.int64), pa.int64()),
+                "fp": pa.nulls(n * n_bands, pa.string()),
+                "sig_state": pa.nulls(n * n_bands, pa.binary()),
+                "doc_id": pa.array(
+                    np.repeat(t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False), n_bands),
+                    pa.int64(),
+                ),
+                "_side": pa.array(np.ones(n * n_bands, np.int8), pa.int8()),
+            }
+        )
+
+    def pad_hits(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bkey": t.column("bkey"),
+                "fp": t.column("fp"),
+                "sig_state": t.column("sig_state"),
+                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "_side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    combined = hits.map_batches(pad_hits, batch_format="pyarrow").union(
+        fresh.map_batches(new_band_rows, batch_format="pyarrow")
+    )
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        st = df.loc[df["_side"] == 0, ["bkey", "fp", "sig_state"]]
+        nw = df.loc[df["_side"] == 1, ["bkey", "doc_id"]]
+        if st.empty or nw.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "fp": pd.Series([], dtype=object),
+                    "sig_state": pd.Series([], dtype=object),
+                }
+            )
+        capped = st.sort_values(["bkey", "fp"], kind="stable").groupby("bkey").head(max_key_docs)
+        n_capped = len(st) - len(capped)
+        pairs = capped.merge(nw, on="bkey").drop_duplicates(["doc_id", "fp"])[
+            ["doc_id", "fp", "sig_state"]
+        ]
+        if n_capped:
+            pairs = pd.concat(
+                [
+                    pairs,
+                    pd.DataFrame(
+                        {"doc_id": [DROP_SENTINEL], "fp": [str(n_capped)], "sig_state": [b""]}
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return pairs
+
+    cand = bucketed_group_apply(combined, ["bkey"], pair_bucket, num_buckets=num_buckets)
+
+    # 3b. join 2 on doc_id: attach the batch row's own signature, estimate J
+    # per pair, emit loser ids. Ships each batch doc's sig once (narrow).
+    def new_sig_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column(id_col).cast(pa.int64()),
+                "fp": pa.nulls(t.num_rows, pa.string()),
+                "sig_state": t.column("sig"),
+                "_side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def pad_cand(t: pa.Table) -> pa.Table:
+        # explicit casts: an all-empty pandas bucket block can round-trip
+        # its object columns as null-typed Arrow, which would poison the
+        # union's schema
+        cols = {
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "fp": t.column("fp").cast(pa.string()),
+            "sig_state": t.column("sig_state").cast(pa.binary()),
+            "_side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        }
+        return pa.table(cols)
+
+    def est_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cands = df.loc[(df["_side"] == 0) & (df["doc_id"] != DROP_SENTINEL)]
+        sent = df.loc[(df["_side"] == 0) & (df["doc_id"] == DROP_SENTINEL)]
+        out_n = sent["fp"].astype("int64").sum() if not sent.empty else 0
+        mine = df.loc[df["_side"] == 1, ["doc_id", "sig_state"]]
+        nodes: list[int] = []
+        if not cands.empty and not mine.empty:
+            m = cands.merge(mine, on="doc_id", suffixes=("", "_new"))
+            if not m.empty:
+                a = np.frombuffer(b"".join(m["sig_state"]), "<u8").reshape(-1, N_PERM)
+                b = np.frombuffer(b"".join(m["sig_state_new"]), "<u8").reshape(-1, N_PERM)
+                est = (a == b).mean(axis=1)
+                nodes = m.loc[est >= jaccard_threshold, "doc_id"].astype("int64").unique().tolist()
+        if out_n:
+            nodes.append(DROP_SENTINEL)
+        return pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="int64"),
+                "n_capped": pd.Series(
+                    [int(out_n) if v == DROP_SENTINEL else 0 for v in nodes], dtype="int64"
+                ),
+            }
+        )
+
+    tagged = cand.map_batches(pad_cand, batch_format="pyarrow").union(
+        fresh.map_batches(new_sig_rows, batch_format="pyarrow")
+    )
+    verdicts = bucketed_group_apply(
+        tagged, ["doc_id"], est_bucket, num_buckets=num_buckets
+    ).materialize()
+
+    n_capped_total = sum(
+        r["n_capped"] for r in verdicts.filter(expr=f"node == {DROP_SENTINEL}").take_all()
+    )
+    losers = verdicts.filter(expr=f"node != {DROP_SENTINEL}").materialize()
+    n_losers = losers.count()
+    if metrics_out is not None:
+        metrics_out["cross_fuzzy_dropped_docs"] = n_losers
+        metrics_out["cross_minhash_capped_docs"] = int(n_capped_total)
+    return _drop_rows_by_id(
+        fresh, losers, n_losers, id_col=id_col,
+        broadcast_max_losers=broadcast_max_losers, num_buckets=num_buckets,
+    )
 
 
 def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:

@@ -380,6 +380,7 @@ def prepare_training_set(
     bpe_vocab_size: int | None = None,
     bpe_max_words: int = 32768,
     track_doc_keys: bool = False,
+    track_minhash_jaccard: float | None = None,
     lang_allow: tuple[str, ...] = ("en",),
     min_tokens: int = 8,
     max_tokens: int = 512,
@@ -393,6 +394,13 @@ def prepare_training_set(
     """Run the 7-stage corpus pipeline; write packs under
     ``{out_dir}/packs``; return metrics (always ``n_packs`` from the sink
     manifest; per-stage row counts only with ``collect_counts=True``).
+
+    ``track_doc_keys=True`` additionally persists the input's distinct text
+    fingerprints (the ``append_training_set`` exact anti-join state);
+    ``track_minhash_jaccard=<thr>`` (requires it) widens that state with
+    binary-packed MinHash signatures so appends ALSO near-dup-screen new
+    batches at Jaccard ≥ thr — see ``append_training_set``'s docstring for
+    the screen's semantics and migration notes.
 
     ``collect_counts`` materializes each stage boundary so the count is
     free and the lineage is never re-executed (counting a LAZY stage would
@@ -434,6 +442,9 @@ def prepare_training_set(
         ds = ds.materialize()
         metrics[key] = ds.count()
         return ds
+
+    if track_minhash_jaccard is not None and not track_doc_keys:
+        raise ValueError("track_minhash_jaccard requires track_doc_keys=True")
 
     metrics: dict = {}
     # normalize the text column name ONCE at entry: several stages
@@ -761,12 +772,35 @@ def prepare_training_set(
         import shutil
 
         keys_root = os.path.join(out_dir, "doc_keys")
-        if not gio.manifest_matches(os.path.join(keys_root, "base"), fp):
+        if track_minhash_jaccard is None:
+            keys_fp, keys_rows, keys_man = fp, _distinct_fps(input_docs, shuffle_buckets), None
+        else:
+            # near-dup append screening: widen the state with binary-packed
+            # MinHash signatures + band keys per distinct INPUT text (same
+            # "anything ever seen blocks its future copies" semantics as the
+            # exact fps — here extended to copies within estimator noise of
+            # the threshold). The keys fingerprint folds the minhash params
+            # in so toggling the knob rebuilds the state even though the
+            # PACKS (which don't depend on it) resume untouched; existing
+            # append batches must then re-run (the half-written-slot check
+            # names them) so their key slots gain signatures too.
+            from ..functions.dedup import N_BANDS, N_PERM, minhash_state_rows
+
+            keys_fp = hashlib.md5(
+                f"{fp}:mh:{track_minhash_jaccard}:{N_PERM}:{N_BANDS}".encode()
+            ).hexdigest()
+            keys_rows = minhash_state_rows(input_docs, num_buckets=shuffle_buckets)
+            keys_man = {
+                "minhash": {
+                    "jaccard": track_minhash_jaccard,
+                    "n_perm": N_PERM,
+                    "n_bands": N_BANDS,
+                }
+            }
+        if not gio.manifest_matches(os.path.join(keys_root, "base"), keys_fp):
             shutil.rmtree(keys_root, ignore_errors=True)
         metrics["n_doc_keys"] = gio.write_table_distributed(
-            _distinct_fps(input_docs, shuffle_buckets),
-            os.path.join(keys_root, "base"),
-            fp,
+            keys_rows, os.path.join(keys_root, "base"), keys_fp, metrics=keys_man
         )
     return metrics
 
@@ -826,11 +860,25 @@ def append_training_set(
       batch's keys never landed);
     - appends are single-writer: run them one at a time (batch B's
       anti-join must see batch A's keys);
-    - cross-run dedup is EXACT-document scope; paragraph/span dedup,
-      fuzzy dedup, mixtures and BPE training remain prepare-time passes —
-      re-prepare to refresh those (which sweeps appends by design).
+    - cross-run dedup is exact-document scope by default. A base prepared
+      with ``track_minhash_jaccard=<thr>`` additionally carries per-doc
+      MinHash signatures in its doc_keys state, and appends then run a
+      NEAR-dup screen too: within-batch fuzzy dedup (exact-Jaccard
+      verified, prepare's stage-1b operator) plus a cross-run screen
+      against every signature ever ingested (Jaccard ESTIMATED from
+      signature agreement — the state's text is never re-read; see
+      ``functions.dedup.fuzzy_cross_dedup_rows`` for the broadcast/scan
+      shape and its batch-size gate). Turning the knob on for an existing
+      set keeps the packs but rebuilds the keys state — previously
+      appended batches must re-run (the slot validation names them) so
+      their key slots gain signatures. Paragraph/span dedup, mixtures and
+      BPE training remain prepare-time passes — re-prepare to refresh
+      those (which sweeps appends by design).
 
-    Returns ``{"n_packs_appended", "n_new_doc_keys"}``."""
+    Returns ``{"n_packs_appended", "n_new_doc_keys"}``; near-dup-screened
+    appends add ``fuzzy_dropped_docs`` (within batch),
+    ``cross_fuzzy_dropped_docs`` and ``cross_minhash_capped_docs`` (hot-key
+    cap — nonzero voids the screen's completeness for those keys)."""
     import json
     import shutil
 
@@ -856,19 +904,53 @@ def append_training_set(
             "the precondition for appends"
         )
     # the keys state must belong to THIS pack set: prepare writes both
-    # under the same fingerprint, so a doc_keys/base whose manifest carries
+    # under the same fingerprint (plus the minhash-param suffix when the
+    # state carries signatures), so a doc_keys/base whose manifest carries
     # a different fp is stale (the base was re-prepared without
-    # track_doc_keys=True, or crashed between the pack and key writes) —
-    # anti-joining against it would silently drop every doc the swept pack
-    # set once held and bake an empty append under a valid manifest
+    # track_doc_keys=True, toggled minhash tracking, or crashed between the
+    # pack and key writes) — anti-joining against it would silently drop
+    # every doc the swept pack set once held and bake an empty append under
+    # a valid manifest
+    def _man(d: str) -> dict:
+        try:
+            with open(os.path.join(d, gio.MANIFEST)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
     with open(os.path.join(out_dir, "packs", gio.MANIFEST)) as f:
         base_man = json.load(f)
     base_fp = base_man.get("fingerprint")
-    if not gio.manifest_matches(os.path.join(keys_root, "base"), base_fp):
+    mh = _man(os.path.join(keys_root, "base")).get("minhash")
+    expect_kfp = (
+        base_fp
+        if mh is None
+        else hashlib.md5(
+            f"{base_fp}:mh:{mh.get('jaccard')}:{mh.get('n_perm')}:{mh.get('n_bands')}".encode()
+        ).hexdigest()
+    )
+    if not gio.manifest_matches(os.path.join(keys_root, "base"), expect_kfp):
         raise ValueError(
             "doc_keys state is stale: doc_keys/base's fingerprint does not match the pack "
             "set's — re-run prepare_training_set(track_doc_keys=True) before appending"
         )
+    if mh is not None:
+        # signature-bearing state: the screen re-derives signatures for the
+        # batch, so the engine's parameters must match the state's (a code
+        # upgrade that changed them would silently corrupt every estimate)
+        from ..functions.dedup import N_BANDS, N_PERM
+
+        if mh.get("n_perm") != N_PERM or mh.get("n_bands") != N_BANDS:
+            raise ValueError(
+                f"doc_keys minhash state was built with n_perm={mh.get('n_perm')}/"
+                f"n_bands={mh.get('n_bands')} but this engine uses {N_PERM}/{N_BANDS} — "
+                "re-prepare the base"
+            )
+        if id_col != "doc_id":
+            raise ValueError(
+                "near-dup append screening requires id_col='doc_id' (the pair "
+                "machinery's contract, same as prepare's fuzzy_jaccard stage)"
+            )
     # knob parity with the base, validated from the manifest stamp rather
     # than trusted (a mismatched pack_budget silently mixes pack shapes;
     # a mismatched gate changes which docs survive)
@@ -913,9 +995,13 @@ def append_training_set(
         raise ValueError("input already has an 'fp' column — rename it; 'fp' is the join key")
 
     bt_fp = hashlib.md5("\x1f".join(benchmark_texts).encode()).hexdigest()
+    # the minhash params reach the append fingerprint only when the state
+    # carries them (toggling the knob must rebuild re-run batches, while
+    # signature-less sets keep their recorded fingerprints byte-identical)
+    mh_fp = "" if mh is None else f":mh:{mh['jaccard']}:{mh['n_perm']}:{mh['n_bands']}"
     afp = hashlib.md5(
         f"append:{fingerprint}:{contam_n}:{bt_fp}:{allow}:{min_tokens}:{max_tokens}:"
-        f"{overlap}:{pack_budget}".encode()
+        f"{overlap}:{pack_budget}{mh_fp}".encode()
     ).hexdigest()
     # dirs are keyed by the batch NAME alone; the manifest fingerprint
     # carries the full knob set. Same NAME + same knobs = no-op; same NAME
@@ -929,11 +1015,15 @@ def append_training_set(
     pack_dir = os.path.join(out_dir, "packs", f"append-{slot}")
     keys_dir = os.path.join(keys_root, f"append-{slot}")
     if gio.manifest_matches(pack_dir, afp) and gio.manifest_matches(keys_dir, afp):
-        with open(os.path.join(pack_dir, gio.MANIFEST)) as f:
-            n_packs = json.load(f).get("rows", 0)
-        with open(os.path.join(keys_dir, gio.MANIFEST)) as f:
-            n_keys = json.load(f).get("rows", 0)
-        return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}
+        pman0 = _man(pack_dir)
+        out = {
+            "n_packs_appended": pman0.get("rows", 0),
+            "n_new_doc_keys": _man(keys_dir).get("rows", 0),
+        }
+        if mh is not None:  # the no-op echoes the recorded screen metrics
+            for k in ("fuzzy_dropped_docs", "cross_fuzzy_dropped_docs", "cross_minhash_capped_docs"):
+                out[k] = pman0.get(k, 0)
+        return out
 
     # crash hygiene across OTHER batches — and it runs BEFORE any sweep,
     # so a refusal can never follow a destructive step: packs land before
@@ -944,13 +1034,6 @@ def append_training_set(
     # refuse and name the batch to re-run. Slots whose manifests carry
     # THIS batch's name (the current slot, or an older slot layout) are
     # ours to rebuild: collected read-only here, swept after validation.
-    def _man(d: str) -> dict:
-        try:
-            with open(os.path.join(d, gio.MANIFEST)) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return {}
-
     packs_root = os.path.join(out_dir, "packs")
     names: set = set()
     for root in (packs_root, keys_root):
@@ -987,6 +1070,27 @@ def append_training_set(
             raise ValueError(
                 f"half-written append slot {nm}: its packs and doc_keys disagree — {hint}"
             )
+        if mh is not None:
+            # every surviving keys slot must carry signatures: the cross-run
+            # screen reads band_keys/sig across the WHOLE state, and a
+            # signature-less slot (appended before the base toggled minhash
+            # tracking) would crash the read mid-append. Read-only check —
+            # it runs before any sweep.
+            kdir = os.path.join(keys_root, nm)
+            part = None
+            for dirpath, dirnames, filenames in os.walk(kdir):
+                gio._prune_tmp(dirnames)
+                part = next(
+                    (os.path.join(dirpath, f) for f in sorted(filenames) if f.endswith(".parquet")),
+                    None,
+                )
+                if part:
+                    break
+            if part is not None and "band_keys" not in pq.read_schema(part).names:
+                raise ValueError(
+                    f"append slot {nm} (batch {kman.get('batch')!r}) predates minhash "
+                    "tracking — re-run that batch before appending others"
+                )
     for nm in mine:
         shutil.rmtree(os.path.join(packs_root, nm), ignore_errors=True)
         shutil.rmtree(os.path.join(keys_root, nm), ignore_errors=True)
@@ -1002,20 +1106,66 @@ def append_training_set(
         docs, seen, "fp", anti=True, num_buckets=shuffle_buckets,
         data_types={**in_types, "fp": pa.string()},
     )
+    if mh is not None:
+        # signature columns computed ONCE, before the branch point: the
+        # screen consumes them several times and the keys extension persists
+        # them (binary-packed; add_minhash_cols)
+        from ..functions.dedup import add_minhash_cols
+
+        nb = int(mh["n_bands"])
+        fresh = fresh.map_batches(
+            lambda t: add_minhash_cols(t, "text", nb), batch_format="pyarrow"
+        )
     # BRANCH POINT: fresh feeds the pack chain AND the doc-keys extension
     fresh = fresh.materialize()
 
-    kept = ngram_decontaminate(fresh, benchmark_texts, n=contam_n, text_col="text", mode="filter")
+    am: dict = {}
+    if mh is not None:
+        # near-dup screening, both scopes of prepare's fuzzy stage: (1)
+        # WITHIN the batch (exact-Jaccard-verified MinHash clusters, the
+        # min-id doc survives — same operator as prepare stage 1b), then
+        # (2) ACROSS runs against the persisted signature state (Jaccard
+        # estimated from signature agreement — no text is ever re-read).
+        # Both consume their input repeatedly; fresh is materialized and
+        # the intermediate is batch-sized, so materialize that too.
+        from ..functions.dedup import fuzzy_cross_dedup_rows, fuzzy_dedup_rows
+
+        kept_rows = fuzzy_dedup_rows(
+            fresh, mh["jaccard"], num_buckets=shuffle_buckets, metrics_out=am
+        ).materialize()
+        state = gio.read_table_dir_ds(out_dir, "doc_keys", columns=["fp", "band_keys", "sig"])
+        kept_rows = fuzzy_cross_dedup_rows(
+            kept_rows, state, mh["jaccard"], n_bands=nb,
+            num_buckets=shuffle_buckets, metrics_out=am,
+        ).materialize()
+    else:
+        kept_rows = fresh
+
+    kept = ngram_decontaminate(kept_rows, benchmark_texts, n=contam_n, text_col="text", mode="filter")
     kept = _lang_length_gate(kept, allow, min_tokens)
     chunks = chunk_documents(
         kept.select_columns([id_col, "text"]), max_tokens=max_tokens, overlap=overlap, id_col=id_col
     )
     packs = pack_chunks(chunks, budget=pack_budget, id_col=id_col, id_salt=afp[:12])
-    n_packs = gio.write_table_distributed(packs, pack_dir, afp, metrics={"batch": fingerprint})
-    # keys extension LAST (see crash-order note in the docstring); records
-    # every genuinely-new distinct text — including ones decontam/gate
-    # dropped, which would be dropped again anyway
-    n_keys = gio.write_table_distributed(
-        fresh.select_columns(["fp"]), keys_dir, afp, metrics={"batch": fingerprint}
+    screen_metrics = (
+        {}
+        if mh is None
+        else {
+            "fuzzy_dropped_docs": am.get("fuzzy_dropped_docs", 0),
+            "cross_fuzzy_dropped_docs": am.get("cross_fuzzy_dropped_docs", 0),
+            "cross_minhash_capped_docs": am.get("cross_minhash_capped_docs", 0),
+        }
     )
-    return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys}
+    n_packs = gio.write_table_distributed(
+        packs, pack_dir, afp, metrics={"batch": fingerprint, **screen_metrics}
+    )
+    # keys extension LAST (see crash-order note in the docstring); records
+    # every genuinely-new distinct text — including ones the screens or
+    # decontam/gate dropped, which would be dropped again anyway (for the
+    # near-dup screen: anything within estimator noise of a dropped doc is
+    # itself a near-dup of the state that dropped it)
+    key_cols = ["fp"] if mh is None else ["fp", "band_keys", "sig"]
+    n_keys = gio.write_table_distributed(
+        fresh.select_columns(key_cols), keys_dir, afp, metrics={"batch": fingerprint}
+    )
+    return {"n_packs_appended": n_packs, "n_new_doc_keys": n_keys, **screen_metrics}

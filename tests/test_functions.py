@@ -56,6 +56,68 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     )
 
 
+def test_minhash_state_and_cross_dedup(ray_session):
+    """Cross-run near-dup screen: ``add_minhash_cols`` packs the exact
+    ``minhash_signature`` bytes; ``minhash_state_rows`` is one row per
+    distinct text; ``fuzzy_cross_dedup_rows`` drops batch rows whose
+    ESTIMATED Jaccard vs any state doc clears the threshold and keeps the
+    rest; hot-key caps are counted and the key-broadcast gate refuses
+    oversized batches."""
+    from graphiti_hf_ray.functions.dedup import (
+        add_minhash_cols,
+        fuzzy_cross_dedup_rows,
+        minhash_state_rows,
+    )
+
+    text0 = " ".join(f"tok{i}" for i in range(80))
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text0]})
+    out = add_minhash_cols(t)
+    sig = np.frombuffer(out.column("sig")[0].as_py(), "<u8")
+    assert (sig == minhash_signature(text0)).all()
+
+    # state: text0 (+ an exact duplicate that must collapse) and two others
+    state_docs = rd.from_pandas(
+        pd.DataFrame(
+            {"text": [text0, text0, " ".join(f"u{i}" for i in range(80)), "small doc"]}
+        )
+    )
+    state = minhash_state_rows(state_docs).materialize()
+    assert state.count() == 3
+    assert set(state.schema().names) == {"fp", "band_keys", "sig"}
+
+    near = " ".join(f"tok{i}" for i in range(79)) + " changed"  # J≈0.94 vs text0
+    novel = " ".join(f"z{i}" for i in range(80))
+    batch = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.array([7, 8], dtype=np.int64), "text": [near, novel]})
+    ).map_batches(lambda b: add_minhash_cols(b), batch_format="pyarrow").materialize()
+
+    m: dict = {}
+    kept = fuzzy_cross_dedup_rows(batch, state, 0.7, metrics_out=m).to_pandas()
+    assert list(kept["doc_id"]) == [8]
+    assert m == {"cross_fuzzy_dropped_docs": 1, "cross_minhash_capped_docs": 0}
+
+    # estimate ~ exact Jaccard on the dropped pair (deterministic perms)
+    ha, hb = set(_token_hashes(text0).tolist()), set(_token_hashes(near).tolist())
+    true_j = len(ha & hb) / len(ha | hb)
+    est = float((minhash_signature(text0) == minhash_signature(near)).mean())
+    assert abs(est - true_j) < 0.2 and est >= 0.7
+
+    # hot-key cap: 3 mutually-near state docs behind max_key_docs=1 → counted
+    near2 = " ".join(f"tok{i}" for i in range(78)) + " x y"
+    state_hot = minhash_state_rows(
+        rd.from_pandas(pd.DataFrame({"text": [text0, near, near2]}))
+    ).materialize()
+    m2: dict = {}
+    fuzzy_cross_dedup_rows(
+        batch, state_hot, 0.7, max_key_docs=1, metrics_out=m2
+    ).materialize()
+    assert m2["cross_minhash_capped_docs"] > 0
+
+    # oversized batch refuses the broadcast (the operational gate)
+    with pytest.raises(ValueError, match="smaller batches"):
+        fuzzy_cross_dedup_rows(batch, state, 0.7, broadcast_max_keys=1)
+
+
 def test_simhash_near_dup():
     a = "one two three four five six seven eight nine ten " * 5
     b = a + "eleven"

@@ -1555,6 +1555,95 @@ def test_append_training_set(ray_session, tmp_path):
     assert e1 == e1b and sorted(e1) == sorted(union["pack_id"])
 
 
+def test_append_training_set_fuzzy(ray_session, tmp_path):
+    """Near-dup append screening (track_minhash_jaccard): the doc_keys
+    state carries signatures, a batch doc near a base doc is dropped by the
+    CROSS-run screen, a within-batch near-dup pair keeps one winner, the
+    counts land in the metrics and the pack manifest (idempotent re-run
+    echoes them), and batch 2 is screened against batch 1's appended
+    signatures."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        append_training_set,
+        load_packs,
+        prepare_training_set,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    mk = lambda: " ".join(rng.choice(words, 200))  # noqa: E731
+
+    def mutate(t: str, pos: int) -> str:
+        toks = t.split(" ")
+        toks[pos] = "zzz_mut"
+        return " ".join(toks)
+
+    base_texts = [mk() for _ in range(8)]
+    base = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64), "text": base_texts})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=64, overlap=0, pack_budget=128)
+
+    with pytest.raises(ValueError, match="track_doc_keys"):
+        prepare_training_set(rd.from_pandas(base), [], out, track_minhash_jaccard=0.7, **common)
+
+    m0 = prepare_training_set(
+        rd.from_pandas(base), [], out, track_doc_keys=True, track_minhash_jaccard=0.7, **common
+    )
+    assert m0["n_doc_keys"] == 8
+    kpart = next(
+        f for f in sorted((tmp_path / "tset" / "doc_keys" / "base").iterdir())
+        if f.suffix == ".parquet"
+    )
+    assert {"fp", "band_keys", "sig"} <= set(pq.read_schema(str(kpart)).names)
+
+    wb = mk()
+    new_doc = mk()
+    batch = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 105, dtype=np.int64),
+            "text": [
+                base_texts[1],        # exact dup of base → anti-joined
+                mutate(base_texts[3], 100),  # near-dup of base → CROSS screen
+                wb, mutate(wb, 50),   # within-batch near-dup pair → one survives
+                new_doc,              # survives to packs
+            ],
+        }
+    )
+    m1 = append_training_set(rd.from_pandas(batch), [], out, fingerprint="batch-1", **common)
+    assert m1["cross_fuzzy_dropped_docs"] == 1
+    assert m1["fuzzy_dropped_docs"] == 1
+    assert m1["n_new_doc_keys"] == 4  # both mutants + wb + new_doc are new fps
+    assert m1["n_packs_appended"] >= 1
+
+    joined = " ".join(load_packs(out).to_pandas()["text"])
+    assert new_doc[:120] in joined and wb[:120] in joined
+    assert "zzz_mut" not in joined  # both near-dup mutants dropped
+
+    # idempotence echoes the recorded screen metrics
+    m2 = append_training_set(rd.from_pandas(batch), [], out, fingerprint="batch-1", **common)
+    assert m2 == m1
+
+    # batch 2: near-dup of wb — wb's signature entered the state via
+    # batch 1's keys extension, so the cross screen catches it
+    batch2 = pd.DataFrame(
+        {"doc_id": np.array([200, 201], dtype=np.int64), "text": [mutate(wb, 10), mk()]}
+    )
+    m3 = append_training_set(rd.from_pandas(batch2), [], out, fingerprint="batch-2", **common)
+    assert m3["cross_fuzzy_dropped_docs"] == 1
+    assert m3["n_packs_appended"] >= 1
+
+    # id_col contract is validated before anything destructive
+    with pytest.raises(ValueError, match="id_col='doc_id'"):
+        append_training_set(
+            rd.from_pandas(batch2.rename(columns={"doc_id": "rid"})), [], out,
+            fingerprint="batch-3", id_col="rid", **common,
+        )
+
+
 def test_append_training_set_preconditions(ray_session, tmp_path):
     import numpy as np
     import pandas as pd
