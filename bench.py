@@ -219,6 +219,45 @@ def run_bench() -> dict:
         )
         timings["corpus_append"] = round(time.time() - t0, 3)
 
+        # near-dup-SCREENED append (track_minhash_jaccard): a re-crawl
+        # segment — 50% exact re-fetches + 50% tweaked-footer near-dups —
+        # against a signature-bearing base. Times the full screen: exact
+        # anti-join, within-batch fuzzy dedup, band-key broadcast, state
+        # signature scan, and the estimate joins (the worst case: every
+        # batch doc collides with the state). The base prepare that builds
+        # the signature state is untimed setup.
+        fz_out = f"{scratch}/corpus_fz_{sf_tag}_{num_cpus}"
+        shutil.rmtree(fz_out, ignore_errors=True)
+        prepare_training_set(
+            docs_ds, bench_docs, fz_out, track_doc_keys=True,
+            track_minhash_jaccard=0.7,
+            lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
+        )
+
+        def _recrawl_segment(t: "_pa.Table") -> "_pa.Table":
+            ids = t.column("doc_id")
+            odd = _pc.equal(_pc.bit_wise_and(ids, _pa.scalar(1, ids.type)), _pa.scalar(1, ids.type))
+            text = _pc.if_else(
+                odd,
+                _pc.binary_join_element_wise(
+                    t.column("text"), _pa.scalar("tweaked footer marker"), _pa.scalar(" ")
+                ),
+                t.column("text"),
+            )
+            return _pa.table(
+                {"doc_id": _pc.add(ids, _pa.scalar(20_000_000, ids.type)), "text": text}
+            )
+
+        batch_fz = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(_recrawl_segment, batch_format="pyarrow")
+        t0 = time.time()
+        append_training_set(
+            batch_fz, bench_docs, fz_out, fingerprint="bench-recrawl",
+            lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
+        )
+        timings["corpus_append_fuzzy"] = round(time.time() - t0, 3)
+
         # duplicated-span removal alone (exact substring dedup, window
         # form) — timed outside corpus_prep so the recorded corpus_prep
         # baseline stays comparable across rounds

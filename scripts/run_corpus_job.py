@@ -28,7 +28,9 @@ Incremental appends (new crawl segments landing beside an existing set)::
 base set must have been prepared with ``--track-doc-keys`` and without
 ``--shuffle-seed``; NAME keys idempotence (re-submitting the same batch
 is a manifest no-op). Prepare-only knobs (fuzzy dedup, quality gates,
-mixtures, BPE) are rejected in append mode — re-prepare to refresh those.
+mixtures, BPE, ``--track-minhash-jaccard``) are rejected in append mode —
+appends inherit the near-dup screen from the state the base was prepared
+with; re-prepare to change the rest.
 """
 
 from __future__ import annotations
@@ -65,6 +67,10 @@ def main() -> int:
     ap.add_argument("--track-doc-keys", action="store_true",
                     help="persist the input's distinct text fingerprints as <out>/doc_keys "
                          "(the precondition for --append-batch runs later)")
+    ap.add_argument("--track-minhash-jaccard", type=float, default=None, metavar="THR",
+                    help="widen the doc_keys state with MinHash signatures so appends "
+                         "also NEAR-dup-screen new batches at Jaccard >= THR "
+                         "(requires --track-doc-keys; appends inherit it from the state)")
     ap.add_argument("--append-batch", default=None, metavar="NAME",
                     help="append this batch to an existing set instead of preparing one; "
                          "NAME (e.g. the crawl-segment id) keys idempotence")
@@ -122,6 +128,7 @@ def main() -> int:
             "--bpe-vocab-size": args.bpe_vocab_size, "--shuffle-seed": args.shuffle_seed,
             "--counts": args.counts or None,
             "--track-doc-keys": args.track_doc_keys or None,
+            "--track-minhash-jaccard": args.track_minhash_jaccard,
             "--fingerprint": None if args.fingerprint == "corpus-v1" else args.fingerprint,
         }
         bad = [k for k, v in unsupported.items() if v is not None]
@@ -179,6 +186,7 @@ def main() -> int:
         mixture_col=args.mixture_col,
         bpe_vocab_size=args.bpe_vocab_size,
         track_doc_keys=args.track_doc_keys,
+        track_minhash_jaccard=args.track_minhash_jaccard,
         lang_allow=tuple(x.strip() for x in args.lang_allow.split(",") if x.strip()),
         fingerprint=args.fingerprint,
         min_tokens=args.min_tokens,
