@@ -28,6 +28,14 @@ Scale shape: pure streaming map — the weight vector is actor state
 md5 is computed per DISTINCT feature per batch with a per-actor memo,
 and per-doc sums are one ``np.add.reduceat``. No exchange, no
 materialization; at 100 TB this stage is embarrassingly parallel.
+
+The same hashed feature space also powers DSIR importance resampling
+(``dsir_resample``, Xie et al. 2023): hashed n-gram bag models of a
+trusted target corpus vs the raw corpus → per-doc log importance
+weights (scored by ``HashedNgramQuality`` with the log-ratio vector as
+weights) → Gumbel-top-k selection of ~k docs ∝ w without replacement —
+one narrow counts exchange, one streaming scoring map, and a
+sort+limit over per-batch top-k partials.
 """
 
 from __future__ import annotations
@@ -331,3 +339,229 @@ def surprisal_filter(
         return kept.drop_columns(["unigram_surprisal_bits"])
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") — hashed n-gram form. The published
+# recipe: estimate hashed n-gram bag models of a trusted TARGET corpus and
+# the raw corpus, weight every raw doc by w(x) = p̂_target(x)/p̂_raw(x), and
+# sample k docs ∝ w without replacement (Gumbel top-k).
+# ---------------------------------------------------------------------------
+
+
+def _gumbel_keys(doc_ids: "np.ndarray", seed: int) -> "np.ndarray":
+    """Deterministic per-doc Gumbel(0,1) noise: u from 52 md5 bits of
+    (seed, doc_id), g = -log(-log(u)). No RNG — rerun-stable like every
+    other sampler in this engine (functions/sample.py's md5 thresholds)."""
+    out = np.empty(len(doc_ids), np.float64)
+    for i, d in enumerate(doc_ids):
+        v = int(hashlib.md5(f"dsir:{seed}:{int(d)}".encode()).hexdigest()[:13], 16)
+        out[i] = (v + 0.5) / float(1 << 52)
+    return -np.log(-np.log(out))
+
+
+class _BucketCountPartials:
+    """Actor-pool partial counter for ``hashed_bucket_counts``: per-batch
+    sparse (bucket, count) rows, md5 once per DISTINCT feature with the
+    same per-actor memo discipline as HashedNgramQuality."""
+
+    def __init__(self, n_buckets: int, text_col: str):
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self._memo: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats: list[str] = []
+        for x in t.column(self.text_col).to_pylist():
+            feats.extend(_features(x))
+        if not feats:
+            return pa.table({"b": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(feats, dtype=object), return_counts=True)
+        bks = np.empty(len(uniq), np.int64)
+        for i, f in enumerate(uniq):
+            b = self._memo.get(f)
+            if b is None:
+                b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % self.n_buckets
+                if len(self._memo) >= _MEMO_MAX:
+                    self._memo.clear()
+                self._memo[f] = b
+            bks[i] = b
+        # several features can hash to one bucket: second reduce map-side
+        dense = np.bincount(bks, weights=counts.astype(np.float64))
+        nz = np.nonzero(dense)[0]
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(dense[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def hashed_bucket_counts(
+    ds,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    num_buckets: int | None = None,
+    concurrency=(1, 8),
+) -> "np.ndarray":
+    """Corpus-wide hashed-feature bucket counts (the DSIR raw-distribution
+    pass): map-side SPARSE partials → one narrow (bucket, count) exchange →
+    a feature-space-sized driver collect (≤ n_buckets rows — a bucket
+    table, not the corpus; same cardinality argument as
+    unigram_count_bits' vocabulary collect)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def merge(df):
+        return df.groupby("b", as_index=False, sort=False)["c"].sum()
+
+    rows = bucketed_group_apply(
+        ds.select_columns([text_col]).map_batches(
+            _BucketCountPartials,
+            fn_constructor_kwargs={"n_buckets": n_buckets, "text_col": text_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ),
+        ["b"], merge, num_buckets=num_buckets,
+    ).to_pandas()  # ≤ n_buckets rows
+    out = np.zeros(n_buckets, np.int64)
+    if not rows.empty:
+        out[rows["b"].to_numpy(np.int64)] = rows["c"].to_numpy(np.int64)
+    return out
+
+
+def driver_bucket_counts(texts, n_buckets: int = DEFAULT_N_BUCKETS) -> "np.ndarray":
+    """Bucket counts of a DRIVER-SIDE text list — the DSIR target corpus,
+    small by definition (it is the exemplar set you trust, e.g. a
+    Wikipedia/textbook sample)."""
+    out = np.zeros(n_buckets, np.int64)
+    memo: dict[str, int] = {}
+    for x in texts:
+        for f in _features(x):
+            b = memo.get(f)
+            if b is None:
+                b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+                memo[f] = b
+            out[b] += 1
+    return out
+
+
+def dsir_log_ratio(
+    raw_counts: "np.ndarray", target_counts: "np.ndarray", alpha: float = 1.0
+) -> "np.ndarray":
+    """Per-bucket log importance ratio log p̂_target(b) − log p̂_raw(b),
+    add-``alpha`` smoothed so unseen buckets stay finite. Plugged into
+    ``HashedNgramQuality`` as the weight vector, a document's
+    ``quality_logit`` is then exactly its DSIR log importance weight
+    log w(x) = Σ_features log-ratio(bucket(feature))."""
+    raw = raw_counts.astype(np.float64)
+    tgt = target_counts.astype(np.float64)
+    n = len(raw)
+    if len(tgt) != n:
+        raise ValueError(f"bucket-count vectors disagree: {len(tgt)} vs {n}")
+    return (np.log(tgt + alpha) - np.log(tgt.sum() + alpha * n)) - (
+        np.log(raw + alpha) - np.log(raw.sum() + alpha * n)
+    )
+
+
+def dsir_resample(
+    docs,
+    target_texts,
+    k: int,
+    *,
+    seed: int = 0,
+    alpha: float = 1.0,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    broadcast_max_winners: int = 2_000_000,
+    concurrency=(1, 8),
+    metrics_out: dict | None = None,
+):
+    """Row-keeping DSIR selection: keep the ``k`` documents of ``docs``
+    with the largest Gumbel-perturbed log importance weights
+    log w(x) + g — i.e. sample ~k docs without replacement ∝ w, moving
+    the selection's n-gram distribution toward the target's.
+
+    Scale shape, stage by stage:
+
+    1. raw bucket counts: one narrow (bucket, count) exchange + a
+       feature-space-sized driver collect (``hashed_bucket_counts``);
+       target counts are driver-side;
+    2. scoring: the log-ratio vector ships once per actor and scoring is
+       the existing ``HashedNgramQuality`` streaming map (no exchange);
+    3. selection: per-batch local top-k FIRST (the combiner), then a
+       global sort+limit over the reduced stream (≤ k rows per input
+       block — corpus-independent, so the all-to-all stays cheap at any
+       scale);
+    4. the winner id set filters ``docs`` via one broadcast (≤
+       ``broadcast_max_winners``) or, above the gate, a distributed
+       ``semi_join`` — nothing driver-sized on either path.
+
+    ``docs`` is consumed three times (counts, scoring, final filter) —
+    materialize upstream lineages first (the corpus pipeline does).
+    Deterministic for a fixed input and ``seed``; a seed change is a
+    fresh draw. ``metrics_out`` receives ``dsir_selected`` and the two
+    feature totals."""
+    import ray
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not target_texts:
+        raise ValueError("target_texts must be non-empty (the DSIR target corpus)")
+
+    raw_counts = hashed_bucket_counts(docs, text_col, n_buckets, num_buckets, concurrency)
+    tgt_counts = driver_bucket_counts(target_texts, n_buckets)
+    lr = dsir_log_ratio(raw_counts, tgt_counts, alpha)
+    if metrics_out is not None:
+        metrics_out["dsir_raw_feats"] = int(raw_counts.sum())
+        metrics_out["dsir_target_feats"] = int(tgt_counts.sum())
+
+    scored = score_quality(
+        docs, weights=lr, n_buckets=n_buckets, text_col=text_col, concurrency=concurrency
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        logw = t.column("quality_logit").to_numpy(zero_copy_only=False).astype(np.float64)
+        key = logw + _gumbel_keys(ids, seed)
+        if len(key) > k:
+            keep = np.argpartition(key, len(key) - k)[len(key) - k :]
+            ids, key = ids[keep], key[keep]
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "dsir_key": pa.array(key, pa.float64())}
+        )
+
+    reduced = scored.map_batches(local_topk, batch_format="pyarrow")
+    winners = reduced.sort("dsir_key", descending=True).limit(k).materialize()
+    n_sel = winners.count()
+    if metrics_out is not None:
+        metrics_out["dsir_selected"] = n_sel
+
+    if n_sel <= broadcast_max_winners:
+        ref = ray.put(frozenset(winners.to_pandas()[id_col].astype("int64").tolist()))
+
+        class _KeepWinners:
+            def __init__(self, r, id_col: str):
+                self.value_set = pa.array(sorted(ray.get(r)), pa.int64())
+                self.id_col = id_col
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(
+                    pc.is_in(t.column(self.id_col).cast(pa.int64()), value_set=self.value_set)
+                )
+
+        return docs.map_batches(
+            _KeepWinners, fn_constructor_kwargs={"r": ref, "id_col": id_col},
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+
+    from .joins import _arrow_types, semi_join
+
+    return semi_join(
+        docs, winners.select_columns([id_col]), id_col,
+        num_buckets=num_buckets, data_types=_arrow_types(docs),
+    )

@@ -377,6 +377,9 @@ def prepare_training_set(
     surprisal_max_bits: float | None = None,
     mixture_weights: dict[str, float] | None = None,
     mixture_col: str = "lang",
+    dsir_target_texts: list[str] | None = None,
+    dsir_k: int | None = None,
+    dsir_seed: int = 0,
     bpe_vocab_size: int | None = None,
     bpe_max_words: int = 32768,
     track_doc_keys: bool = False,
@@ -445,6 +448,8 @@ def prepare_training_set(
 
     if track_minhash_jaccard is not None and not track_doc_keys:
         raise ValueError("track_minhash_jaccard requires track_doc_keys=True")
+    if (dsir_k is None) != (dsir_target_texts is None):
+        raise ValueError("dsir_k and dsir_target_texts must be passed together")
 
     metrics: dict = {}
     # normalize the text column name ONCE at entry: several stages
@@ -605,6 +610,26 @@ def prepare_training_set(
         docs = docs.filter(expr="text != ''")
         docs = checkpoint(docs, "n_after_span_dedup")
 
+    # 4b2. optional DSIR importance resampling (Xie et al. 2023): keep the
+    # dsir_k docs whose hashed-n-gram distribution best matches the trusted
+    # target corpus (Gumbel-top-k ∝ importance weight). AFTER the dedup
+    # stages — duplicates would each get their own Gumbel draw and a viral
+    # near-dup cluster could crowd the selection — and BEFORE the mixture
+    # stage (reweighting applies to the selected set). BRANCH POINT: the
+    # operator consumes its input three times (counts, scoring, filter).
+    if dsir_k is not None:
+        from ..functions.quality import dsir_resample
+
+        if not collect_counts:
+            docs = docs.materialize()
+        docs = docs.select_columns([id_col, text_col])  # drop stage count cols
+        docs = dsir_resample(
+            docs, dsir_target_texts, dsir_k, seed=dsir_seed,
+            id_col=id_col, text_col=text_col, num_buckets=shuffle_buckets,
+            metrics_out=metrics,
+        )
+        docs = checkpoint(docs, "n_after_dsir")
+
     # 4c. optional static domain reweighting (mixture_sample, weights may
     # exceed 1): AFTER every dedup stage — repeats added earlier would
     # collapse straight back out of the exact/paragraph/span passes — and
@@ -716,9 +741,20 @@ def prepare_training_set(
                 _np.asarray(model_quality_weights, dtype=_np.float64)
             ).tobytes()
         ).hexdigest()
+    # DSIR selection shapes the output only when enabled; the TARGET texts
+    # are part of the knob (a different exemplar set = a different set)
+    dsir_fp = (
+        None
+        if dsir_k is None
+        else (
+            dsir_k,
+            dsir_seed,
+            hashlib.md5("\x1f".join(dsir_target_texts).encode()).hexdigest(),
+        )
+    )
     fp = hashlib.md5(
         f"{fingerprint}:{contam_n}:{bt_fp}:{fuzzy_jaccard}:{span_dedup_k}:{quality_gate}:"
-        f"{model_quality_min}:{w_fp}:{surprisal_max_bits}:{mix_fp}:"
+        f"{model_quality_min}:{w_fp}:{surprisal_max_bits}:{mix_fp}:{dsir_fp}:"
         f"{allow}:{min_tokens}:{max_tokens}:{overlap}:{pack_budget}:{shuffle_seed}".encode()
     ).hexdigest()
     # the knobs an append must repeat are stamped into the manifest so

@@ -77,6 +77,14 @@ def main() -> int:
     ap.add_argument("--mixture", default=None,
                     help='JSON per-stratum mixture weights, e.g. \'{"en": 2.0, "de": 0.5}\'')
     ap.add_argument("--mixture-col", default="lang")
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR importance resampling: parquet of trusted target texts "
+                         "(requires --dsir-k)")
+    ap.add_argument("--dsir-target-col", default="text")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="keep the k docs with the largest Gumbel-perturbed DSIR "
+                         "importance weights (requires --dsir-target)")
+    ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument("--bpe-vocab-size", type=int, default=None,
                     help="train a byte-level BPE tokenizer on the survivors and "
                          "ship it as <out>/bpe.json (load with corpus.load_tokenizer)")
@@ -129,6 +137,7 @@ def main() -> int:
             "--counts": args.counts or None,
             "--track-doc-keys": args.track_doc_keys or None,
             "--track-minhash-jaccard": args.track_minhash_jaccard,
+            "--dsir-target": args.dsir_target, "--dsir-k": args.dsir_k,
             "--fingerprint": None if args.fingerprint == "corpus-v1" else args.fingerprint,
         }
         bad = [k for k, v in unsupported.items() if v is not None]
@@ -167,6 +176,16 @@ def main() -> int:
         import numpy as np
 
         quality_weights = np.load(args.model_quality_weights)
+    dsir_texts = None
+    if (args.dsir_target is None) != (args.dsir_k is None):
+        ap.error("--dsir-target and --dsir-k must be passed together")
+    if args.dsir_target is not None:
+        import pyarrow.parquet as pq
+
+        dsir_texts = [
+            x for x in pq.read_table(args.dsir_target, columns=[args.dsir_target_col])
+            .column(args.dsir_target_col).to_pylist() if x
+        ]
     cpus = int(ray.cluster_resources().get("CPU", 16))
     t0 = time.time()
     metrics = prepare_training_set(
@@ -187,6 +206,9 @@ def main() -> int:
         bpe_vocab_size=args.bpe_vocab_size,
         track_doc_keys=args.track_doc_keys,
         track_minhash_jaccard=args.track_minhash_jaccard,
+        dsir_target_texts=dsir_texts,
+        dsir_k=args.dsir_k,
+        dsir_seed=args.dsir_seed,
         lang_allow=tuple(x.strip() for x in args.lang_allow.split(",") if x.strip()),
         fingerprint=args.fingerprint,
         min_tokens=args.min_tokens,

@@ -56,6 +56,52 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     )
 
 
+def test_dsir_resample(ray_session):
+    """DSIR importance resampling: the distributed raw-counts pass equals
+    the driver counter exactly; selection keeps exactly k docs and pulls
+    toward the target's n-gram distribution; reruns are deterministic;
+    k ≥ n keeps everything; bad inputs refuse."""
+    import numpy as np
+
+    from graphiti_hf_ray.functions.quality import (
+        driver_bucket_counts,
+        dsir_resample,
+        hashed_bucket_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    sci = [f"sci{i}" for i in range(40)]
+    junk = [f"sp{i}" for i in range(40)]
+    target = [" ".join(rng.choice(sci, 30)) for _ in range(10)]
+    texts = [" ".join(rng.choice(sci, 30)) for _ in range(15)] + [
+        " ".join(rng.choice(junk, 30)) for _ in range(15)
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64), "text": texts})
+    )
+
+    # distributed == driver bucket counts (exact parity)
+    assert (hashed_bucket_counts(docs) == driver_bucket_counts(texts)).all()
+
+    m: dict = {}
+    kept = dsir_resample(docs, target, 8, seed=1, metrics_out=m).to_pandas()
+    assert len(kept) == 8 and m["dsir_selected"] == 8
+    assert (kept["doc_id"] < 15).all()  # every winner is target-like
+    assert set(kept.columns) == {"doc_id", "text"}  # schema preserved
+
+    # deterministic per seed
+    kept2 = dsir_resample(docs, target, 8, seed=1).to_pandas()
+    assert sorted(kept2["doc_id"]) == sorted(kept["doc_id"])
+
+    # k >= n keeps everything
+    assert dsir_resample(docs, target, 1000).count() == 30
+
+    with pytest.raises(ValueError, match="positive"):
+        dsir_resample(docs, target, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        dsir_resample(docs, [], 5)
+
+
 def test_minhash_state_and_cross_dedup(ray_session):
     """Cross-run near-dup screen: ``add_minhash_cols`` packs the exact
     ``minhash_signature`` bytes; ``minhash_state_rows`` is one row per

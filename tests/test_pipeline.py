@@ -867,6 +867,64 @@ def test_prepare_training_set_surprisal_gate(ray_session, tmp_path):
     assert m["n_after_surprisal"] == 1                    # rare-token doc dropped
 
 
+def test_prepare_training_set_dsir(ray_session, tmp_path):
+    """Stage 4b2: DSIR selection keeps exactly dsir_k docs and pulls the
+    selection toward the target's n-gram distribution (the target-like
+    half of a bimodal corpus wins); the knob reaches the pack fingerprint
+    (a different target set rebuilds, same knobs resume)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import prepare_training_set
+
+    rng = np.random.default_rng(3)
+    sci = [f"sci{i}" for i in range(40)]
+    junk = [f"sp{i}" for i in range(40)]
+    target = [" ".join(rng.choice(sci, 30)) for _ in range(8)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(24, dtype=np.int64),
+            "text": [" ".join(rng.choice(sci, 30)) for _ in range(12)]
+            + [" ".join(rng.choice(junk, 30)) for _ in range(12)],
+        }
+    )
+    out = str(tmp_path / "dsir")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=64, overlap=0, pack_budget=64)
+
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_set(rd.from_pandas(docs), [], out, dsir_k=4, **common)
+
+    m = prepare_training_set(
+        rd.from_pandas(docs), [], out, dsir_target_texts=target, dsir_k=6,
+        collect_counts=True, **common,
+    )
+    assert m["n_after_dsir"] == 6 and m["dsir_selected"] == 6
+    # the packs hold only target-like docs (log-weight separation between
+    # the two vocabularies dwarfs the Gumbel noise)
+    from graphiti_hf_ray.pipelines.corpus import load_packs
+
+    joined = " ".join(load_packs(out).to_pandas()["text"])
+    assert "sci" in joined and "sp" not in joined
+
+    # same knobs resume; a different target set rebuilds (fingerprint)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out, "packs", "_manifest.json")) as f:
+        fp1 = _json.load(f)["fingerprint"]
+    prepare_training_set(
+        rd.from_pandas(docs), [], out, dsir_target_texts=target, dsir_k=6, **common
+    )
+    with open(_os.path.join(out, "packs", "_manifest.json")) as f:
+        assert _json.load(f)["fingerprint"] == fp1
+    prepare_training_set(
+        rd.from_pandas(docs), [], out, dsir_target_texts=target[:4], dsir_k=6, **common
+    )
+    with open(_os.path.join(out, "packs", "_manifest.json")) as f:
+        assert _json.load(f)["fingerprint"] != fp1
+
+
 def test_prepare_training_set_mixture(ray_session, tmp_path):
     """Stage 4c: per-lang weights above 1 upsample AFTER every dedup
     stage — copy counts per original doc match a mixture_sample replay,
