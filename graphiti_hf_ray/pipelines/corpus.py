@@ -817,9 +817,9 @@ def prepare_training_set(
             # exact fps — here extended to copies within estimator noise of
             # the threshold). The keys fingerprint folds the minhash params
             # in so toggling the knob rebuilds the state even though the
-            # PACKS (which don't depend on it) resume untouched; existing
-            # append batches must then re-run (the half-written-slot check
-            # names them) so their key slots gain signatures too.
+            # BASE packs (which don't depend on it) resume untouched; the
+            # rebuild sweep below also removes every append slot (packs AND
+            # keys) so previously appended batches re-run from scratch.
             from ..functions.dedup import N_BANDS, N_PERM, minhash_state_rows
 
             keys_fp = hashlib.md5(
@@ -834,7 +834,20 @@ def prepare_training_set(
                 }
             }
         if not gio.manifest_matches(os.path.join(keys_root, "base"), keys_fp):
+            # the keys state is being rebuilt (first prepare, or the minhash
+            # knob toggled under an UNCHANGED pack fingerprint). Any append
+            # slots' keys die with it, so their PACK slots must go too:
+            # left behind, every batch's re-run would trip the half-written
+            # check on the OTHER stranded batches (an unrecoverable cycle),
+            # and the packs would serve docs the rebuilt seen-set no longer
+            # masks. Same semantics as every other knob change — re-prepare
+            # sweeps appends by design (there, via the pack-fp rewrite).
             shutil.rmtree(keys_root, ignore_errors=True)
+            packs_root = os.path.join(out_dir, "packs")
+            if os.path.isdir(packs_root):
+                for nm in os.listdir(packs_root):
+                    if nm.startswith("append-"):
+                        shutil.rmtree(os.path.join(packs_root, nm), ignore_errors=True)
         metrics["n_doc_keys"] = gio.write_table_distributed(
             keys_rows, os.path.join(keys_root, "base"), keys_fp, metrics=keys_man
         )
@@ -904,10 +917,13 @@ def append_training_set(
       against every signature ever ingested (Jaccard ESTIMATED from
       signature agreement — the state's text is never re-read; see
       ``functions.dedup.fuzzy_cross_dedup_rows`` for the broadcast/scan
-      shape and its batch-size gate). Turning the knob on for an existing
-      set keeps the packs but rebuilds the keys state — previously
-      appended batches must re-run (the slot validation names them) so
-      their key slots gain signatures. Paragraph/span dedup, mixtures and
+      shape and its batch-size gate). Toggling the knob on an existing
+      set keeps the BASE packs (they don't depend on it) but rebuilds the
+      keys state and sweeps every append slot — packs and keys — so
+      previously appended batches re-run from scratch (stranded pack
+      slots would otherwise serve docs the rebuilt seen-set no longer
+      masks, and would block every other batch's re-run on the
+      half-written check). Paragraph/span dedup, mixtures and
       BPE training remain prepare-time passes — re-prepare to refresh
       those (which sweeps appends by design).
 

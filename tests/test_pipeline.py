@@ -1702,6 +1702,67 @@ def test_append_training_set_fuzzy(ray_session, tmp_path):
         )
 
 
+def test_append_minhash_toggle_sweeps_appends(ray_session, tmp_path):
+    """Toggling track_minhash_jaccard on a set with existing appends
+    sweeps every append slot (packs AND keys): stranded pack slots would
+    otherwise serve docs the rebuilt seen-set no longer masks and
+    deadlock every batch's re-run on the half-written check. After the
+    toggle, the swept batch re-appends cleanly and a near-dup of the
+    BASE is now screened."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_hf_ray.pipelines.corpus import (
+        append_training_set,
+        load_packs,
+        prepare_training_set,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(200)]
+    mk = lambda: " ".join(rng.choice(words, 200))  # noqa: E731
+    base_texts = [mk() for _ in range(6)]
+    base = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "text": base_texts})
+    out = str(tmp_path / "tset")
+    common = dict(lang_allow=(), min_tokens=5, max_tokens=64, overlap=0, pack_budget=128)
+
+    prepare_training_set(rd.from_pandas(base), [], out, track_doc_keys=True, **common)
+    b1 = mk()
+    m1 = append_training_set(
+        rd.from_pandas(pd.DataFrame({"doc_id": np.array([100], dtype=np.int64), "text": [b1]})),
+        [], out, fingerprint="batch-1", **common,
+    )
+    assert m1["n_packs_appended"] >= 1
+    n_with_append = len(load_packs(out).to_pandas())
+
+    # the toggle: same pack knobs, signature state on → append slots gone
+    prepare_training_set(
+        rd.from_pandas(base), [], out, track_doc_keys=True,
+        track_minhash_jaccard=0.7, **common,
+    )
+    assert len(load_packs(out).to_pandas()) < n_with_append  # batch-1 swept
+
+    # batch-1 re-appends cleanly (no half-written deadlock), and its doc
+    # is genuinely re-screened (not masked by stale keys)
+    m1b = append_training_set(
+        rd.from_pandas(pd.DataFrame({"doc_id": np.array([100], dtype=np.int64), "text": [b1]})),
+        [], out, fingerprint="batch-1", **common,
+    )
+    assert m1b["n_packs_appended"] >= 1 and m1b["cross_fuzzy_dropped_docs"] == 0
+
+    # the rebuilt state screens near-dups of the base now
+    toks = base_texts[0].split(" ")
+    toks[50] = "zzz_mut"
+    m2 = append_training_set(
+        rd.from_pandas(
+            pd.DataFrame({"doc_id": np.array([200], dtype=np.int64), "text": [" ".join(toks)]})
+        ),
+        [], out, fingerprint="batch-2", **common,
+    )
+    assert m2["cross_fuzzy_dropped_docs"] == 1 and m2["n_packs_appended"] == 0
+
+
 def test_append_training_set_preconditions(ray_session, tmp_path):
     import numpy as np
     import pandas as pd
