@@ -195,23 +195,32 @@ def run_bench() -> dict:
             lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
         )
 
-        def _second_segment(t: "_pa.Table") -> "_pa.Table":
-            ids = t.column("doc_id")
-            odd = _pc.equal(_pc.bit_wise_and(ids, _pa.scalar(1, ids.type)), _pa.scalar(1, ids.type))
-            text = _pc.if_else(
-                odd,
-                _pc.binary_join_element_wise(
-                    t.column("text"), _pa.scalar("segment two marker"), _pa.scalar(" ")
-                ),
-                t.column("text"),
-            )
-            return _pa.table(
-                {"doc_id": _pc.add(ids, _pa.scalar(10_000_000, ids.type)), "text": text}
-            )
+        def _mutated_segment(marker: str, id_offset: int):
+            """Crawl-segment synthesizer: odd docs get ``marker`` appended
+            (near-dups of the base), even docs re-fetch verbatim (exact
+            dups); all ids shift by ``id_offset``."""
+
+            def f(t: "_pa.Table") -> "_pa.Table":
+                ids = t.column("doc_id")
+                odd = _pc.equal(
+                    _pc.bit_wise_and(ids, _pa.scalar(1, ids.type)), _pa.scalar(1, ids.type)
+                )
+                text = _pc.if_else(
+                    odd,
+                    _pc.binary_join_element_wise(
+                        t.column("text"), _pa.scalar(marker), _pa.scalar(" ")
+                    ),
+                    t.column("text"),
+                )
+                return _pa.table(
+                    {"doc_id": _pc.add(ids, _pa.scalar(id_offset, ids.type)), "text": text}
+                )
+
+            return f
 
         batch = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        ).map_batches(_second_segment, batch_format="pyarrow")
+        ).map_batches(_mutated_segment("segment two marker", 10_000_000), batch_format="pyarrow")
         t0 = time.time()
         append_training_set(
             batch, bench_docs, append_out, fingerprint="bench-crawl-2",
@@ -234,23 +243,9 @@ def run_bench() -> dict:
             lang_allow=(), max_tokens=64, overlap=8, pack_budget=256,
         )
 
-        def _recrawl_segment(t: "_pa.Table") -> "_pa.Table":
-            ids = t.column("doc_id")
-            odd = _pc.equal(_pc.bit_wise_and(ids, _pa.scalar(1, ids.type)), _pa.scalar(1, ids.type))
-            text = _pc.if_else(
-                odd,
-                _pc.binary_join_element_wise(
-                    t.column("text"), _pa.scalar("tweaked footer marker"), _pa.scalar(" ")
-                ),
-                t.column("text"),
-            )
-            return _pa.table(
-                {"doc_id": _pc.add(ids, _pa.scalar(20_000_000, ids.type)), "text": text}
-            )
-
         batch_fz = rd.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        ).map_batches(_recrawl_segment, batch_format="pyarrow")
+        ).map_batches(_mutated_segment("tweaked footer marker", 20_000_000), batch_format="pyarrow")
         t0 = time.time()
         append_training_set(
             batch_fz, bench_docs, fz_out, fingerprint="bench-recrawl",

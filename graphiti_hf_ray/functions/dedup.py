@@ -343,6 +343,7 @@ def minhash_lsh_candidates(
     max_bucket_docs: int = MAX_BUCKET_DOCS,
     broadcast_max_pairs: int = BROADCAST_MAX_PAIRS,
     metrics_out: dict | None = None,
+    sig_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs via MinHash banding, then exact-Jaccard verified.
 
@@ -358,6 +359,11 @@ def minhash_lsh_candidates(
       rows — 1 tiny collect instead of 2 corpus-wide shuffles.
     - above the gate: fall back to two bucketed shuffle joins (one per pair
       side) — nothing driver-sized materializes at ANY candidate count.
+
+    ``sig_col`` names a precomputed binary signature column
+    (``add_minhash_cols``' packing) to reuse instead of recomputing the
+    64-perm MinHash per doc — the corpus append path computes signatures
+    once for its persisted state and feeds them back here.
 
     With ``n_bands=16`` (4 rows/band) the per-pair miss probability at the
     fixture's near-dup similarity (J ≥ 0.85) is < 1e-6, so the verified
@@ -379,11 +385,17 @@ def minhash_lsh_candidates(
         Band hashes are int64 (vectorized mix over the signature rows, no
         per-band md5) — integers sort ~2.5× cheaper than hex strings in
         the band-bucket exchange."""
-        ids, texts = t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ids = t.column("doc_id").to_pylist()
         n = len(ids)
-        sigs = np.empty((n, N_PERM), np.uint64)
-        for i, x in enumerate(texts):
-            sigs[i] = minhash_signature(x)
+        if sig_col is not None:
+            sigs = np.frombuffer(
+                b"".join(t.column(sig_col).to_pylist()), "<u8"
+            ).reshape(n, N_PERM)
+        else:
+            texts = t.column("text").to_pylist()
+            sigs = np.empty((n, N_PERM), np.uint64)
+            for i, x in enumerate(texts):
+                sigs[i] = minhash_signature(x)
         with np.errstate(over="ignore"):
             bh = _finalize(
                 (sigs.reshape(n, n_bands, rows_per_band) * band_w[None, None, :])
@@ -612,6 +624,7 @@ def fuzzy_dedup_rows(
     broadcast_max_losers: int = 2_000_000,
     num_buckets: int | None = None,
     metrics_out: dict | None = None,
+    sig_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Corpus-wide row-KEEPING fuzzy dedup (the CCNet/RefinedWeb shape):
     MinHash-LSH verified near-dup pairs → connected components → the
@@ -634,7 +647,8 @@ def fuzzy_dedup_rows(
     it first (pipelines/corpus.py does; a plain ``read_parquet`` input just
     re-reads)."""
     pairs = minhash_lsh_candidates(
-        docs, jaccard_threshold, n_bands=n_bands, metrics_out=metrics_out
+        docs, jaccard_threshold, n_bands=n_bands, metrics_out=metrics_out,
+        sig_col=sig_col,
     )
     return dedup_rows_from_pairs(
         docs, pairs, id_col=id_col, broadcast_max_losers=broadcast_max_losers,
@@ -898,11 +912,7 @@ def fuzzy_cross_dedup_rows(
     ['cross_minhash_capped_docs']``) — a capped key can miss a true cross-run
     near-dup, so a nonzero count voids the screen's completeness for those
     keys. ``metrics_out['cross_fuzzy_dropped_docs']`` counts removed rows."""
-    import ray.data as rd
-
     from ..stages.shuffle import bucketed_group_apply
-
-    kw = 8 * n_bands
 
     # 1. batch band-key set → one broadcast (distinct map-side first: the
     # driver sees at most n_bands × batch-docs uint64s, gated below)
@@ -969,16 +979,21 @@ def fuzzy_cross_dedup_rows(
     # minhash_lsh_candidates' pair cap).
     def new_band_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        ids_arr = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if n and int(ids_arr.min()) < 0:
+            # DROP_SENTINEL (-1) is load-bearing in the pair/estimate
+            # buckets; a negative batch id would be conflated with it
+            raise ValueError(
+                f"fuzzy_cross_dedup_rows requires non-negative {id_col} values "
+                "(the drop-count sentinel is -1)"
+            )
         bk = np.frombuffer(b"".join(t.column("band_keys").to_pylist()), "<u8")
         return pa.table(
             {
                 "bkey": pa.array(bk.astype(np.int64), pa.int64()),
                 "fp": pa.nulls(n * n_bands, pa.string()),
                 "sig_state": pa.nulls(n * n_bands, pa.binary()),
-                "doc_id": pa.array(
-                    np.repeat(t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False), n_bands),
-                    pa.int64(),
-                ),
+                "doc_id": pa.array(np.repeat(ids_arr, n_bands), pa.int64()),
                 "_side": pa.array(np.ones(n * n_bands, np.int8), pa.int8()),
             }
         )

@@ -450,6 +450,12 @@ def prepare_training_set(
         raise ValueError("track_minhash_jaccard requires track_doc_keys=True")
     if (dsir_k is None) != (dsir_target_texts is None):
         raise ValueError("dsir_k and dsir_target_texts must be passed together")
+    if dsir_k is not None:
+        # fail BEFORE the expensive dedup prefix runs, not inside stage 4b2
+        if dsir_k <= 0:
+            raise ValueError("dsir_k must be positive")
+        if not dsir_target_texts:
+            raise ValueError("dsir_target_texts must be non-empty (the DSIR target corpus)")
 
     metrics: dict = {}
     # normalize the text column name ONCE at entry: several stages
@@ -1073,7 +1079,12 @@ def append_training_set(
             "n_new_doc_keys": _man(keys_dir).get("rows", 0),
         }
         if mh is not None:  # the no-op echoes the recorded screen metrics
-            for k in ("fuzzy_dropped_docs", "cross_fuzzy_dropped_docs", "cross_minhash_capped_docs"):
+            for k in (
+                "fuzzy_dropped_docs",
+                "minhash_dropped_docs",
+                "cross_fuzzy_dropped_docs",
+                "cross_minhash_capped_docs",
+            ):
                 out[k] = pman0.get(k, 0)
         return out
 
@@ -1183,7 +1194,8 @@ def append_training_set(
         from ..functions.dedup import fuzzy_cross_dedup_rows, fuzzy_dedup_rows
 
         kept_rows = fuzzy_dedup_rows(
-            fresh, mh["jaccard"], num_buckets=shuffle_buckets, metrics_out=am
+            fresh, mh["jaccard"], num_buckets=shuffle_buckets, metrics_out=am,
+            sig_col="sig",  # reuse the signatures computed above, not a second pass
         ).materialize()
         state = gio.read_table_dir_ds(out_dir, "doc_keys", columns=["fp", "band_keys", "sig"])
         kept_rows = fuzzy_cross_dedup_rows(
@@ -1204,6 +1216,9 @@ def append_training_set(
         if mh is None
         else {
             "fuzzy_dropped_docs": am.get("fuzzy_dropped_docs", 0),
+            # within-batch LSH bucket-cap drops VOID the screen's exactness
+            # for the dropped docs — surfaced, not swallowed
+            "minhash_dropped_docs": am.get("minhash_dropped_docs", 0),
             "cross_fuzzy_dropped_docs": am.get("cross_fuzzy_dropped_docs", 0),
             "cross_minhash_capped_docs": am.get("cross_minhash_capped_docs", 0),
         }

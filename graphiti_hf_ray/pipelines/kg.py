@@ -161,17 +161,46 @@ def _slice_specs(files: list[str], num_shards: int) -> list[list[tuple[str, int,
     return specs
 
 
-# (factory, instance): keyed so a run with a DIFFERENT injected factory
-# rebuilds instead of reusing a stale extractor. Ray caches the
-# deserialized task closure per worker, so within one extract_phase run
-# the factory object's identity is stable and the build happens once per
-# worker — the heavy-weights-load-once contract the stage is built on.
+# (key, instance): keyed by a DRIVER-assigned stable token, not the
+# deserialized factory object's identity — each build_graph call pickles a
+# fresh closure, so identity-keying would rebuild the extractor once per
+# worker per BUILD, and a served deployment (one incremental build per
+# ingest flush) would reload pinned GPU/LLM weights on every episode. The
+# token is minted once per factory OBJECT on the driver (weak-keyed, so a
+# dropped factory can never alias a later one's token) and rides the
+# closure; the same pinned factory then reuses the built extractor across
+# builds — the heavy-weights-load-once contract the stage is built on.
 _EXTRACTOR_MEMO: list = []
+_FACTORY_KEYS: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+_FACTORY_SEQ = None
 
 
-def _worker_extractor(factory=None) -> TripleExtractor:
-    if not _EXTRACTOR_MEMO or _EXTRACTOR_MEMO[0][0] is not factory:
-        _EXTRACTOR_MEMO[:] = [(factory, (factory or TripleExtractor)())]
+def _factory_key(factory) -> str:
+    global _FACTORY_KEYS, _FACTORY_SEQ
+    if factory is None:
+        return "default"
+    if _FACTORY_KEYS is None:
+        import itertools
+        import weakref
+
+        _FACTORY_KEYS = weakref.WeakKeyDictionary()
+        _FACTORY_SEQ = itertools.count()
+    try:
+        k = _FACTORY_KEYS.get(factory)
+        if k is None:
+            k = f"f{next(_FACTORY_SEQ)}"
+            _FACTORY_KEYS[factory] = k
+        return k
+    except TypeError:
+        # un-weakref-able callable: fall back to a per-call key (safe —
+        # worst case is the old rebuild-per-build behavior, never reuse of
+        # a WRONG extractor)
+        return f"call{next(_FACTORY_SEQ)}"
+
+
+def _worker_extractor(factory=None, key: str = "default") -> TripleExtractor:
+    if not _EXTRACTOR_MEMO or _EXTRACTOR_MEMO[0][0] != key:
+        _EXTRACTOR_MEMO[:] = [(key, (factory or TripleExtractor)())]
     return _EXTRACTOR_MEMO[0][1]
 
 
@@ -285,6 +314,9 @@ def extract_phase(
     from ..extract.triples import TRIPLES_SCHEMA
 
     chunk_rows = int(os.environ.get("GRAFT_EXTRACT_CHUNK_ROWS", "16384"))
+    # minted DRIVER-side so the same pinned factory keeps its worker-memo
+    # key across build_graph calls (see _worker_extractor)
+    extractor_key = _factory_key(extractor_factory)
 
     def extract_one_shard(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -307,7 +339,7 @@ def extract_phase(
                         pages = rg_tab.slice(off, chunk_rows)
                         ep = make_episode_batch(extract_text_batch(pages), run_ts_us)
                         ep = ep.select(EPISODES.names).cast(EPISODES)
-                        tr = _worker_extractor(extractor_factory)(ep)
+                        tr = _worker_extractor(extractor_factory, extractor_key)(ep)
                         if not store_content:
                             # store_raw_episode_content=False parity
                             # (graphiti.py:137, 551-552): keep the episode

@@ -138,6 +138,8 @@ def main() -> int:
             "--track-doc-keys": args.track_doc_keys or None,
             "--track-minhash-jaccard": args.track_minhash_jaccard,
             "--dsir-target": args.dsir_target, "--dsir-k": args.dsir_k,
+            "--dsir-seed": args.dsir_seed or None,
+            "--dsir-target-col": None if args.dsir_target_col == "text" else args.dsir_target_col,
             "--fingerprint": None if args.fingerprint == "corpus-v1" else args.fingerprint,
         }
         bad = [k for k, v in unsupported.items() if v is not None]

@@ -183,6 +183,41 @@ def test_extract_phase_injected_factory(ray_session, pages_parquet, tmp_path_fac
     assert (tr["pred"] == marker).all()
 
 
+def test_extractor_factory_key_stable_across_builds():
+    """The worker extractor memo is keyed by a DRIVER-minted token, not the
+    deserialized factory's object identity: a service-pinned factory keeps
+    one key across build_graph calls, so workers reuse the built extractor
+    (weights load once per worker, not once per ingest flush)."""
+    from graphiti_hf_ray.pipelines.kg import _factory_key, _worker_extractor
+
+    class F:
+        built = 0
+
+        def __init__(self):
+            F.built += 1
+
+        def __call__(self, ep):
+            return ep
+
+    k1 = _factory_key(F)
+    assert _factory_key(F) == k1            # same pinned object → same key
+    assert _factory_key(None) == "default"
+
+    class G(F):
+        pass
+
+    assert _factory_key(G) != k1            # different factory → different key
+
+    # the memo builds once per KEY even across distinct call sites (each
+    # build_graph re-pickles the closure; the key string is what persists)
+    _worker_extractor(F, k1)
+    n_built = F.built
+    _worker_extractor(F, k1)
+    assert F.built == n_built
+    _worker_extractor(G, _factory_key(G))   # key change rebuilds
+    assert G.built == n_built + 1
+
+
 def test_resume_skips_completed_shards(ray_session, pages_parquet, tmp_path_factory):
     """Kill-mid-run model: delete one shard, re-run → only that shard is
     rewritten; other manifests untouched; tables byte-identical."""
